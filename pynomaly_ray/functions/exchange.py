@@ -1,0 +1,135 @@
+"""Explicit hash-partitioned exchange primitives built on raw Ray tasks.
+
+Why this exists (SURVEY.md §2 note on custom operators): Ray Data's
+built-in ``groupby().aggregate()`` is a sort-based shuffle whose merge
+walks rows in Python — measured ~10^4 rows/s/core on this box, which
+anti-scales with CPU count on small-to-medium keyed aggregations.  The
+pattern here is the guide's "explicit partitioned hash join": split each
+upstream block into P key-hash buckets (vectorized), then one reduce
+task per bucket merges its co-located rows with a *vectorized* pandas
+groupby.  Orchestration moves ObjectRefs only; no driver materialization.
+
+Partitioning assumption: ``merge_fn`` must be a pure, associative
+per-bucket reduction (groupby-sum/min/max/count style) — every row of a
+key lands in exactly one bucket, so running ``merge_fn`` once per bucket
+yields exact global results.  Skew: bucket count P spreads hot keys'
+*partials* (upstream map-side pre-aggregation has already collapsed
+per-batch duplicates), so a hot key costs one reducer O(its partials),
+bounded by the number of upstream blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _bucket_of(table: pa.Table, key_cols: Sequence[str], p: int) -> np.ndarray:
+    """Stable uint64 hash of the key columns -> bucket in [0, p)."""
+    h = np.zeros(table.num_rows, dtype=np.uint64)
+    for c in key_cols:
+        ser = table[c].to_pandas()
+        hv = pd.util.hash_pandas_object(ser, index=False).to_numpy()
+        h = h * np.uint64(1000003) + hv
+    return (h % np.uint64(p)).astype(np.int64)
+
+
+@ray.remote
+def _split_block(table: pa.Table, key_cols, p: int):
+    """One upstream block -> P bucket sub-tables (vectorized take)."""
+    if table.num_rows == 0:
+        return [table] * p if p > 1 else table
+    b = _bucket_of(table, key_cols, p)
+    order = np.argsort(b, kind="stable")
+    sorted_t = table.take(pa.array(order))
+    counts = np.bincount(b, minlength=p)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    out = [sorted_t.slice(offsets[i], counts[i]) for i in range(p)]
+    return out if p > 1 else out[0]
+
+
+@ray.remote
+def _merge_bucket(merge_fn, *pieces: pa.Table) -> pa.Table:
+    tables = [t for t in pieces if t.num_rows]
+    if not tables:
+        return pieces[0].schema.empty_table() if pieces else pa.table({})
+    df = pa.concat_tables(tables, promote_options="permissive").to_pandas()
+    out = merge_fn(df)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+        None
+    )
+
+
+def hash_aggregate(
+    ds,
+    key_cols: Sequence[str],
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_partitions: int = 16,
+):
+    """Key-co-located reduction over a Dataset of (pre-aggregated) rows.
+
+    ``merge_fn``: vectorized pandas reduction applied once per bucket
+    (e.g. ``df.groupby(keys).sum()``).  Returns a ray.data.Dataset of the
+    merged rows.  Size ``num_partitions`` to the key-space volume — the
+    default suits <=10^7 partial rows; scale it with the data (one
+    reducer's bucket must fit in worker memory).
+    """
+    block_refs = ds.to_arrow_refs()
+    p = num_partitions
+    split_refs = [
+        _split_block.options(num_returns=p if p > 1 else 1).remote(
+            ref, list(key_cols), p
+        )
+        for ref in block_refs
+    ]
+    if p == 1:
+        split_cols = [[r] for r in split_refs]
+    else:
+        split_cols = [list(refs) for refs in split_refs]
+    merged = [
+        _merge_bucket.remote(merge_fn, *[split_cols[i][b] for i in range(len(split_cols))])
+        for b in range(p)
+    ]
+    return ray.data.from_arrow_refs(merged)
+
+
+def collect_sorted(ds_or_table, sort_cols, ascending=None) -> pd.DataFrame:
+    """Materialize a SMALL result and sort it on the driver (replaces
+    Dataset.sort for final presentation ordering — a full distributed
+    sort is wasted on driver-bound results)."""
+    if isinstance(ds_or_table, pd.DataFrame):
+        df = ds_or_table
+    elif isinstance(ds_or_table, pa.Table):
+        df = ds_or_table.to_pandas()
+    else:
+        df = ds_or_table.to_pandas()
+    if ascending is None:
+        ascending = [True] * len(sort_cols)
+    return df.sort_values(
+        list(sort_cols), ascending=ascending, kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def topk(ds, sort_cols: Sequence[str], k: int, descending: Sequence[bool]):
+    """Global top-k without a global sort: per-block local top-k inside
+    map_batches, then a driver-side merge of the tiny survivors."""
+    asc = [not d for d in descending]
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(list(sort_cols), ascending=asc, kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    survivors = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    return (
+        survivors.sort_values(list(sort_cols), ascending=asc, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,495 @@
+"""Oracle-checked query pipelines over the driver's testdata tables.
+
+Each entry pairs a Ray-Data pipeline (callable taking ``sf_dir``) with an
+ANSI-SQL oracle string DuckDB runs on the same parquet views.  Column
+names and value semantics match EXACTLY between the two sides; every
+float-derived aggregate is expressed in integer-exact form
+(``floor(x*100 + 0.5)`` cents / 1e6-scaled scores) so the driver's
+value-hash comparison is deterministic regardless of reduction order.
+
+Execution shape shared by all queries:
+
+- column-pruned ``read_parquet``;
+- vectorized per-batch pre-aggregation in ``map_batches``;
+- key-co-located merge via ``hash_aggregate`` (functions/exchange.py) —
+  an explicit hash-partitioned exchange whose reducers run vectorized
+  pandas, replacing Ray's per-row-Python sort-aggregate;
+- small final results sorted on the driver (``collect_sorted`` /
+  ``topk``), never a distributed sort of a driver-bound result.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from pynomaly_ray.functions.exchange import collect_sorted, hash_aggregate, topk
+
+
+_ROWS_PER_BLOCK = 65536
+
+
+def _pq(sf_dir: str, table: str, columns=None):
+    """Column-pruned parquet read with block count sized to the data:
+    Ray's default splits any file into ~2x-num-CPU blocks, which for
+    small tables schedules dozens of sub-100-row tasks and dominates
+    wall time with scheduling overhead.  One block per ~64k rows keeps
+    per-task work meaningful at every scale."""
+    import pyarrow.parquet as papq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    rows = papq.read_metadata(path).num_rows
+    blocks = max(1, min(64, rows // _ROWS_PER_BLOCK + 1))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+
+
+def _cents(x):
+    """float dollars -> exact integer cents, identical in SQL as
+    CAST(FLOOR(x * 100 + 0.5) AS BIGINT)."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def _collect(ds, schema: pa.Schema) -> pa.Table:
+    """Materialize a (small) result Dataset into an Arrow table, keeping
+    the declared schema even when the result is empty (an empty Ray
+    Dataset otherwise loses its column names)."""
+    import ray
+
+    tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
+    tables = [t.select(schema.names).cast(schema) for t in tables if t.num_rows]
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(tables)
+
+
+def _from_pandas(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+# ---------------------------------------------------------------------------
+# Q: lineitem_agg — TPC-H Q1-shaped grouped aggregate, partial+final.
+# ---------------------------------------------------------------------------
+def q_lineitem_agg(sf_dir: str):
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        df["base_cents"] = _cents(price)
+        df["disc_cents"] = _cents(price * (1.0 - disc))
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_cents=("base_cents", "sum"),
+                sum_disc_cents=("disc_cents", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = hash_aggregate(partials, ["l_returnflag", "l_linestatus"], merge, 2)
+    return collect_sorted(out, ["l_returnflag", "l_linestatus"])
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: n_chars_check — constraint predicate n_chars == length(text).
+# ---------------------------------------------------------------------------
+def q_n_chars_check(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def violations(batch: pa.Table) -> pa.Table:
+        length = pc.utf8_length(batch["text"])
+        bad = pc.not_equal(pc.cast(length, pa.int64()), batch["n_chars"])
+        sel = batch.filter(pc.fill_null(bad, True))
+        return pa.table(
+            {
+                "doc_id": sel["doc_id"],
+                "n_chars": sel["n_chars"],
+                "text_len": pc.cast(pc.utf8_length(sel["text"]), pa.int64()),
+            }
+        )
+
+    out = _collect(
+        ds.map_batches(violations, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("text_len", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_N_CHARS_CHECK = """
+SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+WHERE n_chars <> length(text)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dup_orderkeys — groupby-count duplicate detection (the uniqueness-
+# check shape of the validation engine, on a table with repeated keys).
+# ---------------------------------------------------------------------------
+def q_dup_orderkeys(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_orderkey", sort=False).size().reset_index(name="cnt")
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False)["cnt"].sum().reset_index()
+        return g[g["cnt"] > 1]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = hash_aggregate(partials, ["l_orderkey"], merge, 8)
+    return collect_sorted(out, ["l_orderkey"])
+
+
+SQL_DUP_ORDERKEYS = """
+SELECT l_orderkey, COUNT(*) AS cnt
+FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) > 1
+ORDER BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: ref_membership — broadcast anti-join: events whose user_id is not a
+# customer key (referential-integrity violation rows).
+# ---------------------------------------------------------------------------
+def q_ref_membership(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    # small side read once on the driver and broadcast into the filter
+    custkeys = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )["c_custkey"].combine_chunks()
+    ds = _pq(sf_dir, "events", ["event_id", "user_id"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        member = pc.is_in(batch["user_id"], value_set=custkeys)
+        return batch.filter(pc.invert(pc.fill_null(member, False)))
+
+    out = _collect(
+        ds.map_batches(anti, batch_format="pyarrow"),
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64())]),
+    )
+    return collect_sorted(out, ["event_id"])
+
+
+SQL_REF_MEMBERSHIP = """
+SELECT event_id, user_id
+FROM events
+WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: lang_membership — set-membership violation filter (broadcast side).
+# ---------------------------------------------------------------------------
+_ALLOWED_LANGS = ("de", "en", "fr")
+
+
+def q_lang_membership(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    allowed = pa.array(_ALLOWED_LANGS, pa.string())
+
+    def anti(batch: pa.Table) -> pa.Table:
+        member = pc.is_in(batch["lang"], value_set=allowed)
+        return batch.filter(pc.invert(pc.fill_null(member, False)))
+
+    out = _collect(
+        ds.map_batches(anti, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_LANG_MEMBERSHIP = """
+SELECT doc_id, lang
+FROM documents
+WHERE lang NOT IN ('de', 'en', 'fr')
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: source_stats — per-source column statistics (engine stats kernel
+# shape: integer-exact count/sum/min/max, partial+final merge).
+# ---------------------------------------------------------------------------
+def q_source_stats(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby("source", sort=False)
+            .agg(
+                n_docs=("n_chars", "size"),
+                sum_chars=("n_chars", "sum"),
+                min_chars=("n_chars", "min"),
+                max_chars=("n_chars", "max"),
+            )
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("source", sort=False)
+            .agg(
+                n_docs=("n_docs", "sum"),
+                sum_chars=("sum_chars", "sum"),
+                min_chars=("min_chars", "min"),
+                max_chars=("max_chars", "max"),
+            )
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["source"], merge, 2)
+    return collect_sorted(out, ["source"])
+
+
+SQL_SOURCE_STATS = """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: exact_dedup — exact dedup keep-first (min doc_id) per text content.
+# ---------------------------------------------------------------------------
+def q_exact_dedup(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby("text", sort=False)
+            .agg(doc_id=("doc_id", "min"), copies=("doc_id", "size"))
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("text", sort=False)
+            .agg(doc_id=("doc_id", "min"), copies=("copies", "sum"))
+            .reset_index()
+        )
+        return g[["doc_id", "copies"]]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["text"], merge, 8)
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_EXACT_DEDUP = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies
+FROM documents
+GROUP BY text
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: token_counts — whitespace token counting per source (text-analysis
+# operator), integer-exact.
+# ---------------------------------------------------------------------------
+def q_token_counts(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_tokens"] = df["text"].str.split().str.len().fillna(0).astype(np.int64)
+        g = (
+            df.groupby("source", sort=False)
+            .agg(sum_tokens=("n_tokens", "sum"), n_docs=("n_tokens", "size"))
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", sort=False).sum().reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["source"], merge, 2)
+    return collect_sorted(out, ["source"])
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT source,
+       SUM(CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS sum_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top_events — global top-k via local top-k + driver merge (no global
+# sort).
+# ---------------------------------------------------------------------------
+def q_top_events(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "value"])
+    return topk(ds, ["value", "event_id"], 20, descending=[True, False])
+
+
+SQL_TOP_EVENTS = """
+SELECT event_id, user_id, value
+FROM events
+ORDER BY value DESC, event_id
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: hourly_events — tumbling-window aggregate over event time
+# (streaming-shaped workload as groupby over exact epoch-hour buckets).
+# ---------------------------------------------------------------------------
+def q_hourly_events(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch_us = df["ts"].astype("int64")
+        df["hour_bucket"] = epoch_us // 3_600_000_000
+        df["value_cents"] = _cents(df["value"].to_numpy())
+        g = (
+            df.groupby(["event_type", "hour_bucket"], sort=False)
+            .agg(n_events=("value_cents", "size"), sum_value_cents=("value_cents", "sum"))
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["event_type", "hour_bucket"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = hash_aggregate(partials, ["event_type", "hour_bucket"], merge, 4)
+    return collect_sorted(out, ["event_type", "hour_bucket"])
+
+
+SQL_HOURLY_EVENTS = """
+SELECT event_type,
+       CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+FROM events
+GROUP BY event_type, CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT)
+ORDER BY event_type, hour_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: knn_cosine — brute-force cosine top-k similarity search against a
+# broadcast query vector (the ANN baseline; scores integer-scaled 1e6).
+# ---------------------------------------------------------------------------
+def q_knn_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb0 = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    # deterministic query: the embedding of vec_id == 0
+    idx = pc.index(emb0["vec_id"], 0).as_py()
+    q = np.asarray(emb0["embedding"][idx].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        comb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+        offs = comb.offsets.to_numpy(zero_copy_only=False)
+        flat = comb.values[offs[0] : offs[-1]].to_numpy(zero_copy_only=False)
+        M = flat.astype(np.float64).reshape(batch.num_rows, -1)
+        norms = np.linalg.norm(M, axis=1)
+        s = (M @ qn) / np.where(norms > 0, norms, 1.0)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "score_e6": pa.array(
+                    np.floor(s * 1_000_000 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    return topk(scored, ["score_e6", "vec_id"], 10, descending=[True, False])
+
+
+SQL_KNN_COSINE = """
+SELECT vec_id,
+       CAST(FLOOR(list_cosine_similarity(embedding::DOUBLE[],
+            (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))
+            * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM embeddings
+ORDER BY score_e6 DESC, vec_id
+LIMIT 10
+"""
+
+
+ORACLE_QUERIES = {
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "n_chars_check": (q_n_chars_check, SQL_N_CHARS_CHECK),
+    "dup_orderkeys": (q_dup_orderkeys, SQL_DUP_ORDERKEYS),
+    "ref_membership": (q_ref_membership, SQL_REF_MEMBERSHIP),
+    "lang_membership": (q_lang_membership, SQL_LANG_MEMBERSHIP),
+    "source_stats": (q_source_stats, SQL_SOURCE_STATS),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "top_events": (q_top_events, SQL_TOP_EVENTS),
+    "hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+}

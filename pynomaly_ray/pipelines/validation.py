@@ -1,0 +1,468 @@
+"""The flagship pipeline: sequence table -> violations + partition reports.
+
+Engine shape (SURVEY.md §3 "Engine shape of the same lifecycle"):
+
+  Stage A  read_parquet -> map_batches(SequenceValidator)   [stateless scan]
+           -> ONE pass producing a tagged stream of violation rows,
+           per-partition partial stats, and uniqueness pre-aggregates
+  Stage B  (a) doc_id uniqueness totals; (b) per-partition stats merge
+  Stage C  tiny partition-stat table -> exact LoOP fit (loop_core) with
+           extent/k per config; loop_score > threshold => drift fail
+  Stage D  per-partition pass/fail report + violation parquet + manifest
+           (resume skips completed partitions via a broadcast anti-join)
+
+The input is read exactly once; only the small tagged stream crosses the
+scan boundary.  Stage B is **size-adaptive**: the tagged stream is
+usually tiny relative to the input (sparse violations + one stat row per
+partition per batch + pre-aggregated doc counts), so below
+``cfg.driver_collect_bytes`` it is collected once and reduced with
+vectorized pandas on the driver — zero extra Ray executions.  Above the
+threshold (true 10^12-row runs, where the doc_id pre-aggregates alone
+are large) the same reductions run distributed via ``hash_aggregate``
+(an explicit hash-partitioned exchange, functions/exchange.py).  Both
+paths produce byte-identical outputs; tests force each.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from pynomaly_ray.config import (
+    PARTIAL_STATS_SCHEMA,
+    PARTITION_REPORT_SCHEMA,
+    VIOLATION_SCHEMA,
+    ValidationConfig,
+)
+from pynomaly_ray.functions.exchange import hash_aggregate
+from pynomaly_ray.functions.hashing import digest_floats
+from pynomaly_ray.stages.stats import finalize_stat_vector, merge_partials_df
+from pynomaly_ray.stages.uniqueness import (
+    duplicates_from_docparts,
+    emit_duplicate_violations,
+)
+from pynomaly_ray.stages.validate import SequenceValidator, split_union
+from pynomaly_ray.state.drift import fit_drift_scores
+from pynomaly_ray.state.manifest import (
+    completed_partitions,
+    read_full_manifest,
+    write_manifest_snapshot,
+)
+
+_PARTIAL_COLS = [
+    "partition_id",
+    "source",
+    "n_rows",
+    "n_tok_sum",
+    "n_tok_sum2",
+    "n_tok_sum3",
+    "tok_hist",
+    "len_hist",
+]
+_DOCPART_COLS = ["doc_id", "doc_hash", "partition_id", "cnt", "salt"]
+_VIOL_COLS = ["doc_id", "partition_id", "check", "detail"]
+
+
+@dataclass
+class ValidationResult:
+    report: pa.Table  # per-partition records (PARTITION_REPORT_SCHEMA)
+    violations: Optional[pa.Table]
+    out_dir: Optional[str]
+    n_sequences: int
+    skipped_partitions: int
+
+
+def _filter_completed(ds, done: frozenset):
+    if not done:
+        return ds
+    done_arr = pa.array(sorted(done), pa.string())
+
+    def drop_done(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t["partition_id"], value_set=done_arr))
+        )
+
+    return ds.map_batches(drop_done, batch_format="pyarrow")
+
+
+def _empty_df(cols) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+
+
+def _local_duplicates(
+    docparts: pa.Table, prior: Optional[pa.Table]
+) -> pd.DataFrame:
+    """Driver-local uniqueness reduction (same semantics as
+    stages/uniqueness.duplicates_from_docparts).
+
+    Counting runs over the int64 ``doc_hash`` column (numpy unique — C
+    speed, no string conversion of the full key space); only hash-level
+    candidates (vanishingly rare) are converted to pandas and verified
+    against the exact doc_id strings, which also guards against hash
+    collisions."""
+    n_cur = docparts.num_rows
+    if prior is not None and prior.num_rows:
+        union = pa.concat_tables(
+            [docparts.select(_DOCPART_COLS), prior.select(_DOCPART_COLS)]
+        )
+    else:
+        union = docparts.select(_DOCPART_COLS)
+    if union.num_rows == 0:
+        return _empty_df(_VIOL_COLS)
+    hashes = union["doc_hash"].to_numpy(zero_copy_only=False)
+    cnts = union["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _, inv = np.unique(hashes, return_inverse=True)
+    totals = np.bincount(inv, weights=cnts).astype(np.int64)
+    cand_mask = totals[inv] > 1
+    if not cand_mask.any():
+        return _empty_df(_VIOL_COLS)
+    dups = union.filter(pa.array(cand_mask)).to_pandas()
+    is_prior = np.zeros(union.num_rows, dtype=np.int64)
+    is_prior[n_cur:] = 1
+    dups["is_prior"] = is_prior[cand_mask]
+    totals_by_doc = dups.groupby("doc_id", sort=False)["cnt"].sum()
+    real = set(totals_by_doc[totals_by_doc > 1].index)
+    dups = dups[dups["doc_id"].isin(real)]
+    if not len(dups):
+        return _empty_df(_VIOL_COLS)
+    frames = [
+        emit_duplicate_violations(g) for _, g in dups.groupby("doc_id", sort=True)
+    ]
+    return pd.concat(frames, ignore_index=True)
+
+
+def _prior_docpart_dirs(out_dir: str, run_id: str, resume: bool) -> list[str]:
+    dp_root = os.path.join(out_dir, "docparts")
+    if not (resume and os.path.isdir(dp_root)):
+        return []
+    return [
+        os.path.join(dp_root, d)
+        for d in sorted(os.listdir(dp_root))
+        if d != run_id
+    ]
+
+
+def _post_scan_local(tagged, cfg, out_dir, resume) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Collect the (small) tagged stream once; reduce on the driver.
+
+    Arrow-native end-to-end: kind filtering, docpart counting and the
+    checkpoint write never convert the full stream to pandas — only the
+    sparse violation rows, the per-partition partials, and duplicate
+    *candidates* cross into Python objects."""
+    tables = [ray.get(r) for r in tagged.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if tables:
+        all_t = pa.concat_tables(tables)
+    else:
+        from pynomaly_ray.stages.validate import UNION_SCHEMA
+
+        all_t = UNION_SCHEMA.empty_table()
+
+    kind = all_t["kind"]
+    viol_df = (
+        all_t.filter(pc.equal(kind, "violation")).select(_VIOL_COLS).to_pandas()
+    )
+    partials = (
+        all_t.filter(pc.equal(kind, "partial")).select(_PARTIAL_COLS).to_pandas()
+    )
+    stats_df = (
+        merge_partials_df(partials)
+        if len(partials)
+        else _empty_df(_PARTIAL_COLS)
+    )
+
+    docparts = all_t.filter(pc.equal(kind, "docpart")).select(_DOCPART_COLS)
+    prior = None
+    if out_dir:
+        prior_dirs = _prior_docpart_dirs(out_dir, cfg.run_id, resume)
+        dp_dir = os.path.join(out_dir, "docparts", cfg.run_id)
+        os.makedirs(dp_dir, exist_ok=True)
+        pq.write_table(docparts, os.path.join(dp_dir, "docparts.parquet"))
+        if prior_dirs:
+            frames = []
+            for d in prior_dirs:
+                for f in sorted(os.listdir(d)):
+                    if f.endswith(".parquet"):
+                        frames.append(
+                            pq.read_table(
+                                os.path.join(d, f), columns=_DOCPART_COLS
+                            )
+                        )
+            if frames:
+                prior = pa.concat_tables(frames)
+
+    dup_df = _local_duplicates(docparts, prior)
+    viol_df = pd.concat([viol_df, dup_df], ignore_index=True)
+    return viol_df, stats_df
+
+
+def _post_scan_distributed(
+    tagged, cfg, out_dir, resume
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Same reductions via distributed exchanges (the 10^12-row path)."""
+    viol_ds = tagged.map_batches(
+        split_union("violation", _VIOL_COLS), batch_format="pyarrow"
+    )
+    partials_ds = tagged.map_batches(
+        split_union("partial", _PARTIAL_COLS), batch_format="pyarrow"
+    )
+    docparts_ds = tagged.map_batches(
+        split_union("docpart", _DOCPART_COLS), batch_format="pyarrow"
+    )
+
+    prior_docparts = None
+    if out_dir:
+        prior_dirs = _prior_docpart_dirs(out_dir, cfg.run_id, resume)
+        docparts_ds.write_parquet(os.path.join(out_dir, "docparts", cfg.run_id))
+        if prior_dirs:
+            prior_docparts = rd.read_parquet(prior_dirs)
+
+    dup_ds = duplicates_from_docparts(docparts_ds, prior_docparts)
+
+    merged = hash_aggregate(
+        partials_ds, ["partition_id"], merge_partials_df, num_partitions=8
+    )
+    stats_df = merged.to_pandas()
+    if "partition_id" not in stats_df.columns:  # no valid rows at all
+        stats_df = _empty_df(_PARTIAL_COLS)
+
+    viol_df = viol_ds.union(dup_ds).to_pandas()
+    if "partition_id" not in viol_df.columns:
+        viol_df = _empty_df(_VIOL_COLS)
+    return viol_df, stats_df
+
+
+def run_validation(
+    ds,
+    cfg: ValidationConfig,
+    *,
+    out_dir: Optional[str] = None,
+    resume: bool = True,
+    collect_violations: bool = True,
+    force_distributed: bool = False,
+) -> ValidationResult:
+    """Run the full validation pipeline over a sequence Dataset.
+
+    ``ds`` must carry (doc_id, tokens, n_tok, source, partition_id).
+    When ``out_dir`` is given, violation rows, per-partition reports, the
+    uniqueness checkpoint and a manifest snapshot are written; a rerun
+    with ``resume=True`` skips partitions already in the manifest while
+    still detecting duplicates that span completed and new partitions.
+    """
+    import sys as _sys
+    import time as _time
+
+    _phases: list[tuple[str, float]] = []
+    _t = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        now = _time.perf_counter()
+        _phases.append((name, now - _t))
+        _t = now
+
+    skipped = 0
+    done: frozenset = frozenset()
+    if out_dir and resume:
+        done = completed_partitions(out_dir)
+        skipped = len(done)
+        ds = _filter_completed(ds, done)
+
+    # ---- Stage A: ONE scan -> tagged violations + partials + docparts ----
+    # The validator's state (source set, vocab bound) is cheap, so this
+    # runs as stateless tasks: parallelism tracks CPUs instantly with no
+    # actor-pool ramp-up.  A stage with EXPENSIVE state (model, index)
+    # should instead pass the class + fn_constructor_kwargs (actor pool),
+    # as Tokenizer / StreamDriftScorer / ImageFeatures do.
+    validator = SequenceValidator(
+        valid_sources=cfg.valid_sources,
+        vocab_size=cfg.vocab_size,
+        salt_buckets=cfg.salt_buckets,
+    )
+    tagged = ds.map_batches(
+        validator,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    ).materialize()
+    _mark("stage_a")
+
+    # ---- Stage B: size-adaptive reduction of the tagged stream ----
+    small = (tagged.size_bytes() or 0) <= cfg.driver_collect_bytes
+    if small and not force_distributed:
+        viol_df, stats_df = _post_scan_local(tagged, cfg, out_dir, resume)
+    else:
+        viol_df, stats_df = _post_scan_distributed(tagged, cfg, out_dir, resume)
+    _mark("stage_b")
+
+    viol_df = viol_df.sort_values(
+        ["partition_id", "doc_id", "check"], kind="mergesort"
+    ).reset_index(drop=True)
+    stats_df = stats_df.sort_values(
+        "partition_id", kind="mergesort"
+    ).reset_index(drop=True)
+
+    if out_dir:
+        os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)
+        vt = pa.Table.from_pandas(
+            viol_df, schema=VIOLATION_SCHEMA, preserve_index=False
+        )
+        pq.write_table(
+            vt, os.path.join(out_dir, "violations", f"{cfg.run_id}.parquet")
+        )
+
+    if len(viol_df):
+        vcounts = viol_df.groupby("partition_id").size()
+    else:
+        vcounts = pd.Series(dtype=np.int64)
+
+    # ---- Stage C: exact LoOP drift over the stat table ----
+    if len(stats_df) == 0:
+        report = PARTITION_REPORT_SCHEMA.empty_table()
+        if out_dir:
+            final = read_full_manifest(out_dir)
+            report = final if final is not None else report
+        return ValidationResult(
+            report,
+            pa.Table.from_pandas(
+                viol_df, schema=VIOLATION_SCHEMA, preserve_index=False
+            )
+            if collect_violations
+            else None,
+            out_dir,
+            0,
+            skipped,
+        )
+
+    stats_df["stat_vector"] = stats_df.apply(finalize_stat_vector, axis=1)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", UserWarning)
+        scores, frozen = fit_drift_scores(
+            stats_df,
+            n_neighbors=cfg.n_neighbors,
+            extent=cfg.extent,
+            cluster_by_source=cfg.cluster_by_source,
+        )
+    _mark("stage_c")
+    stats_df["loop_score"] = scores
+    stats_df["n_violations"] = (
+        stats_df["partition_id"].map(vcounts).fillna(0).astype(np.int64)
+    )
+    stats_df["status"] = np.where(
+        (stats_df["loop_score"] > cfg.drift_threshold)
+        | (stats_df["n_violations"] > 0),
+        "fail",
+        "pass",
+    )
+
+    # ---- Stage D: report + manifest ----
+    lineage = [
+        {
+            "n_rows": int(r.n_rows),
+            "stats_digest": digest_floats(r.stat_vector),
+            "run_id": cfg.run_id,
+        }
+        for r in stats_df.itertuples()
+    ]
+    report = pa.table(
+        {
+            "partition_id": pa.array(stats_df["partition_id"], pa.string()),
+            "source": pa.array(stats_df["source"], pa.string()),
+            "n_rows": pa.array(stats_df["n_rows"], pa.int64()),
+            "n_violations": pa.array(stats_df["n_violations"], pa.int64()),
+            "stat_vector": pa.array(
+                [list(v) for v in stats_df["stat_vector"]],
+                pa.list_(pa.float64()),
+            ),
+            "loop_score": pa.array(stats_df["loop_score"], pa.float64()),
+            "status": pa.array(stats_df["status"], pa.string()),
+            "lineage": pa.array(
+                lineage, PARTITION_REPORT_SCHEMA.field("lineage").type
+            ),
+        },
+        schema=PARTITION_REPORT_SCHEMA,
+    )
+
+    n_sequences = int(stats_df["n_rows"].sum())
+    _mark("stage_d")
+    if os.environ.get("PNR_PHASES"):
+        print(
+            "phases " + " ".join(f"{n}={d:.2f}" for n, d in _phases),
+            file=_sys.stderr,
+        )
+    violations_out = (
+        pa.Table.from_pandas(
+            viol_df, schema=VIOLATION_SCHEMA, preserve_index=False
+        )
+        if collect_violations
+        else VIOLATION_SCHEMA.empty_table()
+    )
+    if out_dir:
+        os.makedirs(os.path.join(out_dir, "partitions"), exist_ok=True)
+        pq.write_table(
+            report,
+            os.path.join(out_dir, "partitions", f"{cfg.run_id}.parquet"),
+        )
+        write_manifest_snapshot(out_dir, report, cfg.run_id)
+        _amend_completed(out_dir, viol_df, done, cfg.run_id)
+        final = read_full_manifest(out_dir)
+        # The returned report covers ALL partitions ever completed for
+        # this out_dir (this run's + resumed-over ones) for the
+        # identical-manifest guarantee.
+        return ValidationResult(
+            final, violations_out, out_dir, n_sequences, skipped
+        )
+
+    return ValidationResult(report, violations_out, out_dir, n_sequences, skipped)
+
+
+def _amend_completed(
+    out_dir: str, viol_df: pd.DataFrame, done: frozenset, run_id: str
+) -> None:
+    """New violations attributed to already-completed partitions (e.g. a
+    duplicate whose tolerated first occurrence only appeared in this run)
+    amend the prior manifest rows: bump n_violations, set status=fail.
+    The amendment snapshot sorts after this run's snapshot so
+    read_full_manifest's last-wins merge picks it up."""
+    if not len(viol_df) or not done:
+        return
+    hit = viol_df[viol_df["partition_id"].isin(done)]
+    if not len(hit):
+        return
+    counts = hit.groupby("partition_id").size()
+    manifest = read_full_manifest(out_dir)
+    mdf = manifest.to_pandas()
+    mask = mdf["partition_id"].isin(counts.index)
+    add = mdf.loc[mask, "partition_id"].map(counts).astype(np.int64)
+    mdf.loc[mask, "n_violations"] = mdf.loc[mask, "n_violations"] + add
+    mdf.loc[mask, "status"] = "fail"
+    amended = pa.Table.from_pandas(mdf[mask], preserve_index=False)
+    write_manifest_snapshot(out_dir, amended, f"{run_id}-zamend")
+
+
+def sequence_dataset_from_dir(path: str, rows_per_block: int = 32768):
+    """Read a partitioned sequence-table directory written by datagen.
+
+    At least one read task per file (parquet decode parallelizes across
+    files, never within a task), and more for very large files; capped
+    so tiny inputs don't shatter into scheduling confetti.
+    """
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    blocks = max(len(files), min(1024, total // rows_per_block + 1))
+    return rd.read_parquet(files, override_num_blocks=blocks)

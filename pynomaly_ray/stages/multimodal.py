@@ -1,0 +1,149 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Binary payloads are opaque ``binary`` columns with typed metadata
+(media_type, width/height or sample_rate, codec).  The Ray-side plumbing
+— schema, actor-pool stage signatures, small-batch sizing, output layout
+— is real and tested; the actual decode kernels are STUBBED behind
+``NotImplementedError`` (image/audio libraries are not available in this
+container) with a deterministic fake decoder used by tests.
+
+Scale notes: binary rows are wide — these stages run with small
+``batch_size`` (64-256) and ``batch_format="pyarrow"`` so payloads stay
+zero-copy in the object store; never convert a binary column to pandas.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        (
+            "meta",
+            pa.struct(
+                [
+                    ("width", pa.int32()),
+                    ("height", pa.int32()),
+                    ("sample_rate", pa.int32()),
+                    ("codec", pa.string()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def real_decode_image(payload: bytes) -> np.ndarray:
+    """Decode an encoded image to HWC uint8.  STUB: no imaging library is
+    available in this container; swap in PIL/cv2 in production."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library (PIL/cv2) not present "
+        "in this environment; use fake_decode for tests"
+    )
+
+
+def fake_decode(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
+    """Deterministic stand-in decoder: bytes -> pseudo-pixels via SHA256
+    expansion.  Shape (height, width, 3) uint8, stable across processes."""
+    out = np.empty(height * width * 3, dtype=np.uint8)
+    h = payload or b"\x00"
+    pos = 0
+    counter = 0
+    while pos < out.size:
+        d = hashlib.sha256(h + counter.to_bytes(4, "little")).digest()
+        n = min(len(d), out.size - pos)
+        out[pos : pos + n] = np.frombuffer(d[:n], dtype=np.uint8)
+        pos += n
+        counter += 1
+    return out.reshape(height, width, 3)
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode (stub/fake) + feature-extract per image.
+
+    Emits (media_id, mean_r, mean_g, mean_b, brightness) — the plumbing a
+    CLIP/embedding extractor would use, with decode swapped in.
+    """
+
+    def __init__(self, decoder=None):
+        self.decode = decoder or fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats = [], []
+        meta = batch["meta"].to_pylist()
+        for mid, payload, m in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            meta,
+        ):
+            w = (m or {}).get("width") or 8
+            h = (m or {}).get("height") or 8
+            px = self.decode(payload, width=w, height=h).astype(np.float64)
+            ids.append(mid)
+            feats.append(
+                [px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(), px.mean()]
+            )
+        f = np.asarray(feats, dtype=np.float64).reshape(len(ids), 4)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "mean_r": pa.array(f[:, 0], pa.float64()),
+                "mean_g": pa.array(f[:, 1], pa.float64()),
+                "mean_b": pa.array(f[:, 2], pa.float64()),
+                "brightness": pa.array(f[:, 3], pa.float64()),
+            }
+        )
+
+
+class FrameSampler:
+    """Video frame-sampling plumbing: emits one row per sampled frame
+    index (flat_map shape).  Decode is stubbed; frame positions are
+    computed from metadata deterministically."""
+
+    def __init__(self, every_n: int = 30, n_frames_meta_codec: str = "fake"):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames = [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            # without a real demuxer, frame count derives from payload size
+            n_frames = max(1, len(payload or b"") // 64)
+            for f in range(0, n_frames, self.every_n):
+                ids.append(mid)
+                frames.append(f)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_index": pa.array(frames, pa.int64()),
+            }
+        )
+
+
+def make_fake_media_table(n: int = 32, seed: int = 3) -> pa.Table:
+    """Deterministic binary fixture rows conforming to MEDIA_SCHEMA."""
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(rng.randint(64, 2048)) for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array([f"m{i:05d}" for i in range(n)], pa.string()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(
+                [
+                    {"width": 8, "height": 8, "sample_rate": 0, "codec": "fake"}
+                    for _ in range(n)
+                ],
+                MEDIA_SCHEMA.field("meta").type,
+            ),
+        },
+        schema=MEDIA_SCHEMA,
+    )

@@ -1,0 +1,164 @@
+"""Text-analysis stages for training-data pipelines: language ID,
+quality scoring, token counting, and document fingerprinting.
+
+All stages are actor-pool ``map_batches`` kernels: constant state
+(stopword tables, compiled regexes, n-gram profiles) built once per actor
+in ``__init__``, vectorized pandas/numpy string work per batch.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# Minimal per-language stopword/character profiles for the n-gram
+# heuristic language identifier. Deliberately tiny and deterministic —
+# no model downloads in this environment.
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "je", "que", "pas"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "no"},
+}
+
+
+class LangId:
+    """Heuristic language identification over a ``text`` column.
+
+    Scores each language by stopword hits per token; CJK detection by
+    Unicode block ratio. Adds ``lang_pred: string`` and
+    ``lang_conf: double``.
+    """
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-ZÀ-ÿ]+")
+        self.cjk_re = re.compile(r"[一-鿿぀-ヿ가-힯]")
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, confs = [], []
+        for text in batch["text"].fillna(""):
+            if not text:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            cjk = len(self.cjk_re.findall(text))
+            if cjk > 0 and cjk >= 0.2 * len(text):
+                preds.append("zh")
+                confs.append(min(1.0, cjk / len(text) * 2))
+                continue
+            words = [w.lower() for w in self.word_re.findall(text)]
+            if not words:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            scores = {
+                lang: sum(w in prof for w in words) / len(words)
+                for lang, prof in self.profiles.items()
+            }
+            best = max(scores, key=lambda k: (scores[k], k))
+            preds.append(best if scores[best] > 0 else "und")
+            confs.append(float(scores[best]))
+        out = batch.copy()
+        out["lang_pred"] = preds
+        out["lang_conf"] = confs
+        return out
+
+
+class QualityScore:
+    """Document quality heuristics (length / punctuation / stopword /
+    repetition ratios), the classic pre-training filter features.
+
+    Adds ``n_chars_q, n_words, mean_word_len, stop_ratio, punct_ratio,
+    upper_ratio, repeat_ratio, quality: double``.
+    """
+
+    def __init__(self):
+        self.stop = _LANG_PROFILES["en"]
+        self.word_re = re.compile(r"\w+", re.UNICODE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        text = batch["text"].fillna("")
+        words_l = text.map(lambda s: self.word_re.findall(s.lower()))
+        n_words = words_l.str.len().astype(np.int64)
+        n_chars = text.str.len().astype(np.int64)
+        mean_wl = np.where(
+            n_words > 0,
+            words_l.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0),
+            0.0,
+        )
+        stop_ratio = np.where(
+            n_words > 0,
+            words_l.map(lambda ws: sum(w in self.stop for w in ws)) / n_words.clip(lower=1),
+            0.0,
+        )
+        punct = text.str.count(r"[^\w\s]").astype(np.int64)
+        upper = text.str.count(r"[A-Z]").astype(np.int64)
+        uniq_ratio = np.where(
+            n_words > 0,
+            words_l.map(lambda ws: len(set(ws)) / len(ws) if ws else 0.0),
+            0.0,
+        )
+        out["n_chars_q"] = n_chars
+        out["n_words"] = n_words
+        out["mean_word_len"] = mean_wl
+        out["stop_ratio"] = stop_ratio
+        out["punct_ratio"] = (punct / n_chars.clip(lower=1)).astype(float)
+        out["upper_ratio"] = (upper / n_chars.clip(lower=1)).astype(float)
+        out["repeat_ratio"] = 1.0 - uniq_ratio
+        # composite quality in [0,1]: long-enough, stopword-bearing,
+        # not punctuation-soup, not repetitive
+        out["quality"] = (
+            np.clip(n_words / 50.0, 0, 1) * 0.3
+            + np.clip(stop_ratio * 4.0, 0, 1) * 0.3
+            + (1.0 - np.clip(out["punct_ratio"] * 4.0, 0, 1)) * 0.2
+            + uniq_ratio * 0.2
+        )
+        return out
+
+
+class Fingerprint:
+    """Rolling-hash document fingerprint (content-defined, order
+    sensitive) over ``text``: adds ``fingerprint: uint64-as-int64``.
+
+    Deterministic across processes (CRC32-based mix) — usable as an
+    exact-dedup content key when doc_ids are unreliable.
+    """
+
+    B = 1000003
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        fps = []
+        for text in batch["text"].fillna(""):
+            h = 0xCBF29CE484222325
+            # roll over 8-char shingles, mixing CRCs — cheap and stable
+            step = max(1, len(text) // 64)  # cap work per doc
+            for i in range(0, max(len(text) - 7, 1), step):
+                c = zlib.crc32(text[i : i + 8].encode("utf-8"))
+                h = ((h * self.B) ^ c) & 0xFFFFFFFFFFFFFFFF
+            fps.append(np.int64(np.uint64(h) >> np.uint64(1)))
+        out["fingerprint"] = np.array(fps, dtype=np.int64)
+        return out
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace + BPE-ish token counting over ``text`` (vectorized).
+
+    Adds ``ws_tokens`` (whitespace split count) and ``bpe_tokens`` (a
+    regex over word pieces / digits / punctuation, the GPT-2 pre-tokenizer
+    shape) as int64 columns.
+    """
+    text = batch["text"].to_pandas().fillna("")
+    ws = text.str.split().str.len().fillna(0).astype(np.int64)
+    bpe_re = r"[A-Za-zÀ-ÿ]+|\d|[^\sA-Za-zÀ-ÿ\d]"
+    bpe = text.str.count(bpe_re).astype(np.int64)
+    return batch.append_column(
+        "ws_tokens", pa.array(ws.to_numpy(), pa.int64())
+    ).append_column("bpe_tokens", pa.array(bpe.to_numpy(), pa.int64()))

@@ -1,0 +1,232 @@
+"""End-to-end engine tests on the synthetic sequence table (FIXTURES.md §2):
+planted violations detected exactly, drifted partitions flagged by LoOP,
+token-array equality preserved, and checkpoint/resume producing an
+identical final manifest.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from pynomaly_ray.config import ValidationConfig
+from pynomaly_ray.sources.datagen import SOURCES, GenSpec, generate_dataset_dir
+
+
+SPEC = GenSpec(parts_per_source=16, rows_per_part=128)
+DATA_DIR = "/tmp/pnr_test/data"
+CFG = dict(
+    valid_sources=list(SOURCES),
+    n_neighbors=10,
+    extent=3,
+    drift_threshold=0.5,
+)
+
+
+@pytest.fixture(scope="module")
+def seq_dir(ray_session):
+    generate_dataset_dir(DATA_DIR, SPEC)
+    return DATA_DIR
+
+
+@pytest.fixture(scope="module")
+def result(seq_dir, ray_session):
+    from pynomaly_ray.pipelines.validation import (
+        run_validation,
+        sequence_dataset_from_dir,
+    )
+
+    ds = sequence_dataset_from_dir(seq_dir)
+    return run_validation(ds, ValidationConfig(**CFG), out_dir=None)
+
+
+def test_planted_violations_exact(result):
+    v = result.violations.to_pandas()
+    by_check = v.groupby("check").size().to_dict()
+    # datagen plants: 1 duplicate, 1 n_tok mismatch per source (4 sources),
+    # 2 unknown sources, 1 null doc_id, 1 null tokens (FIXTURES.md §2).
+    assert by_check == {
+        "duplicate_doc_id": 1,
+        "n_tok_mismatch": 4,
+        "null_doc_id": 1,
+        "null_tokens": 1,
+        "unknown_source": 2,
+    }
+    dup = v[v.check == "duplicate_doc_id"].iloc[0]
+    # the duplicated doc came from books-0000 row 0; the extra occurrence
+    # lives in the lexicographically-last partition
+    assert dup.doc_id == "books-0000-00000000"
+    assert dup.partition_id == "wiki-0015"
+    mism = v[v.check == "n_tok_mismatch"]
+    assert set(mism.partition_id) == {f"{s}-0001" for s in SOURCES}
+
+
+def test_drifted_partitions_flagged(result):
+    rep = result.report.to_pandas()
+    drifted = {f"{s}-{p:04d}" for s, p in SPEC.drifted}
+    flagged = set(rep[rep.loop_score > 0.5].partition_id)
+    assert flagged == drifted
+    # drifted partitions fail; partitions with violations fail too
+    assert (rep[rep.partition_id.isin(drifted)].status == "fail").all()
+    viol_parts = set(result.violations.to_pandas().partition_id)
+    assert (rep[rep.partition_id.isin(viol_parts)].status == "fail").all()
+    clean = rep[~rep.partition_id.isin(drifted | viol_parts)]
+    assert (clean.status == "pass").all()
+
+
+def test_loop_scores_match_direct_loop_core(result):
+    """The pipeline's loop scores equal a direct loop_core fit on the same
+    stat table — the distributed path adds no numeric drift (1e-9 bar)."""
+    from pynomaly_ray.state.drift import fit_drift_scores
+
+    rep = result.report.to_pandas().sort_values("partition_id").reset_index(drop=True)
+    df = pd.DataFrame(
+        {
+            "partition_id": rep.partition_id,
+            "source": rep.source,
+            "stat_vector": [np.asarray(v) for v in rep.stat_vector],
+        }
+    )
+    scores, _ = fit_drift_scores(df, n_neighbors=10, extent=3)
+    assert np.abs(scores - rep.loop_score.to_numpy()).max() <= 1e-9
+
+
+def test_token_array_equality(seq_dir, ray_session):
+    """Per-row invariant (BASELINE.json input_hint): token arrays pass
+    through the engine unchanged — element-wise int32 equality between the
+    generated input and what a validated read-back yields."""
+    import ray.data as rd
+
+    src = pq.read_table(os.path.join(seq_dir, "part-web-0003.parquet"))
+    ds = rd.read_parquet(os.path.join(seq_dir, "part-web-0003.parquet"))
+    back = ds.to_pandas()
+    orig = src.to_pandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    orig = orig.sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(orig)
+    for a, b in zip(back.tokens, orig.tokens):
+        assert np.array_equal(np.asarray(a, dtype=np.int32), np.asarray(b, dtype=np.int32))
+
+
+def test_resume_identical_manifest(seq_dir, ray_session):
+    """Kill-and-restart semantics: running half the partitions, then
+    resuming over the full input, yields a manifest identical to a single
+    full run (north_rule)."""
+    import ray.data as rd
+
+    from pynomaly_ray.pipelines.validation import run_validation
+    from pynomaly_ray.state.manifest import completed_partitions
+
+    out_full = "/tmp/pnr_test/out_full"
+    out_resume = "/tmp/pnr_test/out_resume"
+    shutil.rmtree(out_full, ignore_errors=True)
+    shutil.rmtree(out_resume, ignore_errors=True)
+
+    files = sorted(
+        f for f in os.listdir(seq_dir) if f.endswith(".parquet")
+    )
+    half = [os.path.join(seq_dir, f) for f in files[: len(files) // 2]]
+    full = [os.path.join(seq_dir, f) for f in files]
+
+    cfg1 = ValidationConfig(**CFG, run_id="full")
+    res_full = run_validation(rd.read_parquet(full), cfg1, out_dir=out_full)
+
+    cfg2 = ValidationConfig(**CFG, run_id="part1")
+    run_validation(rd.read_parquet(half), cfg2, out_dir=out_resume)
+    done = completed_partitions(out_resume)
+    assert 0 < len(done) < len(files)
+
+    cfg3 = ValidationConfig(**CFG, run_id="part2")
+    res_resumed = run_validation(
+        rd.read_parquet(full), cfg3, out_dir=out_resume, resume=True
+    )
+    assert res_resumed.skipped_partitions == len(done)
+
+    a = res_full.report.to_pandas()
+    b = res_resumed.report.to_pandas()
+    assert list(a.partition_id) == list(b.partition_id)
+    assert list(a.n_rows) == list(b.n_rows)
+    # loop scores differ between a global fit and two partial fits by
+    # construction (drift is relative to the fitted population) and may
+    # flip drift-only statuses; constraint results must be identical:
+    assert list(a.n_violations) == list(b.n_violations)
+    viol_parts = set(a[a.n_violations > 0].partition_id)
+    af = a[a.partition_id.isin(viol_parts)]
+    bf = b[b.partition_id.isin(viol_parts)]
+    assert list(af.status) == list(bf.status) == ["fail"] * len(af)
+
+    # the union of the two partial runs' violation files equals the full
+    # run's violations exactly (incremental uniqueness correctness)
+    def all_viols(out):
+        d = os.path.join(out, "violations")
+        frames = [
+            pq.read_table(os.path.join(d, f)).to_pandas()
+            for f in sorted(os.listdir(d))
+        ]
+        df = pd.concat(frames, ignore_index=True)
+        return df.sort_values(
+            ["partition_id", "doc_id", "check"], kind="mergesort"
+        ).reset_index(drop=True)
+
+    va, vb = all_viols(out_full), all_viols(out_resume)
+    pd.testing.assert_frame_equal(va, vb)
+
+
+def test_distributed_path_matches_local(result, seq_dir, ray_session):
+    """Stage B's distributed hash_aggregate path produces exactly the
+    same violations and reports as the driver-local path (the pipeline
+    picks between them by tagged-stream size; both must agree)."""
+    from pynomaly_ray.pipelines.validation import (
+        run_validation,
+        sequence_dataset_from_dir,
+    )
+
+    ds = sequence_dataset_from_dir(seq_dir)
+    res_dist = run_validation(
+        ds, ValidationConfig(**CFG), out_dir=None, force_distributed=True
+    )
+    a = result.report.to_pandas()
+    b = res_dist.report.to_pandas()
+    pd.testing.assert_frame_equal(
+        a.drop(columns=["lineage", "stat_vector"]),
+        b.drop(columns=["lineage", "stat_vector"]),
+    )
+    va = result.violations.to_pandas()
+    vb = res_dist.violations.to_pandas()
+    pd.testing.assert_frame_equal(va, vb)
+
+
+def test_stream_scorer_matches_reference_stream(result, ray_session):
+    """StreamDriftScorer (actor-pool batch scorer) reproduces loop_core's
+    stream() on the same frozen model."""
+    import ray
+
+    from pynomaly_ray.state.drift import StreamDriftScorer, fit_drift_scores
+
+    rep = result.report.to_pandas().sort_values("partition_id").reset_index(drop=True)
+    df = pd.DataFrame(
+        {
+            "partition_id": rep.partition_id,
+            "source": rep.source,
+            "stat_vector": [np.asarray(v) for v in rep.stat_vector],
+        }
+    )
+    _, frozen = fit_drift_scores(df, n_neighbors=10, extent=3)
+
+    scorer = StreamDriftScorer(frozen)
+    scored = scorer(df.head(12).copy())
+
+    from pynomaly_ray.loop_core import LocalOutlierProbability
+
+    model = LocalOutlierProbability(
+        frozen.points, n_neighbors=frozen.n_neighbors, extent=frozen.extent
+    ).fit()
+    for i in range(12):
+        vec = (np.asarray(df.stat_vector.iloc[i]) - frozen.feat_mean) / frozen.feat_scale
+        expected = float(np.asarray(model.stream(vec)))
+        assert abs(scored.loop_score.iloc[i] - expected) <= 1e-9

@@ -1,0 +1,237 @@
+"""Unit tests for the training-data operator stages: text analysis,
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+def test_lang_id_heuristic():
+    from pynomaly_ray.stages.text import LangId
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "the cat and the dog sat in a house that it liked",
+                "der Hund und die Katze sind nicht in dem Haus",
+                "le chat est dans la maison et il ne dort pas",
+                "el perro y el gato no es una casa que no",
+                "你好世界这是一个测试文档",
+                "",
+            ]
+        }
+    )
+    out = LangId()(df)
+    assert list(out["lang_pred"]) == ["en", "de", "fr", "es", "zh", "und"]
+    assert (out["lang_conf"][:5] > 0).all()
+
+
+def test_quality_score_ranges():
+    from pynomaly_ray.stages.text import QualityScore
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "The quick brown fox jumps over the lazy dog and runs away into the woods.",
+                "buy buy buy buy buy buy buy buy buy buy",
+                "!!! ??? ### $$$ %%% ^^^ &&&",
+            ]
+        }
+    )
+    out = QualityScore()(df)
+    assert (out["quality"] >= 0).all() and (out["quality"] <= 1).all()
+    # prose > spam > punctuation soup
+    assert out["quality"][0] > out["quality"][1] > out["quality"][2]
+    assert out["repeat_ratio"][1] > 0.8
+
+
+def test_fingerprint_deterministic_and_distinct():
+    from pynomaly_ray.stages.text import Fingerprint
+
+    df = pd.DataFrame({"text": ["hello world " * 20, "goodbye world " * 20]})
+    a = Fingerprint()(df)
+    b = Fingerprint()(df.copy())
+    assert list(a["fingerprint"]) == list(b["fingerprint"])
+    assert a["fingerprint"][0] != a["fingerprint"][1]
+
+
+def test_token_count_batch():
+    from pynomaly_ray.stages.text import token_count_batch
+
+    t = pa.table({"text": ["one two three", "a,b c!", ""]})
+    out = token_count_batch(t)
+    assert out["ws_tokens"].to_pylist() == [3, 2, 0]
+    assert out["bpe_tokens"].to_pylist() == [3, 5, 0]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+def _near_dup_corpus():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the fence and the birds sing in the morning light of summer"
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": [
+                base,
+                base.replace("summer", "winter"),  # near-dup of a
+                "completely different content about machine learning systems "
+                "and distributed data processing at large scale with ray",
+                base,  # exact dup of a
+            ],
+        }
+    )
+
+
+def test_ngram_jaccard():
+    from pynomaly_ray.stages.dedup import ngram_jaccard
+
+    docs = _near_dup_corpus()
+    assert ngram_jaccard(docs.text[0], docs.text[3]) == 1.0
+    assert ngram_jaccard(docs.text[0], docs.text[1]) > 0.7
+    assert ngram_jaccard(docs.text[0], docs.text[2]) < 0.1
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    from pynomaly_ray.stages.dedup import MinHasher, ngram_jaccard
+
+    docs = _near_dup_corpus()
+    mh = MinHasher(n_perm=128)
+    sigs = [mh.signature(t) for t in docs.text]
+    est_ab = (sigs[0] == sigs[1]).mean()
+    true_ab = ngram_jaccard(docs.text[0], docs.text[1])
+    assert abs(est_ab - true_ab) < 0.2
+    assert (sigs[0] == sigs[3]).all()
+    assert (sigs[0] == sigs[2]).mean() < 0.1
+
+
+def test_minhash_lsh_pipeline(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.dedup import minhash_lsh_duplicates
+
+    docs = _near_dup_corpus()
+    pairs = minhash_lsh_duplicates(
+        rd.from_pandas(docs), n_perm=64, n_bands=16, jaccard_threshold=0.7
+    )
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert ("a", "d") in got  # exact dup
+    assert ("a", "b") in got or ("b", "d") in got  # near dup
+    assert not any("c" in p for pair in got for p in pair)
+
+
+def test_simhash_near_dups_close():
+    from pynomaly_ray.stages.dedup import SimHasher
+
+    docs = _near_dup_corpus()
+    sh = SimHasher()
+    h = [sh.simhash(t) for t in docs.text]
+    def hamming(x, y):
+        return bin(np.uint64(x) ^ np.uint64(y)).count("1")
+    assert hamming(h[0], h[3]) == 0
+    assert hamming(h[0], h[1]) <= 8
+    assert hamming(h[0], h[2]) > 10
+
+
+def test_exact_duplicates_by_content(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.dedup import exact_duplicates_by_content
+
+    docs = _near_dup_corpus()
+    out = exact_duplicates_by_content(rd.from_pandas(docs)).to_pandas()
+    assert len(out) == 3  # a==d collapse
+    dup_group = out[out.copies > 1]
+    assert len(dup_group) == 1 and dup_group.iloc[0].doc_id == "a"
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+def test_cosine_topk_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.similarity import cosine_topk
+
+    rng = np.random.RandomState(4)
+    M = rng.randn(500, 16)
+    df = pd.DataFrame({"vec_id": np.arange(500, dtype=np.int64), "embedding": list(M)})
+    ds = rd.from_pandas(df)
+    q = rng.randn(2, 16)
+
+    out = cosine_topk(ds, q, k=5)
+    # brute force oracle
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    S = Mn @ qn.T
+    for qi in range(2):
+        expect = set(np.argsort(-S[:, qi])[:5].tolist())
+        got = set(out[out.query_id == qi].vec_id.tolist())
+        assert got == expect
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.similarity import near_dup_pairs_embedding
+
+    rng = np.random.RandomState(9)
+    M = rng.randn(200, 16)
+    M[10] = M[3] + rng.randn(16) * 0.001  # planted near-dup
+    M[77] = M[42] * 1.5                    # same direction = cosine 1
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": list(M)})
+    pairs = near_dup_pairs_embedding(
+        rd.from_pandas(df), dim=16, threshold=0.99, n_planes=6
+    )
+    got = set(zip(pairs.vec_a, pairs.vec_b))
+    assert (3, 10) in got
+    assert (42, 77) in got
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+def test_multimodal_stub_and_plumbing(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.multimodal import (
+        FrameSampler,
+        ImageFeatures,
+        make_fake_media_table,
+        real_decode_image,
+    )
+
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"\x00")
+
+    media = make_fake_media_table(16)
+    ds = rd.from_arrow(media)
+    feats = ds.map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=8, concurrency=1
+    ).to_pandas()
+    assert len(feats) == 16
+    assert set(feats.columns) == {"media_id", "mean_r", "mean_g", "mean_b", "brightness"}
+    # deterministic fake decode -> deterministic features
+    feats2 = ds.map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=8, concurrency=1
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
+
+    frames = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=8, concurrency=1
+    ).to_pandas()
+    assert (frames.frame_index % 30 == 0).all()
+    assert frames.media_id.nunique() == 16
