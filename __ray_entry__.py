@@ -70,11 +70,14 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
 
+    from pynomaly_ray.pipelines.engine_queries import ENGINE_QUERIES
+
     out: dict[str, Callable[[str], Any]] = {
         name: fn for name, (fn, _sql) in ORACLE_QUERIES.items()
     }
     # Engine-only pipelines (no SQL equivalent -> rows-only checks).
     out["validation_report"] = _validation_report
+    out.update(ENGINE_QUERIES)
     return out
 
 

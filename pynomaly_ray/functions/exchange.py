@@ -98,6 +98,68 @@ def hash_aggregate(
     return ray.data.from_arrow_refs(merged)
 
 
+def hash_join(
+    ds_left,
+    ds_right,
+    on: Sequence[str],
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    num_partitions: int = 16,
+    how: str = "inner",
+):
+    """Explicit partitioned hash join of two Datasets on ``on`` keys.
+
+    Both sides are split into the same key-hash buckets; one task per
+    bucket performs a vectorized ``pd.merge`` (optionally followed by
+    ``merge_fn``, e.g. a per-bucket partial aggregate so the join output
+    never materializes).  This is the both-sides-large path; for a small
+    side prefer a broadcast ``pc.is_in`` / dict lookup in map_batches.
+
+    Skew note: a hot join key lands in one bucket; raise
+    ``num_partitions`` and/or pre-aggregate the skewed side first (the
+    merge_fn hook exists precisely so the fat join output collapses
+    inside the bucket task).
+    """
+    keys = list(on)
+    left_refs = ds_left.to_arrow_refs()
+    right_refs = ds_right.to_arrow_refs()
+    p = num_partitions
+    ls = [
+        _split_block.options(num_returns=p if p > 1 else 1).remote(r, keys, p)
+        for r in left_refs
+    ]
+    rs = [
+        _split_block.options(num_returns=p if p > 1 else 1).remote(r, keys, p)
+        for r in right_refs
+    ]
+    if p == 1:
+        ls, rs = [[r] for r in ls], [[r] for r in rs]
+    else:
+        ls, rs = [list(r) for r in ls], [list(r) for r in rs]
+
+    @ray.remote
+    def _join_bucket(n_left: int, *pieces: pa.Table) -> pa.Table:
+        # empty piece tables still carry their schema, so the merge below
+        # yields correctly-typed (possibly zero-row) output per bucket
+        ldf = pa.concat_tables(pieces[:n_left]).to_pandas()
+        rdf = pa.concat_tables(pieces[n_left:]).to_pandas()
+        out = ldf.merge(rdf, on=keys, how=how)
+        if merge_fn is not None:
+            out = merge_fn(out)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    merged = [
+        _join_bucket.remote(
+            len(ls),
+            *[ls[i][b] for i in range(len(ls))],
+            *[rs[i][b] for i in range(len(rs))],
+        )
+        for b in range(p)
+    ]
+    return ray.data.from_arrow_refs(merged)
+
+
 def collect_sorted(ds_or_table, sort_cols, ascending=None) -> pd.DataFrame:
     """Materialize a SMALL result and sort it on the driver (replaces
     Dataset.sort for final presentation ordering — a full distributed

@@ -109,19 +109,31 @@ def _as_points(obj) -> np.ndarray:
     return np.array([obj])
 
 
+_GEMM_MIN_CELLS = 4_000_000  # chunk_rows * n_points above which BLAS wins
+
+
 def _pairwise_euclidean(chunk: np.ndarray, pts: np.ndarray) -> np.ndarray:
     """Dense Euclidean distances between ``chunk`` rows and all ``pts`` rows.
 
-    scipy.spatial.distance.cdist is unavailable here; this uses the
-    (a-b)^2 = a^2 - 2ab + b^2 expansion, then a sqrt, with a clip to keep
-    tiny negative round-off at zero.  For parity-critical cases the
-    fallback broadcast-subtract form (identical to reference
-    loop.py:672-676) is used when the feature count is small, because the
-    dot-product expansion rounds differently than sqrt(sum(diff^2)).
+    Small problems use the broadcast-subtract form (same arithmetic as the
+    reference's no-scipy fallback, loop.py:672-676).  Large problems use
+    the BLAS expansion ||a-b||^2 = ||a||^2 - 2ab + ||b||^2, which is
+    ~10-40x faster; its round-off is corrected two ways so degenerate
+    inputs keep reference semantics: negatives clip to zero, and squared
+    distances below eps * scale snap to exactly 0.0 (identical points
+    must yield exactly-zero distances for the all-equal guards,
+    loop.py:508-509,542-543).
     """
-    # Broadcast-subtract: exactly the reference fallback's arithmetic.
-    diff = chunk[:, None, :] - pts[None, :, :]
-    return np.sqrt(np.einsum("ijk,ijk->ij", diff, diff))
+    if chunk.shape[0] * pts.shape[0] < _GEMM_MIN_CELLS:
+        diff = chunk[:, None, :] - pts[None, :, :]
+        return np.sqrt(np.einsum("ijk,ijk->ij", diff, diff))
+    a2 = np.einsum("ij,ij->i", chunk, chunk)
+    b2 = np.einsum("ij,ij->i", pts, pts)
+    d2 = a2[:, None] - 2.0 * (chunk @ pts.T) + b2[None, :]
+    scale = a2[:, None] + b2[None, :]
+    np.clip(d2, 0.0, None, out=d2)
+    d2[d2 <= 1e-12 * scale] = 0.0
+    return np.sqrt(d2)
 
 
 class LocalOutlierProbability:

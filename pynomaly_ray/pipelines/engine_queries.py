@@ -1,0 +1,189 @@
+"""Engine-only query entries (no SQL equivalent -> rows-only driver
+checks): LoOP scoring, near-dup families, text analysis, multimodal.
+
+Each callable takes ``sf_dir`` and returns a small deterministic result
+over the driver's testdata tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from pynomaly_ray.pipelines.queries import _pq, collect_sorted
+
+
+def q_loop_embeddings(sf_dir: str):
+    """LoOP outlier scores over the embeddings table: the reference's
+    core capability exposed as a query (vec_id, loop score scaled 1e6).
+    Non-SQL-expressible (iterative kNN + erf normalization)."""
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.loop_core import LocalOutlierProbability
+
+    t = papq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(vec_ids, kind="stable")
+    vec_ids, M = vec_ids[order], M[order]
+    model = LocalOutlierProbability(M, n_neighbors=10, extent=3).fit()
+    scores = np.asarray(model.local_outlier_probabilities, dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "vec_id": vec_ids,
+            "loop_e6": np.floor(scores * 1_000_000 + 0.5).astype(np.int64),
+        }
+    )
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs over documents (doc_a, doc_b,
+    jaccard scaled 1e3)."""
+    from pynomaly_ray.stages.dedup import minhash_lsh_duplicates
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.compute.cast(t["doc_id"], pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = minhash_lsh_duplicates(
+        docs, n_perm=64, n_bands=16, jaccard_threshold=0.5
+    )
+    if len(pairs):
+        pairs["jaccard_e3"] = np.floor(
+            pairs.pop("jaccard") * 1000 + 0.5
+        ).astype(np.int64)
+    else:
+        pairs = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_e3": []})
+    return pairs
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    """SimHash + rolling-hash fingerprints per document (deterministic)."""
+    from pynomaly_ray.stages.dedup import SimHasher
+    from pynomaly_ray.stages.text import Fingerprint
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(
+        SimHasher, batch_format="pandas", concurrency=(1, 4)
+    ).map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 4))
+    df = out.to_pandas()[["doc_id", "simhash", "fingerprint"]]
+    return collect_sorted(df, ["doc_id"])
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language-ID accuracy per true lang (n_docs, n_match)."""
+    from pynomaly_ray.stages.text import LangId
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+
+    def agg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["match"] = (df["lang_pred"] == df["lang"]).astype(np.int64)
+        g = (
+            df.groupby("lang", sort=False)
+            .agg(n_docs=("match", "size"), n_match=("match", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    merged = hash_aggregate(
+        pred.map_batches(agg, batch_format="pyarrow"),
+        ["lang"],
+        lambda df: df.groupby("lang", sort=False).sum().reset_index(),
+        1,
+    )
+    return collect_sorted(merged, ["lang"])
+
+
+def q_quality_scores(sf_dir: str):
+    """Per-source text-quality aggregates (counts of low-quality docs)."""
+    from pynomaly_ray.stages.text import QualityScore
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    scored = docs.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 4))
+
+    def agg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["low_q"] = (df["quality"] < 0.5).astype(np.int64)
+        g = (
+            df.groupby("source", sort=False)
+            .agg(n_docs=("low_q", "size"), n_low_quality=("low_q", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    merged = hash_aggregate(
+        scored.map_batches(agg, batch_format="pyarrow"),
+        ["source"],
+        lambda df: df.groupby("source", sort=False).sum().reset_index(),
+        1,
+    )
+    return collect_sorted(merged, ["source"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH."""
+    from pynomaly_ray.stages.similarity import near_dup_pairs_embedding
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    import pyarrow.parquet as papq
+
+    dim = len(
+        papq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )["embedding"][0]
+    )
+    pairs = near_dup_pairs_embedding(ds, dim=dim, threshold=0.95, n_planes=6)
+    if len(pairs):
+        pairs["cosine_e6"] = np.floor(
+            pairs.pop("cosine") * 1_000_000 + 0.5
+        ).astype(np.int64)
+    else:
+        pairs = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_e6": []})
+    return pairs
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal plumbing: deterministic fake media table -> actor-pool
+    decode + feature extraction (decode itself is stubbed; see
+    stages/multimodal.py)."""
+    from pynomaly_ray.stages.multimodal import ImageFeatures, make_fake_media_table
+
+    ds = rd.from_arrow(make_fake_media_table(64))
+    feats = ds.map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 2)
+    ).to_pandas()
+    for c in ["mean_r", "mean_g", "mean_b", "brightness"]:
+        feats[c] = np.floor(feats[c] * 1000 + 0.5).astype(np.int64)
+    return collect_sorted(feats, ["media_id"])
+
+
+ENGINE_QUERIES = {
+    "loop_embeddings": q_loop_embeddings,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "embedding_neardup": q_embedding_neardup,
+    "image_features": q_image_features,
+}

@@ -493,3 +493,176 @@ ORACLE_QUERIES = {
     "hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
 }
+
+
+# ---------------------------------------------------------------------------
+# Q: segment_revenue — broadcast hash join: orders x customer (small side
+# shipped once via ray.put-style closure capture), grouped revenue.
+# ---------------------------------------------------------------------------
+def q_segment_revenue(sf_dir: str):
+    import pyarrow.parquet as papq
+
+    cust = papq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_of = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg_of)
+        df["total_cents"] = _cents(df["o_totalprice"].to_numpy())
+        g = (
+            df.groupby("c_mktsegment", sort=False)
+            .agg(n_orders=("total_cents", "size"), sum_total_cents=("total_cents", "sum"))
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", sort=False).sum().reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = hash_aggregate(partials, ["c_mktsegment"], merge, 2)
+    return collect_sorted(out, ["c_mktsegment"])
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: priority_lines — both-sides-large partitioned hash join
+# (lineitem x orders via functions/exchange.hash_join), aggregated
+# inside each join bucket so the fat join output never materializes.
+# ---------------------------------------------------------------------------
+def q_priority_lines(sf_dir: str):
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def hot_lines(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_quantity"], 45.0))
+
+    li = li.map_batches(hot_lines, batch_format="pyarrow")
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    from pynomaly_ray.functions.exchange import hash_join
+
+    def bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("o_orderpriority", sort=False)
+            .agg(n_lines=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+            .reset_index()
+        )
+
+    joined = hash_join(li, orders, ["l_orderkey"], merge_fn=bucket_agg, num_partitions=8)
+
+    def final_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", sort=False).sum().reset_index()
+
+    out = hash_aggregate(joined, ["o_orderpriority"], final_merge, 1)
+    return collect_sorted(out, ["o_orderpriority"])
+
+
+SQL_PRIORITY_LINES = """
+SELECT o_orderpriority, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity > 45
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: distinct_users — exact COUNT(DISTINCT) per group: two-level hash
+# aggregation (dedup (event_type, user_id), then count).
+# ---------------------------------------------------------------------------
+def q_distinct_users(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(["event_type", "user_id"])
+        return _from_pandas(df)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        return (
+            d.groupby("event_type", sort=False)["user_id"]
+            .nunique()
+            .reset_index(name="n_users")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    # bucket by event_type so each reducer holds full distinct sets per key
+    out = hash_aggregate(partials, ["event_type"], merge, 2)
+    return collect_sorted(out, ["event_type"])
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: user_sessions — sessionization (streaming-shaped): per user, events
+# sorted by time; gaps > 30 min start a new session.  Key-co-located
+# per-bucket vectorized pandas; oracle via SQL window functions.
+# ---------------------------------------------------------------------------
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_user_sessions(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[0], us[1:] - us[:-1]])
+        starts = new_user | (gap > _SESSION_GAP_US)
+        out = pd.DataFrame({"user_id": uid, "is_start": starts.astype(np.int64)})
+        return (
+            out.groupby("user_id", sort=False)["is_start"]
+            .sum()
+            .reset_index(name="n_sessions")
+        )
+
+    out = hash_aggregate(ds, ["user_id"], sessions, 8)
+    return collect_sorted(out, ["user_id"])
+
+
+SQL_USER_SESSIONS = """
+SELECT user_id, SUM(is_start) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                      > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+) GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+        "priority_lines": (q_priority_lines, SQL_PRIORITY_LINES),
+        "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+        "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    }
+)

@@ -1,0 +1,130 @@
+"""Query-suite tests: every oracle-checked pipeline is compared against
+its DuckDB oracle at sf0.001 inside the test session (the same check the
+driver performs at sf0.01), plus exchange-primitive unit tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+def _oracle_names():
+    from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
+
+    return sorted(ORACLE_QUERIES)
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(name, duck, ray_session):
+    from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
+
+    fn, sql = ORACLE_QUERIES[name]
+    ray_df = _to_df(fn(SF))
+    sql_df = duck.execute(sql).fetchdf()
+    assert sorted(ray_df.columns) == sorted(sql_df.columns)
+    assert len(ray_df) == len(sql_df)
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert np.allclose(
+                av.astype(float), bv.astype(float), rtol=0, atol=0
+            ), f"{name}.{c}"
+        else:
+            assert (av == bv).all(), f"{name}.{c}"
+
+
+def test_engine_queries_run(ray_session):
+    """Rows-only entries produce non-degenerate, deterministic output."""
+    from pynomaly_ray.pipelines.engine_queries import ENGINE_QUERIES
+
+    for name in ["loop_embeddings", "lang_id", "image_features"]:
+        df1 = _to_df(ENGINE_QUERIES[name](SF))
+        df2 = _to_df(ENGINE_QUERIES[name](SF))
+        assert len(df1) > 0, name
+        pd.testing.assert_frame_equal(
+            df1.reset_index(drop=True), df2.reset_index(drop=True)
+        )
+
+
+def test_lang_id_query_shape(ray_session):
+    """The testdata corpus's text is synthetic English-ish tokens
+    regardless of its lang label, so accuracy vs the label is not
+    meaningful here (real accuracy is asserted on a curated corpus in
+    test_stages.py); this checks the aggregation covers every label."""
+    from pynomaly_ray.pipelines.engine_queries import q_lang_id
+
+    df = _to_df(q_lang_id(SF))
+    assert set(df.lang) == {"de", "en", "es", "fr", "zh"}
+    assert (df.n_docs > 0).all()
+    assert (df.n_match <= df.n_docs).all()
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import hash_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 50, 500), "x": rng.randn(500)}
+    )
+    right = pd.DataFrame({"k": np.arange(40), "y": np.arange(40) * 10})
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), ["k"], num_partitions=4
+    ).to_pandas()
+    expect = left.merge(right, on=["k"], how="inner")
+    assert len(out) == len(expect)
+    assert out["x"].sum() == pytest.approx(expect["x"].sum())
+    assert int(out["y"].sum()) == int(expect["y"].sum())
+
+
+def test_cli_end_to_end(ray_session, tmp_path):
+    from pynomaly_ray.cli import main
+
+    data = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    assert main(["gen", "--out", data, "--parts", "4", "--rows", "48"]) == 0
+    rc = main(
+        [
+            "validate", "--input", data, "--out", out,
+            "--sources", "web,books,code,wiki", "--n-neighbors", "5",
+        ]
+    )
+    assert rc == 1  # planted violations -> failures -> nonzero exit
+    import os
+
+    assert os.path.exists(os.path.join(out, "manifest"))
