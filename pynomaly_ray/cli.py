@@ -57,8 +57,17 @@ def cmd_validate(args) -> int:
         cfg,
         out_dir=args.out,
         resume=not args.no_resume,
-        collect_violations=False,
+        collect_violations=args.write_validated,
     )
+    if args.write_validated and args.out:
+        from pynomaly_ray.pipelines.validation import write_validated_output
+
+        write_validated_output(
+            sequence_dataset_from_dir(args.input),
+            res.violations.to_pandas(),
+            args.out,
+            cfg.run_id,
+        )
     rep = res.report.to_pandas()
     summary = {
         "partitions": int(len(rep)),
@@ -102,6 +111,11 @@ def main(argv=None) -> int:
     v.add_argument("--cluster-by-source", action="store_true")
     v.add_argument("--run-id", default="r0")
     v.add_argument("--no-resume", action="store_true")
+    v.add_argument(
+        "--write-validated",
+        action="store_true",
+        help="also write violation-free rows as partitioned parquet",
+    )
     v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
 

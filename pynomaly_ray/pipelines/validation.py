@@ -451,6 +451,42 @@ def _amend_completed(
     write_manifest_snapshot(out_dir, amended, f"{run_id}-zamend")
 
 
+def write_validated_output(
+    ds, viol_df: pd.DataFrame, out_dir: str, run_id: str = "r0"
+) -> str:
+    """Write the validated (violation-free) sequence rows as partitioned
+    Parquet — the engine's data sink, preserving per-row token arrays
+    exactly (a pure filter; BASELINE.json's token-array-equality
+    invariant).
+
+    Layout: ``out_dir/validated/<run_id>/partition_id=<pid>/*.parquet``
+    (one directory per partition -> a failed run skips finished
+    partitions on retry; never one giant file).  Requires a second scan
+    of the input: validation-only runs scan once, check+write runs scan
+    twice with the violating doc_id set broadcast into the filter.
+    """
+    bad_ids = (
+        pa.array(sorted(set(viol_df["doc_id"].dropna())), pa.string())
+        if len(viol_df)
+        else pa.array([], pa.string())
+    )
+
+    def keep_valid(t: pa.Table) -> pa.Table:
+        ok = pc.invert(
+            pc.fill_null(pc.is_in(t["doc_id"], value_set=bad_ids), True)
+        )
+        # null doc_id rows can't be matched by id; drop null ids directly
+        ok = pc.and_(ok, pc.is_valid(t["doc_id"]))
+        ok = pc.and_(ok, pc.is_valid(t["tokens"]))
+        return t.filter(ok)
+
+    dest = os.path.join(out_dir, "validated", run_id)
+    ds.map_batches(keep_valid, batch_format="pyarrow").write_parquet(
+        dest, partition_cols=["partition_id"]
+    )
+    return dest
+
+
 def sequence_dataset_from_dir(path: str, rows_per_block: int = 32768):
     """Read a partitioned sequence-table directory written by datagen.
 

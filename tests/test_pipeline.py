@@ -201,6 +201,61 @@ def test_distributed_path_matches_local(result, seq_dir, ray_session):
     pd.testing.assert_frame_equal(va, vb)
 
 
+def test_validated_output_token_equality(result, seq_dir, ray_session, tmp_path):
+    """The validated-output sink excludes exactly the violating rows and
+    preserves every surviving token array bit-for-bit (the per-row
+    invariant of BASELINE.json input_hint), in a partitioned resumable
+    layout."""
+    import ray.data as rd
+
+    from pynomaly_ray.pipelines.validation import (
+        sequence_dataset_from_dir,
+        write_validated_output,
+    )
+
+    out = str(tmp_path / "out")
+    viol_df = result.violations.to_pandas()
+    ds = sequence_dataset_from_dir(seq_dir)
+    dest = write_validated_output(ds, viol_df, out, "r1")
+
+    import os
+
+    part_dirs = sorted(os.listdir(dest))
+    assert any(d.startswith("partition_id=") for d in part_dirs)
+
+    import pyarrow.dataset as pads
+
+    back = (
+        pads.dataset(dest, partitioning="hive")
+        .to_table()
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    orig_files = [
+        os.path.join(seq_dir, f)
+        for f in sorted(os.listdir(seq_dir))
+        if f.endswith(".parquet")
+    ]
+    orig = (
+        pq.ParquetDataset(orig_files).read().to_pandas().sort_values("doc_id")
+    )
+    bad_ids = set(viol_df["doc_id"].dropna())
+    expected = orig[
+        orig["doc_id"].notna()
+        & orig["tokens"].notna()
+        & ~orig["doc_id"].isin(bad_ids)
+    ]
+    assert len(back) == len(expected)
+    merged = back.merge(
+        expected[["doc_id", "tokens"]], on="doc_id", suffixes=("", "_in")
+    )
+    assert len(merged) == len(back)
+    for a, b in zip(merged["tokens"], merged["tokens_in"]):
+        assert np.array_equal(
+            np.asarray(a, dtype=np.int32), np.asarray(b, dtype=np.int32)
+        )
+
+
 def test_stream_scorer_matches_reference_stream(result, ray_session):
     """StreamDriftScorer (actor-pool batch scorer) reproduces loop_core's
     stream() on the same frozen model."""
