@@ -58,6 +58,7 @@ def cmd_validate(args) -> int:
         out_dir=args.out,
         resume=not args.no_resume,
         collect_violations=args.write_validated,
+        frozen_model=args.model,
     )
     if args.write_validated and args.out:
         from pynomaly_ray.pipelines.validation import write_validated_output
@@ -111,6 +112,11 @@ def main(argv=None) -> int:
     v.add_argument("--cluster-by-source", action="store_true")
     v.add_argument("--run-id", default="r0")
     v.add_argument("--no-resume", action="store_true")
+    v.add_argument(
+        "--model",
+        default=None,
+        help="frozen LoOP model (.npz) for incremental scoring instead of a refit",
+    )
     v.add_argument(
         "--write-validated",
         action="store_true",

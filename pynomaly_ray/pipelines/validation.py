@@ -75,7 +75,12 @@ _VIOL_COLS = ["doc_id", "partition_id", "check", "detail"]
 
 @dataclass
 class ValidationResult:
-    report: pa.Table  # per-partition records (PARTITION_REPORT_SCHEMA)
+    # Per-partition records.  Without ``out_dir``: full
+    # PARTITION_REPORT_SCHEMA (incl. stat_vector + lineage).  With
+    # ``out_dir``: the merged manifest covering ALL runs ever completed
+    # there (partition_id, source, n_rows, n_violations, loop_score,
+    # status) — full records live in ``out_dir/partitions/<run>.parquet``.
+    report: pa.Table
     violations: Optional[pa.Table]
     out_dir: Optional[str]
     n_sequences: int
@@ -250,6 +255,7 @@ def run_validation(
     resume: bool = True,
     collect_violations: bool = True,
     force_distributed: bool = False,
+    frozen_model=None,
 ) -> ValidationResult:
     """Run the full validation pipeline over a sequence Dataset.
 
@@ -344,16 +350,35 @@ def run_validation(
         )
 
     stats_df["stat_vector"] = stats_df.apply(finalize_stat_vector, axis=1)
-    import warnings as _warnings
+    if frozen_model is not None:
+        # Incremental mode (the reference's stream(), loop.py:993-1046,
+        # at engine scale): score new partitions against a frozen fit —
+        # no refit, fitted stats stay untouched (README.md:485-489).
+        from pynomaly_ray.state.drift import StreamDriftScorer, load_frozen_model
 
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("ignore", UserWarning)
-        scores, frozen = fit_drift_scores(
-            stats_df,
-            n_neighbors=cfg.n_neighbors,
-            extent=cfg.extent,
-            cluster_by_source=cfg.cluster_by_source,
+        if isinstance(frozen_model, str):
+            frozen_model = load_frozen_model(frozen_model)
+        scored = StreamDriftScorer(frozen_model)(
+            stats_df[["partition_id", "stat_vector"]].copy()
         )
+        scores, frozen = scored["loop_score"].to_numpy(), frozen_model
+    else:
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore", UserWarning)
+            scores, frozen = fit_drift_scores(
+                stats_df,
+                n_neighbors=cfg.n_neighbors,
+                extent=cfg.extent,
+                cluster_by_source=cfg.cluster_by_source,
+            )
+        if out_dir:
+            from pynomaly_ray.state.drift import save_frozen_model
+
+            save_frozen_model(
+                frozen, os.path.join(out_dir, "model", f"{cfg.run_id}.npz")
+            )
     _mark("stage_c")
     stats_df["loop_score"] = scores
     stats_df["n_violations"] = (

@@ -159,11 +159,26 @@ def generate_dataset_dir(
     if os.path.exists(marker) and not force:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    keys = [
+        (source, p)
+        for source in spec.sources
+        for p in range(spec.parts_per_source)
+    ]
     tables: dict[str, pa.Table] = {}
-    for source in spec.sources:
-        for p in range(spec.parts_per_source):
-            t = generate_partition(source, p, spec)
-            tables[f"{source}-{p:04d}"] = t
+    try:  # parallel generation when a Ray session exists (partitions are
+        # independently seeded, so results are identical either way)
+        import ray
+
+        if ray.is_initialized():
+            gen = ray.remote(generate_partition)
+            refs = [gen.remote(s, p, spec) for s, p in keys]
+            for (s, p), t in zip(keys, ray.get(refs)):
+                tables[f"{s}-{p:04d}"] = t
+    except ImportError:
+        pass
+    if not tables:
+        for s, p in keys:
+            tables[f"{s}-{p:04d}"] = generate_partition(s, p, spec)
     if spec.plant_violations:
         plant_violations(tables, spec)
     for key, t in tables.items():

@@ -22,6 +22,8 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
+import ray
+
 from pynomaly_ray.loop_core import LocalOutlierProbability
 
 
@@ -95,6 +97,86 @@ def fit_drift_scores(
         extent=model.extent,
     )
     return scores, frozen
+
+
+def save_frozen_model(model: FrozenLoopModel, path: str) -> str:
+    """Persist the frozen fit (npz) so incremental runs resume scoring
+    without a refit — the engine analogue of keeping the reference's
+    fitted attributes alive across stream() calls."""
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    np.savez_compressed(
+        tmp if tmp.endswith(".npz") else tmp,
+        points=model.points,
+        feat_mean=model.feat_mean,
+        feat_scale=model.feat_scale,
+        scalars=np.array(
+            [
+                model.prob_distances_ev_mean,
+                model.norm_plof,
+                float(model.n_neighbors),
+                float(model.extent),
+            ]
+        ),
+    )
+    # numpy appends .npz to the tmp name
+    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(actual_tmp, path)
+    return path
+
+
+def load_frozen_model(path: str) -> FrozenLoopModel:
+    with np.load(path) as z:
+        s = z["scalars"]
+        return FrozenLoopModel(
+            points=z["points"],
+            feat_mean=z["feat_mean"],
+            feat_scale=z["feat_scale"],
+            prob_distances_ev_mean=float(s[0]),
+            norm_plof=float(s[1]),
+            n_neighbors=int(s[2]),
+            extent=int(s[3]),
+        )
+
+
+@ray.remote
+class LoopFitActor:
+    """Named actor holding the LoOP fit (SURVEY.md §2.3 T1): the
+    partition-stat table is tiny by design, so the exact fit runs in one
+    place; the frozen model is then broadcast to the scorer pool."""
+
+    def fit(
+        self,
+        stats_df: pd.DataFrame,
+        n_neighbors: int,
+        extent: int,
+        cluster_by_source: bool,
+    ):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            return fit_drift_scores(
+                stats_df,
+                n_neighbors=n_neighbors,
+                extent=extent,
+                cluster_by_source=cluster_by_source,
+            )
+
+
+def score_new_partitions(stats_ds, frozen: FrozenLoopModel, concurrency=(1, 4)):
+    """Incremental validation (the reference's stream() at engine scale):
+    score NEW partition-stat rows against a frozen fit via an actor-pool
+    map_batches stage; the model ships once per actor via ray.put."""
+    model_ref = ray.put(frozen)
+    return stats_ds.map_batches(
+        StreamDriftScorer,
+        fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
 
 
 class StreamDriftScorer:
