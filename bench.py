@@ -72,11 +72,31 @@ def run_headline(sf_name: str) -> dict:
         )
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
+    import pyarrow.parquet as papq
+
+    n_tokens = sum(
+        papq.read_metadata(os.path.join(data_dir, f)).num_rows
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )  # rows; token count comes from the report's stat totals below
+    tok_total = None
+    try:
+        rep = res.report.to_pandas()
+        tok_total = int(
+            sum(
+                float(v[0]) * int(n)
+                for v, n in zip(rep["stat_vector"], rep["n_rows"])
+            )
+        )  # mean_n_tok * n_rows per partition
+    except Exception:
+        pass
     return {
         "seconds": wall,
         "seconds_all": [round(w, 3) for w in walls],
         "sequences": res.n_sequences,
         "sequences_per_sec": res.n_sequences / wall,
+        "tokens": tok_total,
+        "tokens_per_sec": round(tok_total / wall) if tok_total else None,
         "partitions": res.report.num_rows,
     }
 
@@ -127,6 +147,8 @@ def single_run() -> dict:
         "unit": "sec",
         "sequences": headline["sequences"],
         "sequences_per_sec": round(headline["sequences_per_sec"], 1),
+        "tokens": headline.get("tokens"),
+        "tokens_per_sec": headline.get("tokens_per_sec"),
         "partitions": headline["partitions"],
         "queries": queries,
         "sf": sf_name,

@@ -178,7 +178,37 @@ def q_image_features(sf_dir: str):
     return collect_sorted(feats, ["media_id"])
 
 
+def q_loop_distributed(sf_dir: str):
+    """Distributed LoOP over embeddings: hyperplane-LSH buckets as
+    cluster labels, one exact per-bucket fit per Ray task — the scale
+    path for LoOP over row counts the reference cannot hold in RAM."""
+    from pynomaly_ray.stages.loop_distributed import distributed_loop_scores
+    from pynomaly_ray.stages.similarity import HyperplaneLSH
+
+    import pyarrow.parquet as papq
+
+    dim = len(
+        papq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )["embedding"][0]
+    )
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    scored = distributed_loop_scores(
+        ds,
+        bucketer=HyperplaneLSH(dim=dim, n_planes=3),
+        n_neighbors=10,
+        extent=3,
+        num_buckets=8,
+    )
+    df = scored.to_pandas()
+    df["loop_e6"] = np.floor(df.pop("loop_score") * 1_000_000 + 0.5).astype(
+        np.int64
+    )
+    return collect_sorted(df, ["vec_id"])
+
+
 ENGINE_QUERIES = {
+    "loop_distributed": q_loop_distributed,
     "loop_embeddings": q_loop_embeddings,
     "minhash_dedup": q_minhash_dedup,
     "simhash_fingerprints": q_simhash_fingerprints,

@@ -74,11 +74,8 @@ def partial_stats_batch(
 
     # first source value seen per partition (constant within a partition)
     first_idx = np.full(n_parts, -1, dtype=np.int64)
-    seen = np.zeros(n_parts, dtype=bool)
-    order = np.arange(len(codes))
-    # take first occurrence of each code
-    rev = np.unique(codes, return_index=True)
-    first_idx[rev[0]] = rev[1]
+    uniq_codes, first_pos = np.unique(codes, return_index=True)
+    first_idx[uniq_codes] = first_pos
     src_vals = source[first_idx]
 
     return pa.table(
@@ -114,27 +111,6 @@ def merge_partials_df(df: pd.DataFrame) -> pd.DataFrame:
     out["tok_hist"] = g["tok_hist"].apply(_vsum)
     out["len_hist"] = g["len_hist"].apply(_vsum)
     return out.reset_index()
-
-
-def merge_partials_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Reduce all partial rows of one partition to a single merged row.
-
-    Runs inside ``groupby("partition_id").map_groups`` — pure vector adds.
-    """
-    tok = np.sum(np.stack(group["tok_hist"].to_numpy()), axis=0)
-    lh = np.sum(np.stack(group["len_hist"].to_numpy()), axis=0)
-    return pd.DataFrame(
-        {
-            "partition_id": [group["partition_id"].iloc[0]],
-            "source": [group["source"].iloc[0]],
-            "n_rows": [int(group["n_rows"].sum())],
-            "n_tok_sum": [float(group["n_tok_sum"].sum())],
-            "n_tok_sum2": [float(group["n_tok_sum2"].sum())],
-            "n_tok_sum3": [float(group["n_tok_sum3"].sum())],
-            "tok_hist": [tok],
-            "len_hist": [lh],
-        }
-    )
 
 
 def _hist_quantile(hist: np.ndarray, q: float) -> float:

@@ -238,3 +238,80 @@ def test_loop_permutation_invariance(n, f, data_seed, seed):
             dtype=float,
         )
     np.testing.assert_allclose(s1[perm], s2, atol=1e-9)
+
+
+def test_distributed_loop_exactly_matches_clustered_loop_core(ray_session):
+    """distributed_loop_scores with hash buckets == loop_core fit with
+    cluster_labels = those buckets, to the last bit (per-cluster
+    independence of every LoOP statistic; SURVEY.md §2.3 T1 inversion)."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import _bucket_of
+    from pynomaly_ray.loop_core import LocalOutlierProbability
+    from pynomaly_ray.stages.loop_distributed import distributed_loop_scores
+
+    rng = np.random.RandomState(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.randn(n, 8)),
+        }
+    )
+    num_buckets = 4
+    scored = (
+        distributed_loop_scores(
+            rd.from_pandas(df),
+            n_neighbors=8,
+            extent=2,
+            num_buckets=num_buckets,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # oracle: one loop_core fit with cluster_labels = the same buckets
+    tbl = pa.table({"vec_id": pa.array(df.vec_id.to_numpy())})
+    buckets = _bucket_of(tbl, ["vec_id"], num_buckets)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        model = LocalOutlierProbability(
+            np.stack(df.embedding.to_numpy()),
+            n_neighbors=8,
+            extent=2,
+            cluster_labels=buckets.tolist(),
+        ).fit()
+    expect = np.asarray(model.local_outlier_probabilities, dtype=float)
+    assert np.abs(scored.loop_score.to_numpy() - expect).max() == 0.0
+
+
+def test_distributed_loop_lsh_flags_outliers(ray_session):
+    """With locality buckets (hyperplane LSH), planted far-out vectors
+    still surface as the top LoOP scores."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.loop_distributed import distributed_loop_scores
+    from pynomaly_ray.stages.similarity import HyperplaneLSH
+
+    rng = np.random.RandomState(13)
+    n = 400
+    M = rng.randn(n, 8) * 0.3
+    M[7] = 6.0 + rng.randn(8) * 0.1    # planted outliers
+    M[123] = -6.0 + rng.randn(8) * 0.1
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(M)})
+    scored = (
+        distributed_loop_scores(
+            rd.from_pandas(df),
+            bucketer=HyperplaneLSH(dim=8, n_planes=2),
+            n_neighbors=10,
+            extent=3,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("loop_score", ascending=False)
+    )
+    top = set(scored.head(2).vec_id)
+    assert top == {7, 123}
