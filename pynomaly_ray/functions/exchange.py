@@ -160,6 +160,82 @@ def hash_join(
     return ray.data.from_arrow_refs(merged)
 
 
+def asof_join(
+    ds_left,
+    ds_right,
+    by: str,
+    left_on: str,
+    right_on: str,
+    num_partitions: int = 8,
+):
+    """Distributed as-of join: for each left row, the latest right row of
+    the same ``by`` key with ``right_on <= left_on`` (backward, exact
+    matches allowed — DuckDB ``ASOF JOIN`` semantics, inner).
+
+    Both sides hash-partition on ``by``; each bucket sorts its slices by
+    time and runs ``pd.merge_asof`` (the guide's range-join pattern).
+    Rows with no earlier match are dropped (inner).  Tie caution: when a
+    key has several right rows at the SAME ``right_on`` value, which one
+    wins is engine-defined in every system — project only tie-invariant
+    right columns (e.g. the time itself) if results must be comparable.
+    """
+    keys = [by]
+    ls = [
+        _split_block.options(num_returns=num_partitions).remote(r, keys, num_partitions)
+        for r in ds_left.to_arrow_refs()
+    ]
+    rs = [
+        _split_block.options(num_returns=num_partitions).remote(r, keys, num_partitions)
+        for r in ds_right.to_arrow_refs()
+    ]
+    ls = [list(r) for r in ls] if num_partitions > 1 else [[r] for r in ls]
+    rs = [list(r) for r in rs] if num_partitions > 1 else [[r] for r in rs]
+
+    @ray.remote
+    def _asof_bucket(n_left: int, *pieces: pa.Table) -> pa.Table:
+        ldf = (
+            pa.concat_tables(pieces[:n_left])
+            .replace_schema_metadata(None)
+            .to_pandas()
+            .sort_values(left_on, kind="mergesort")
+        )
+        rdf = (
+            pa.concat_tables(pieces[n_left:])
+            .replace_schema_metadata(None)
+            .to_pandas()
+            .sort_values(right_on, kind="mergesort")
+        )
+        if not len(ldf):
+            return pa.Table.from_pandas(ldf, preserve_index=False)
+        if not len(rdf):
+            out = ldf.iloc[0:0]
+            return pa.Table.from_pandas(out, preserve_index=False)
+        out = pd.merge_asof(
+            ldf,
+            rdf,
+            left_on=left_on,
+            right_on=right_on,
+            left_by=by,
+            right_by=by,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = out[out[right_on].notna()]  # inner semantics
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    merged = [
+        _asof_bucket.remote(
+            len(ls),
+            *[ls[i][b] for i in range(len(ls))],
+            *[rs[i][b] for i in range(len(rs))],
+        )
+        for b in range(num_partitions)
+    ]
+    return ray.data.from_arrow_refs(merged)
+
+
 def collect_sorted(ds_or_table, sort_cols, ascending=None) -> pd.DataFrame:
     """Materialize a SMALL result and sort it on the driver (replaces
     Dataset.sort for final presentation ordering — a full distributed

@@ -666,3 +666,43 @@ ORACLE_QUERIES.update(
         "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: asof_orders — distributed as-of join (events -> each user's latest
+# order at event time), per-bucket pd.merge_asof vs DuckDB ASOF JOIN.
+# The matched order *date* (not key) is projected: tie-invariant when a
+# customer has several orders on one date.
+# ---------------------------------------------------------------------------
+def q_asof_orders(sf_dir: str):
+    from pynomaly_ray.functions.exchange import asof_join
+
+    events = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.rename_columns(["user_id", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        events, orders, by="user_id", left_on="ts", right_on="o_orderdate"
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (df["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64")
+        return _from_pandas(
+            pd.DataFrame({"event_id": df["event_id"], "order_day": day})
+        )
+
+    out = joined.map_batches(project, batch_format="pyarrow")
+    return collect_sorted(out, ["event_id"])
+
+
+SQL_ASOF_ORDERS = """
+SELECT event_id,
+       CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS order_day
+FROM events ASOF JOIN orders
+  ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate
+ORDER BY event_id
+"""
+
+ORACLE_QUERIES["asof_orders"] = (q_asof_orders, SQL_ASOF_ORDERS)

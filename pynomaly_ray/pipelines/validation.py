@@ -100,6 +100,14 @@ def _filter_completed(ds, done: frozenset):
     return ds.map_batches(drop_done, batch_format="pyarrow")
 
 
+def _atomic_write(table: pa.Table, path: str) -> None:
+    """Parquet write via tmp+rename so a crash never leaves a partial
+    file that a later run could read (all sinks share this)."""
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
 def _empty_df(cols) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
@@ -147,13 +155,31 @@ def _local_duplicates(
 
 
 def _prior_docpart_dirs(out_dir: str, run_id: str, resume: bool) -> list[str]:
+    """Docpart checkpoints of COMMITTED prior runs only.
+
+    A run's manifest snapshot is its commit point (written last); a
+    crashed run leaves a docparts dir whose partitions will be re-run, so
+    counting its occurrences would double-count and fabricate duplicates.
+    Only runs present in the manifest dir are trusted."""
     dp_root = os.path.join(out_dir, "docparts")
     if not (resume and os.path.isdir(dp_root)):
         return []
+    from pynomaly_ray.state.manifest import manifest_dir
+
+    md = manifest_dir(out_dir)
+    committed = (
+        {
+            f[: -len(".parquet")]
+            for f in os.listdir(md)
+            if f.endswith(".parquet")
+        }
+        if os.path.isdir(md)
+        else set()
+    )
     return [
         os.path.join(dp_root, d)
         for d in sorted(os.listdir(dp_root))
-        if d != run_id
+        if d != run_id and d in committed
     ]
 
 
@@ -192,7 +218,7 @@ def _post_scan_local(tagged, cfg, out_dir, resume) -> tuple[pd.DataFrame, pd.Dat
         prior_dirs = _prior_docpart_dirs(out_dir, cfg.run_id, resume)
         dp_dir = os.path.join(out_dir, "docparts", cfg.run_id)
         os.makedirs(dp_dir, exist_ok=True)
-        pq.write_table(docparts, os.path.join(dp_dir, "docparts.parquet"))
+        _atomic_write(docparts, os.path.join(dp_dir, "docparts.parquet"))
         if prior_dirs:
             frames = []
             for d in prior_dirs:
@@ -322,7 +348,7 @@ def run_validation(
         vt = pa.Table.from_pandas(
             viol_df, schema=VIOLATION_SCHEMA, preserve_index=False
         )
-        pq.write_table(
+        _atomic_write(
             vt, os.path.join(out_dir, "violations", f"{cfg.run_id}.parquet")
         )
 
@@ -435,7 +461,7 @@ def run_validation(
     )
     if out_dir:
         os.makedirs(os.path.join(out_dir, "partitions"), exist_ok=True)
-        pq.write_table(
+        _atomic_write(
             report,
             os.path.join(out_dir, "partitions", f"{cfg.run_id}.parquet"),
         )

@@ -285,3 +285,37 @@ def test_stream_scorer_matches_reference_stream(result, ray_session):
         vec = (np.asarray(df.stat_vector.iloc[i]) - frozen.feat_mean) / frozen.feat_scale
         expected = float(np.asarray(model.stream(vec)))
         assert abs(scored.loop_score.iloc[i] - expected) <= 1e-9
+
+
+def test_crashed_run_docparts_not_double_counted(seq_dir, ray_session, tmp_path):
+    """A run that died after writing its docparts checkpoint but before
+    committing its manifest must not poison later runs: its occurrence
+    counts are untrusted (uncommitted), so re-validating the same
+    partitions does not fabricate duplicates."""
+    import ray.data as rd
+
+    from pynomaly_ray.pipelines.validation import run_validation
+
+    out = str(tmp_path / "out")
+    files = sorted(
+        os.path.join(seq_dir, f)
+        for f in os.listdir(seq_dir)
+        if f.endswith(".parquet")
+    )
+
+    # simulate the crash: docparts dir exists for run "dead", no manifest
+    cfg_dead = ValidationConfig(**CFG, run_id="dead")
+    res = run_validation(rd.read_parquet(files), cfg_dead, out_dir=out)
+    import shutil as sh
+
+    sh.rmtree(os.path.join(out, "manifest"))
+    sh.rmtree(os.path.join(out, "partitions"))
+    sh.rmtree(os.path.join(out, "violations"))
+
+    # fresh run over the same input with the stale docparts lying around
+    cfg2 = ValidationConfig(**CFG, run_id="retry")
+    res2 = run_validation(rd.read_parquet(files), cfg2, out_dir=out, resume=True)
+    v = res2.violations.to_pandas()
+    dups = v[v.check == "duplicate_doc_id"]
+    # only the genuinely planted duplicate, not one per re-seen doc
+    assert len(dups) == 1
