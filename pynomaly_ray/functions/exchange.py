@@ -65,6 +65,23 @@ def _merge_bucket(merge_fn, *pieces: pa.Table) -> pa.Table:
     )
 
 
+def _partitioned_refs(ds, key_cols: Sequence[str], p: int) -> list[list]:
+    """Scatter every block of ``ds`` into ``p`` key-hash bucket refs.
+
+    Returns one list of ``p`` sub-table refs per upstream block — the
+    shared exchange step of hash_aggregate / hash_join / asof_join.
+    """
+    split_refs = [
+        _split_block.options(num_returns=p if p > 1 else 1).remote(
+            ref, list(key_cols), p
+        )
+        for ref in ds.to_arrow_refs()
+    ]
+    if p == 1:
+        return [[r] for r in split_refs]
+    return [list(refs) for refs in split_refs]
+
+
 def hash_aggregate(
     ds,
     key_cols: Sequence[str],
@@ -79,21 +96,10 @@ def hash_aggregate(
     default suits <=10^7 partial rows; scale it with the data (one
     reducer's bucket must fit in worker memory).
     """
-    block_refs = ds.to_arrow_refs()
-    p = num_partitions
-    split_refs = [
-        _split_block.options(num_returns=p if p > 1 else 1).remote(
-            ref, list(key_cols), p
-        )
-        for ref in block_refs
-    ]
-    if p == 1:
-        split_cols = [[r] for r in split_refs]
-    else:
-        split_cols = [list(refs) for refs in split_refs]
+    split_cols = _partitioned_refs(ds, key_cols, num_partitions)
     merged = [
         _merge_bucket.remote(merge_fn, *[split_cols[i][b] for i in range(len(split_cols))])
-        for b in range(p)
+        for b in range(num_partitions)
     ]
     return ray.data.from_arrow_refs(merged)
 
@@ -174,53 +180,63 @@ def asof_join(
 
     Both sides hash-partition on ``by``; each bucket sorts its slices by
     time and runs ``pd.merge_asof`` (the guide's range-join pattern).
-    Rows with no earlier match are dropped (inner).  Tie caution: when a
-    key has several right rows at the SAME ``right_on`` value, which one
-    wins is engine-defined in every system — project only tie-invariant
-    right columns (e.g. the time itself) if results must be comparable.
+    Rows with no earlier match are dropped (inner), detected via a row
+    sentinel — never via value nullness — so the semantics hold when
+    ``left_on == right_on`` and right-side dtypes survive unchanged
+    (matched right rows are re-gathered from the original frame, undoing
+    merge_asof's NaN-driven int->float widening).  Output columns: all
+    left columns + all right columns, right-side names that collide with
+    a left name suffixed ``_right``.  Tie caution: when a key has
+    several right rows at the SAME ``right_on`` value, which one wins is
+    engine-defined in every system — project only tie-invariant right
+    columns (e.g. the time itself) if results must be comparable.
     """
-    keys = [by]
-    ls = [
-        _split_block.options(num_returns=num_partitions).remote(r, keys, num_partitions)
-        for r in ds_left.to_arrow_refs()
-    ]
-    rs = [
-        _split_block.options(num_returns=num_partitions).remote(r, keys, num_partitions)
-        for r in ds_right.to_arrow_refs()
-    ]
-    ls = [list(r) for r in ls] if num_partitions > 1 else [[r] for r in ls]
-    rs = [list(r) for r in rs] if num_partitions > 1 else [[r] for r in rs]
+    ls = _partitioned_refs(ds_left, [by], num_partitions)
+    rs = _partitioned_refs(ds_right, [by], num_partitions)
 
     @ray.remote
     def _asof_bucket(n_left: int, *pieces: pa.Table) -> pa.Table:
-        ldf = (
-            pa.concat_tables(pieces[:n_left])
-            .replace_schema_metadata(None)
-            .to_pandas()
-            .sort_values(left_on, kind="mergesort")
-        )
-        rdf = (
-            pa.concat_tables(pieces[n_left:])
-            .replace_schema_metadata(None)
-            .to_pandas()
-            .sort_values(right_on, kind="mergesort")
-        )
-        if not len(ldf):
-            return pa.Table.from_pandas(ldf, preserve_index=False)
-        if not len(rdf):
-            out = ldf.iloc[0:0]
-            return pa.Table.from_pandas(out, preserve_index=False)
-        out = pd.merge_asof(
+        lt = pa.concat_tables(pieces[:n_left]).replace_schema_metadata(None)
+        rt = pa.concat_tables(pieces[n_left:]).replace_schema_metadata(None)
+        lcols = lt.schema.names
+        rcols = [c for c in rt.schema.names if c != by]
+        out_names = lcols + [
+            c if c not in lcols else f"{c}_right" for c in rcols
+        ]
+
+        def _empty() -> pa.Table:
+            fields = [lt.schema.field(c) for c in lcols] + [
+                pa.field(name, rt.schema.field(orig).type)
+                for name, orig in zip(out_names[len(lcols) :], rcols)
+            ]
+            return pa.schema(fields).empty_table()
+
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return _empty()
+
+        ldf = lt.to_pandas().sort_values(left_on, kind="mergesort")
+        rdf = rt.to_pandas().sort_values(right_on, kind="mergesort")
+        rdf_probe = rdf[[by, right_on]].copy()
+        rdf_probe["__asof_row__"] = np.arange(len(rdf), dtype=np.int64)
+        merged = pd.merge_asof(
             ldf,
-            rdf,
+            rdf_probe,
             left_on=left_on,
             right_on=right_on,
             left_by=by,
             right_by=by,
             direction="backward",
             allow_exact_matches=True,
+            suffixes=("", "__probe__"),
         )
-        out = out[out[right_on].notna()]  # inner semantics
+        hit = merged["__asof_row__"].notna().to_numpy()
+        if not hit.any():
+            return _empty()
+        matched_left = merged.loc[hit, lcols].reset_index(drop=True)
+        ridx = merged.loc[hit, "__asof_row__"].astype(np.int64).to_numpy()
+        matched_right = rdf.iloc[ridx][rcols].reset_index(drop=True)
+        matched_right.columns = out_names[len(lcols) :]
+        out = pd.concat([matched_left, matched_right], axis=1)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
             None
         )

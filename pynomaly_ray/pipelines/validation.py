@@ -361,6 +361,14 @@ def run_validation(
     if len(stats_df) == 0:
         report = PARTITION_REPORT_SCHEMA.empty_table()
         if out_dir:
+            # Commit this run even though it produced no partitions:
+            # its docparts checkpoint was already written, and an
+            # uncommitted run's docparts are (rightly) distrusted by
+            # _prior_docpart_dirs — without this snapshot, duplicates
+            # spanning this run and a later one would be missed.
+            write_manifest_snapshot(
+                out_dir, PARTITION_REPORT_SCHEMA.empty_table(), cfg.run_id
+            )
             final = read_full_manifest(out_dir)
             report = final if final is not None else report
         return ValidationResult(

@@ -319,3 +319,32 @@ def test_crashed_run_docparts_not_double_counted(seq_dir, ray_session, tmp_path)
     dups = v[v.check == "duplicate_doc_id"]
     # only the genuinely planted duplicate, not one per re-seen doc
     assert len(dups) == 1
+
+
+def test_zero_valid_rows_run_still_commits(ray_session, tmp_path):
+    """A run whose rows ALL fail validation still commits a manifest
+    snapshot, so its docparts checkpoint stays trusted for cross-run
+    duplicate detection."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pynomaly_ray.pipelines.validation import run_validation
+
+    bad = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            "tokens": pa.array([None, None], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1], pa.int32()),
+            "source": pa.array(["web", "web"], pa.string()),
+            "partition_id": pa.array(["p0", "p0"], pa.string()),
+        }
+    )
+    out = str(tmp_path / "out")
+    cfg = ValidationConfig(valid_sources=["web"], run_id="allbad")
+    run_validation(rd.from_arrow(bad), cfg, out_dir=out)
+    assert os.path.exists(os.path.join(out, "manifest", "allbad.parquet"))
+    from pynomaly_ray.pipelines.validation import _prior_docpart_dirs
+
+    assert _prior_docpart_dirs(out, "nextrun", True) == [
+        os.path.join(out, "docparts", "allbad")
+    ]

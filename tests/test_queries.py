@@ -128,3 +128,43 @@ def test_cli_end_to_end(ray_session, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(out, "manifest"))
+
+
+def test_asof_join_semantics(ray_session):
+    """Inner semantics via row sentinel (holds when left_on == right_on),
+    right dtypes preserved, stable schema across empty buckets."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import asof_join
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 1, 2], "ts": [5, 50, 100, 10], "lv": [10, 20, 30, 40]}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 2], "ts": [40, 90, 99], "val": np.array([7, 8, 9], dtype=np.int64)}
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            by="k",
+            left_on="ts",
+            right_on="ts",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    # (1,5): earlier than all right rows -> dropped; (2,10): right ts=99 > 10 -> dropped
+    assert list(out.ts) == [50, 100]
+    assert list(out.val) == [7, 8]
+    assert list(out.ts_right) == [40, 90]
+    assert out.val.dtype == np.int64  # no NaN-driven float widening
+    # empty buckets (8 partitions, 2 keys) keep a stable schema
+    wide = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        by="k", left_on="ts", right_on="ts", num_partitions=8,
+    )
+    assert wide.schema().names == ["k", "ts", "lv", "ts_right", "val"]
+    assert wide.count() == 2
