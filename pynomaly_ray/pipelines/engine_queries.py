@@ -163,6 +163,20 @@ def q_embedding_neardup(sf_dir: str):
     return pairs
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal audio plumbing: fake media table -> actor-pool decode +
+    per-clip features (decode stubbed; see stages/multimodal.py)."""
+    from pynomaly_ray.stages.multimodal import AudioFeatures, make_fake_media_table
+
+    ds = rd.from_arrow(make_fake_media_table(48, seed=4))
+    feats = ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 2)
+    ).to_pandas()
+    for c in ["duration_s", "rms", "zero_cross_rate"]:
+        feats[c] = np.floor(feats[c] * 1_000_000 + 0.5).astype(np.int64)
+    return collect_sorted(feats, ["media_id"])
+
+
 def q_image_features(sf_dir: str):
     """Multimodal plumbing: deterministic fake media table -> actor-pool
     decode + feature extraction (decode itself is stubbed; see
@@ -216,4 +230,5 @@ ENGINE_QUERIES = {
     "quality_scores": q_quality_scores,
     "embedding_neardup": q_embedding_neardup,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
 }

@@ -183,7 +183,7 @@ def _prior_docpart_dirs(out_dir: str, run_id: str, resume: bool) -> list[str]:
     ]
 
 
-def _post_scan_local(tagged, cfg, out_dir, resume) -> tuple[pd.DataFrame, pd.DataFrame]:
+def _post_scan_local(tagged, cfg, out_dir, resume):
     """Collect the (small) tagged stream once; reduce on the driver.
 
     Arrow-native end-to-end: kind filtering, docpart counting and the
@@ -234,12 +234,13 @@ def _post_scan_local(tagged, cfg, out_dir, resume) -> tuple[pd.DataFrame, pd.Dat
 
     dup_df = _local_duplicates(docparts, prior)
     viol_df = pd.concat([viol_df, dup_df], ignore_index=True)
-    return viol_df, stats_df
+    return viol_df, stats_df, None, False
 
 
-def _post_scan_distributed(
-    tagged, cfg, out_dir, resume
-) -> tuple[pd.DataFrame, pd.DataFrame]:
+_MAX_DRIVER_VIOLATIONS = 2_000_000
+
+
+def _post_scan_distributed(tagged, cfg, out_dir, resume):
     """Same reductions via distributed exchanges (the 10^12-row path)."""
     viol_ds = tagged.map_batches(
         split_union("violation", _VIOL_COLS), batch_format="pyarrow"
@@ -267,10 +268,39 @@ def _post_scan_distributed(
     if "partition_id" not in stats_df.columns:  # no valid rows at all
         stats_df = _empty_df(_PARTIAL_COLS)
 
-    viol_df = viol_ds.union(dup_ds).to_pandas()
-    if "partition_id" not in viol_df.columns:
+    # Violation volume is unbounded on garbage inputs; rows always reach
+    # parquet distributedly (the caller skips its own driver-side write
+    # when wrote_distributed), and only rows up to a cap — else just the
+    # per-partition counts — are held on the driver.
+    all_viol = viol_ds.union(dup_ds).materialize()
+    wrote_distributed = False
+    if out_dir:
+        all_viol.write_parquet(
+            os.path.join(out_dir, "violations", cfg.run_id)
+        )
+        wrote_distributed = True
+    vcounts = None
+    if all_viol.count() <= _MAX_DRIVER_VIOLATIONS:
+        viol_df = all_viol.to_pandas()
+        if "partition_id" not in viol_df.columns:
+            viol_df = _empty_df(_VIOL_COLS)
+    else:
         viol_df = _empty_df(_VIOL_COLS)
-    return viol_df, stats_df
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            g = t.to_pandas().groupby("partition_id", sort=False).size()
+            return pa.Table.from_pandas(
+                g.reset_index(name="cnt"), preserve_index=False
+            ).replace_schema_metadata(None)
+
+        counts = hash_aggregate(
+            all_viol.map_batches(count_partial, batch_format="pyarrow"),
+            ["partition_id"],
+            lambda df: df.groupby("partition_id", sort=False).sum().reset_index(),
+            8,
+        ).to_pandas()
+        vcounts = counts.set_index("partition_id")["cnt"]
+    return viol_df, stats_df, vcounts, wrote_distributed
 
 
 def run_validation(
@@ -331,9 +361,13 @@ def run_validation(
     # ---- Stage B: size-adaptive reduction of the tagged stream ----
     small = (tagged.size_bytes() or 0) <= cfg.driver_collect_bytes
     if small and not force_distributed:
-        viol_df, stats_df = _post_scan_local(tagged, cfg, out_dir, resume)
+        viol_df, stats_df, dist_vcounts, wrote_viol = _post_scan_local(
+            tagged, cfg, out_dir, resume
+        )
     else:
-        viol_df, stats_df = _post_scan_distributed(tagged, cfg, out_dir, resume)
+        viol_df, stats_df, dist_vcounts, wrote_viol = _post_scan_distributed(
+            tagged, cfg, out_dir, resume
+        )
     _mark("stage_b")
 
     viol_df = viol_df.sort_values(
@@ -343,7 +377,7 @@ def run_validation(
         "partition_id", kind="mergesort"
     ).reset_index(drop=True)
 
-    if out_dir:
+    if out_dir and not wrote_viol:
         os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)
         vt = pa.Table.from_pandas(
             viol_df, schema=VIOLATION_SCHEMA, preserve_index=False
@@ -352,7 +386,9 @@ def run_validation(
             vt, os.path.join(out_dir, "violations", f"{cfg.run_id}.parquet")
         )
 
-    if len(viol_df):
+    if dist_vcounts is not None:
+        vcounts = dist_vcounts
+    elif len(viol_df):
         vcounts = viol_df.groupby("partition_id").size()
     else:
         vcounts = pd.Series(dtype=np.int64)
@@ -474,7 +510,7 @@ def run_validation(
             os.path.join(out_dir, "partitions", f"{cfg.run_id}.parquet"),
         )
         write_manifest_snapshot(out_dir, report, cfg.run_id)
-        _amend_completed(out_dir, viol_df, done, cfg.run_id)
+        _amend_completed(out_dir, vcounts, done, cfg.run_id)
         final = read_full_manifest(out_dir)
         # The returned report covers ALL partitions ever completed for
         # this out_dir (this run's + resumed-over ones) for the
@@ -487,19 +523,18 @@ def run_validation(
 
 
 def _amend_completed(
-    out_dir: str, viol_df: pd.DataFrame, done: frozenset, run_id: str
+    out_dir: str, vcounts: pd.Series, done: frozenset, run_id: str
 ) -> None:
     """New violations attributed to already-completed partitions (e.g. a
     duplicate whose tolerated first occurrence only appeared in this run)
     amend the prior manifest rows: bump n_violations, set status=fail.
     The amendment snapshot sorts after this run's snapshot so
     read_full_manifest's last-wins merge picks it up."""
-    if not len(viol_df) or not done:
+    if not len(vcounts) or not done:
         return
-    hit = viol_df[viol_df["partition_id"].isin(done)]
-    if not len(hit):
+    counts = vcounts[vcounts.index.isin(done)]
+    if not len(counts):
         return
-    counts = hit.groupby("partition_id").size()
     manifest = read_full_manifest(out_dir)
     mdf = manifest.to_pandas()
     mask = mdf["partition_id"].isin(counts.index)

@@ -102,6 +102,63 @@ class ImageFeatures:
         )
 
 
+def real_decode_audio(payload: bytes) -> np.ndarray:
+    """Decode encoded audio to a float32 PCM vector.  STUB: no audio
+    library is available in this container; swap in soundfile/librosa in
+    production."""
+    raise NotImplementedError(
+        "audio decoding requires an audio library (soundfile/librosa) not "
+        "present in this environment; use fake_decode_audio for tests"
+    )
+
+
+def fake_decode_audio(payload: bytes, sample_rate: int = 16000) -> np.ndarray:
+    """Deterministic stand-in decoder: bytes -> pseudo-PCM float32 in
+    [-1, 1], length proportional to payload size, stable across
+    processes."""
+    raw = fake_decode(payload, width=max(1, len(payload or b"") // 24), height=8)
+    pcm = raw.reshape(-1).astype(np.float32)
+    return (pcm - 127.5) / 127.5
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode (stub/fake) + per-clip audio features
+    (duration, RMS energy, zero-crossing rate) — the plumbing a
+    wav2vec-style embedder would use, with decode swapped in."""
+
+    def __init__(self, decoder=None, sample_rate: int = 16000):
+        self.decode = decoder or fake_decode_audio
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats = [], []
+        for mid, payload, m in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            sr = (m or {}).get("sample_rate") or self.sample_rate
+            pcm = self.decode(payload, sample_rate=sr).astype(np.float64)
+            n = max(len(pcm), 1)
+            rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
+            zc = (
+                float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                if len(pcm) > 1
+                else 0.0
+            )
+            ids.append(mid)
+            feats.append([n / max(sr, 1), rms, zc])
+        f = np.asarray(feats, dtype=np.float64).reshape(len(ids), 3)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "duration_s": pa.array(f[:, 0], pa.float64()),
+                "rms": pa.array(f[:, 1], pa.float64()),
+                "zero_cross_rate": pa.array(f[:, 2], pa.float64()),
+            }
+        )
+
+
 class FrameSampler:
     """Video frame-sampling plumbing: emits one row per sampled frame
     index (flat_map shape).  Decode is stubbed; frame positions are

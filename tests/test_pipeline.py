@@ -348,3 +348,35 @@ def test_zero_valid_rows_run_still_commits(ray_session, tmp_path):
     assert _prior_docpart_dirs(out, "nextrun", True) == [
         os.path.join(out, "docparts", "allbad")
     ]
+
+
+def test_distributed_violation_cap(seq_dir, ray_session, monkeypatch, tmp_path):
+    """Above the driver cap, the distributed path writes violations to
+    parquet distributedly and keeps only per-partition counts on the
+    driver; reports still carry correct n_violations."""
+    import ray.data as rd
+
+    import pynomaly_ray.pipelines.validation as V
+
+    monkeypatch.setattr(V, "_MAX_DRIVER_VIOLATIONS", 0)
+    out = str(tmp_path / "out")
+    cfg = ValidationConfig(**CFG, run_id="capped")
+    res = V.run_validation(
+        rd.read_parquet(
+            sorted(
+                os.path.join(seq_dir, f)
+                for f in os.listdir(seq_dir)
+                if f.endswith(".parquet")
+            )
+        ),
+        cfg,
+        out_dir=out,
+        force_distributed=True,
+    )
+    rep = res.report.to_pandas()
+    assert rep.n_violations.sum() == 9  # planted violations all counted
+    # rows landed in parquet (directory written by the distributed sink)
+    vdir = os.path.join(out, "violations", "capped")
+    assert os.path.isdir(vdir)
+    vrows = pq.ParquetDataset(vdir).read()
+    assert vrows.num_rows == 9

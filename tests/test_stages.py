@@ -235,3 +235,31 @@ def test_multimodal_stub_and_plumbing(ray_session):
     ).to_pandas()
     assert (frames.frame_index % 30 == 0).all()
     assert frames.media_id.nunique() == 16
+
+
+def test_audio_features_stub_and_plumbing(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.multimodal import (
+        AudioFeatures,
+        make_fake_media_table,
+        real_decode_audio,
+    )
+
+    with pytest.raises(NotImplementedError):
+        real_decode_audio(b"\x00")
+
+    ds = rd.from_arrow(make_fake_media_table(12))
+    feats = ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=4, concurrency=1
+    ).to_pandas()
+    assert len(feats) == 12
+    assert set(feats.columns) == {"media_id", "duration_s", "rms", "zero_cross_rate"}
+    assert (feats.rms > 0).all() and (feats.duration_s >= 0).all()
+    feats2 = ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=4, concurrency=1
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
