@@ -177,7 +177,7 @@ from hypothesis import strategies as st
 from hypothesis.extra.numpy import arrays
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(
     data=arrays(
         np.float64,
@@ -205,7 +205,7 @@ def test_loop_scores_always_in_unit_interval(data, k, extent):
     assert (scores >= 0.0).all() and (scores <= 1.0).all()
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(
     n=st.integers(20, 40),
     f=st.integers(2, 3),
