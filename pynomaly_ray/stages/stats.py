@@ -36,7 +36,9 @@ def partial_stats_batch(
     if not valid_mask.any():
         return PARTIAL_STATS_SCHEMA.empty_table()
 
-    sub = batch.filter(pa.array(valid_mask))
+    # the all-valid batch is the common case: skip the (token-payload
+    # copying) filter entirely
+    sub = batch if valid_mask.all() else batch.filter(pa.array(valid_mask))
     part = sub["partition_id"].to_pandas().to_numpy(dtype=object)
     source = sub["source"].to_pandas().to_numpy(dtype=object)
     codes, uniques = pd.factorize(pd.Series(part), sort=False)
@@ -54,16 +56,30 @@ def partial_stats_batch(
     s2 = np.bincount(codes, weights=lf * lf, minlength=n_parts)
     s3 = np.bincount(codes, weights=lf * lf * lf, minlength=n_parts)
 
-    # Token-id histogram: coarse bucket per token, keyed jointly with the
-    # partition code -> single bincount, reshaped (n_parts, buckets).
-    tok_codes = np.repeat(codes, lengths)
-    tok_bucket = (
-        flat.astype(np.int64) * N_TOKEN_BUCKETS // max(vocab_size, 1)
-    ).clip(0, N_TOKEN_BUCKETS - 1)
-    tok_hist = np.bincount(
-        tok_codes * N_TOKEN_BUCKETS + tok_bucket,
-        minlength=n_parts * N_TOKEN_BUCKETS,
-    ).reshape(n_parts, N_TOKEN_BUCKETS)
+    # Token-id histogram: coarse bucket per token.  When the vocab is a
+    # multiple of the bucket count, `tok * B // vocab == tok // (vocab//B)`
+    # exactly, computable in int32 without the x2.4M-element int64 temp.
+    if vocab_size >= N_TOKEN_BUCKETS and vocab_size % N_TOKEN_BUCKETS == 0:
+        tok_bucket = np.minimum(
+            flat // np.int32(vocab_size // N_TOKEN_BUCKETS),
+            N_TOKEN_BUCKETS - 1,
+        )
+    else:
+        tok_bucket = (
+            flat.astype(np.int64) * N_TOKEN_BUCKETS // max(vocab_size, 1)
+        ).clip(0, N_TOKEN_BUCKETS - 1)
+    if n_parts == 1:
+        # single partition per batch (the normal layout: one file per
+        # partition) -> no per-token partition codes needed at all
+        tok_hist = np.bincount(
+            tok_bucket, minlength=N_TOKEN_BUCKETS
+        ).reshape(1, N_TOKEN_BUCKETS)
+    else:
+        tok_codes = np.repeat(codes, lengths)
+        tok_hist = np.bincount(
+            tok_codes * N_TOKEN_BUCKETS + tok_bucket,
+            minlength=n_parts * N_TOKEN_BUCKETS,
+        ).reshape(n_parts, N_TOKEN_BUCKETS)
 
     # Exact sequence-length histogram (bucket width 16, cap MAX_TRACKED_LEN):
     # fully mergeable, exact quantiles at finalize time.

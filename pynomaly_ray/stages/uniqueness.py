@@ -39,14 +39,31 @@ def project_doc_partition(batch: pa.Table, salt_buckets: int = 16) -> pa.Table:
     """Batch-local pre-aggregation to (doc_id, doc_hash, partition_id,
     cnt, salt).  ``doc_hash`` (stable SipHash of doc_id, as int64) lets
     downstream total-counting run as numpy integer ops instead of string
-    groupbys; exact doc_id comparison still guards against collisions."""
-    df = pd.DataFrame(
-        {
-            "doc_id": batch["doc_id"].to_pandas(),
-            "partition_id": batch["partition_id"].to_pandas(),
-        }
-    )
-    df = df.dropna(subset=["doc_id"])
+    groupbys; exact doc_id comparison still guards against collisions.
+
+    Fast path: when every (doc_id) in the batch is already unique (the
+    overwhelmingly common case), all counts are 1 and no pandas groupby
+    runs — pure hashing + arrow column reuse."""
+    doc_id = batch["doc_id"]
+    part_id = batch["partition_id"]
+    null_mask = pc.is_null(doc_id).to_numpy(zero_copy_only=False)
+    if null_mask.any():
+        keep = pa.array(~null_mask)
+        doc_id = doc_id.filter(keep)
+        part_id = part_id.filter(keep)
+    ser = doc_id.to_pandas()
+    hashes = hash_strings(ser).view(np.int64)
+    if len(np.unique(hashes)) == len(hashes):
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "partition_id": part_id,
+                "cnt": pa.array(np.ones(len(hashes), dtype=np.int64)),
+                "doc_hash": pa.array(hashes),
+                "salt": pa.array(salt_of(part_id, salt_buckets)),
+            }
+        )
+    df = pd.DataFrame({"doc_id": ser, "partition_id": part_id.to_pandas()})
     agg = (
         df.groupby(["doc_id", "partition_id"], sort=False)
         .size()
