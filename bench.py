@@ -24,7 +24,7 @@ SF_SPECS = {
     # sf name -> (parts_per_source, rows_per_part)
     "sf0.001": (8, 64),
     "sf0.01": (16, 512),
-    "sf0.1": (48, 8192),
+    "sf0.1": (48, 16384),
 }
 
 
