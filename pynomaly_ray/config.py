@@ -103,5 +103,4 @@ class ValidationConfig:
     # Source-membership universe; None derives it from a side table.
     valid_sources: Optional[Sequence[str]] = None
     # Output
-    write_validated_output: bool = False
     run_id: str = "r0"
