@@ -232,3 +232,40 @@ ENGINE_QUERIES = {
     "image_features": q_image_features,
     "audio_features": q_audio_features,
 }
+
+
+def q_loop_matrix_mode(sf_dir: str):
+    """LoOP via precomputed distance/neighbor matrices (the reference's
+    bring-your-own-metric escape hatch, README.md:371-413) over
+    embeddings with a Manhattan metric — demonstrates §2.10 at the query
+    surface. Deterministic (vec_id, loop_e6)."""
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.loop_core import LocalOutlierProbability
+
+    t = papq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(vec_ids, kind="stable")
+    vec_ids, M = vec_ids[order], M[order]
+    # Manhattan distances (a metric loop_core's internal kNN does not use)
+    k = 10
+    D = np.abs(M[:, None, :] - M[None, :, :]).sum(axis=2)
+    np.fill_diagonal(D, np.inf)
+    idx = np.argpartition(D, k, axis=1)[:, :k]
+    dist = np.take_along_axis(D, idx, axis=1)
+    model = LocalOutlierProbability(
+        distance_matrix=dist, neighbor_matrix=idx, n_neighbors=k
+    ).fit()
+    scores = np.asarray(model.local_outlier_probabilities, dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "vec_id": vec_ids,
+            "loop_e6": np.floor(scores * 1_000_000 + 0.5).astype(np.int64),
+        }
+    )
+
+
+ENGINE_QUERIES["loop_matrix_mode"] = q_loop_matrix_mode

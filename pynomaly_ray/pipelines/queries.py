@@ -706,3 +706,82 @@ ORDER BY event_id
 """
 
 ORACLE_QUERIES["asof_orders"] = (q_asof_orders, SQL_ASOF_ORDERS)
+
+
+# ---------------------------------------------------------------------------
+# Q: nation_revenue — three-way join: lineitem x orders via partitioned
+# hash join (both large), then customer->nation resolved by broadcast
+# lookup; grouped integer-exact revenue per nation (TPC-H Q5 shape).
+# ---------------------------------------------------------------------------
+def q_nation_revenue(sf_dir: str):
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.functions.exchange import hash_join
+
+    cust = papq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = papq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nation_of_cust = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    )
+    name_of_nation = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        df["disc_cents"] = _cents(price * (1.0 - disc))
+        g = (
+            df.groupby("l_orderkey", sort=False)
+            .agg(n_lines=("disc_cents", "size"), disc_cents=("disc_cents", "sum"))
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_name"] = (
+            df["o_custkey"].map(nation_of_cust).map(name_of_nation)
+        )
+        return (
+            df.groupby("n_name", sort=False)
+            .agg(n_lines=("n_lines", "sum"), sum_disc_cents=("disc_cents", "sum"))
+            .reset_index()
+        )
+
+    joined = hash_join(
+        li_agg, orders, ["l_orderkey"], merge_fn=bucket_agg, num_partitions=8
+    )
+    out = hash_aggregate(
+        joined,
+        ["n_name"],
+        lambda df: df.groupby("n_name", sort=False).sum().reset_index(),
+        1,
+    )
+    return collect_sorted(out, ["n_name"])
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name, COUNT(*) AS n_lines,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+ORACLE_QUERIES["nation_revenue"] = (q_nation_revenue, SQL_NATION_REVENUE)
