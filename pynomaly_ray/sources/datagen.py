@@ -69,6 +69,12 @@ def generate_partition(
         rng.lognormal(mean=mu, sigma=0.6, size=n), 8, 2048
     ).astype(np.int64)
     total = int(lengths.sum())
+    if total >= 2**31:
+        raise ValueError(
+            f"partition {source}-{part_idx} would hold {total} tokens, "
+            "overflowing int32 list offsets; lower rows_per_part (or "
+            "switch the schema to large_list)"
+        )
     flat = _zipf_tokens(rng, total, spec.vocab_size, drifted)
     offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
     tokens = pa.ListArray.from_arrays(
@@ -152,10 +158,24 @@ def generate_dataset_dir(
     (the resumable layout the pipeline expects).  Idempotent via a DONE
     marker keyed by the spec."""
     spec = spec or GenSpec()
-    marker = os.path.join(
-        out_dir,
-        f"_DONE_{spec.seed}_{len(spec.sources)}x{spec.parts_per_source}x{spec.rows_per_part}",
-    )
+    # marker keyed by EVERY spec field: a changed spec regenerates instead
+    # of silently reusing stale data
+    import hashlib
+
+    spec_key = hashlib.sha1(
+        repr(
+            (
+                tuple(spec.sources),
+                spec.parts_per_source,
+                spec.rows_per_part,
+                spec.vocab_size,
+                spec.seed,
+                tuple(spec.drifted),
+                spec.plant_violations,
+            )
+        ).encode()
+    ).hexdigest()[:16]
+    marker = os.path.join(out_dir, f"_DONE_{spec_key}")
     if os.path.exists(marker) and not force:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

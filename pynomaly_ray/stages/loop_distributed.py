@@ -41,18 +41,44 @@ import ray
 from pynomaly_ray.functions.exchange import _split_block
 
 
+def _fit_group(X: np.ndarray, n_neighbors: int, extent: int) -> np.ndarray:
+    """Exact LoOP scores for one (sub-)cluster with the per-group k clamp
+    (a 1-row group has no neighborhood and scores 0)."""
+    import warnings
+
+    from pynomaly_ray.loop_core import LocalOutlierProbability
+
+    k = min(n_neighbors, len(X) - 1)
+    if k < 1:
+        return np.zeros(len(X))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        return np.asarray(
+            LocalOutlierProbability(X, n_neighbors=k, extent=extent)
+            .fit()
+            .local_outlier_probabilities,
+            dtype=np.float64,
+        )
+
+
 @ray.remote
 def _loop_bucket(
     id_col: str,
     vec_col: str,
+    label_col,
     n_neighbors: int,
     extent: int,
     *pieces: pa.Table,
 ) -> pa.Table:
     tables = [t for t in pieces if t.num_rows]
     if not tables:
+        # keep the id column's real type so all blocks unify
+        id_type = pieces[0].schema.field(id_col).type if pieces else pa.int64()
         return pa.table(
-            {id_col: pa.array([], pa.int64()), "loop_score": pa.array([], pa.float64())}
+            {
+                id_col: pa.array([], id_type),
+                "loop_score": pa.array([], pa.float64()),
+            }
         )
     # strip pandas metadata: Ray's tensor-extension reconstruction hints
     # don't round-trip through worker processes for ndarray cells
@@ -60,22 +86,17 @@ def _loop_bucket(
     ids = df[id_col].to_numpy()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
 
-    import warnings
-
-    from pynomaly_ray.loop_core import LocalOutlierProbability
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", UserWarning)
-        k = min(n_neighbors, len(df) - 1)
-        if k < 1:  # a 1-row bucket has no neighborhood; score 0
-            scores = np.zeros(len(df))
-        else:
-            scores = np.asarray(
-                LocalOutlierProbability(X, n_neighbors=k, extent=extent)
-                .fit()
-                .local_outlier_probabilities,
-                dtype=np.float64,
-            )
+    scores = np.empty(len(df), dtype=np.float64)
+    if label_col is not None:
+        # Several distinct bucketer labels can hash into the same task;
+        # each label is an independent LoOP population — fit separately
+        # so hash collisions never mix neighborhoods.
+        labels = df[label_col].to_numpy()
+        for lab in pd.unique(labels):
+            rows = np.flatnonzero(labels == lab)
+            scores[rows] = _fit_group(X[rows], n_neighbors, extent)
+    else:
+        scores[:] = _fit_group(X, n_neighbors, extent)
     return pa.table(
         {
             id_col: pa.array(ids),
@@ -107,9 +128,9 @@ def distributed_loop_scores(
     """
     if bucketer is not None:
         ds = ds.map_batches(bucketer, batch_format="pyarrow")
-        key = [bucket_col]
+        key, label_col = [bucket_col], bucket_col
     else:
-        key = [id_col]
+        key, label_col = [id_col], None
 
     refs = ds.to_arrow_refs()
     p = num_buckets
@@ -122,6 +143,7 @@ def distributed_loop_scores(
         _loop_bucket.remote(
             id_col,
             vec_col,
+            label_col,
             n_neighbors,
             extent,
             *[cols[i][b] for i in range(len(cols))],

@@ -105,10 +105,12 @@ def save_frozen_model(model: FrozenLoopModel, path: str) -> str:
     fitted attributes alive across stream() calls."""
     import os
 
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     tmp = path + ".tmp"
     np.savez_compressed(
-        tmp if tmp.endswith(".npz") else tmp,
+        tmp,
         points=model.points,
         feat_mean=model.feat_mean,
         feat_scale=model.feat_scale,
@@ -122,8 +124,7 @@ def save_frozen_model(model: FrozenLoopModel, path: str) -> str:
         ),
     )
     # numpy appends .npz to the tmp name
-    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
-    os.replace(actual_tmp, path)
+    os.replace(tmp + ".npz", path)
     return path
 
 
@@ -204,9 +205,14 @@ class StreamDriftScorer:
         m = self.m
         X = np.stack(batch["stat_vector"].to_numpy()).astype(np.float64)
         X = (X - m.feat_mean) / m.feat_scale
-        # pairwise distances (B, n_train)
-        diff = X[:, None, :] - m.points[None, :, :]
-        dist = np.sqrt(np.einsum("bnk,bnk->bn", diff, diff))
+        # pairwise distances (B, n_train) via the GEMM expansion —
+        # O(B*n) memory; a broadcast-subtract temp would be O(B*n*dim)
+        # and OOM at the 10^5-row stat tables this is sized for
+        a2 = np.einsum("ij,ij->i", X, X)
+        b2 = np.einsum("ij,ij->i", m.points, m.points)
+        d2 = a2[:, None] - 2.0 * (X @ m.points.T) + b2[None, :]
+        np.clip(d2, 0.0, None, out=d2)
+        dist = np.sqrt(d2)
         k = m.n_neighbors
         n_train = dist.shape[1]
         if n_train >= k:
