@@ -127,12 +127,22 @@ def _pairwise_euclidean(chunk: np.ndarray, pts: np.ndarray) -> np.ndarray:
     if chunk.shape[0] * pts.shape[0] < _GEMM_MIN_CELLS:
         diff = chunk[:, None, :] - pts[None, :, :]
         return np.sqrt(np.einsum("ijk,ijk->ij", diff, diff))
-    a2 = np.einsum("ij,ij->i", chunk, chunk)
-    b2 = np.einsum("ij,ij->i", pts, pts)
-    d2 = a2[:, None] - 2.0 * (chunk @ pts.T) + b2[None, :]
+    # Center first: pairwise distances are translation-invariant, and
+    # centering removes the catastrophic cancellation the expansion
+    # suffers on large-magnitude data (e.g. epoch-second features, where
+    # ||x||^2 ~ 1e18 dwarfs real separations).  After centering, the
+    # residual of identical points is a few ulps of the variance scale,
+    # so a ~16*eps relative snap restores exact zeros without eating
+    # genuine small distances.
+    mu = pts.mean(axis=0)
+    c = chunk - mu
+    p = pts - mu
+    a2 = np.einsum("ij,ij->i", c, c)
+    b2 = np.einsum("ij,ij->i", p, p)
+    d2 = a2[:, None] - 2.0 * (c @ p.T) + b2[None, :]
     scale = a2[:, None] + b2[None, :]
     np.clip(d2, 0.0, None, out=d2)
-    d2[d2 <= 1e-12 * scale] = 0.0
+    d2[d2 <= 16.0 * np.finfo(np.float64).eps * scale] = 0.0
     return np.sqrt(d2)
 
 

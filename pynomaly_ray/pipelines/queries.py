@@ -438,22 +438,22 @@ ORDER BY event_type, hour_bucket
 def q_knn_cosine(sf_dir: str):
     import pyarrow.parquet as pq
 
+    # deterministic query vector: the embedding of vec_id == 0 — fetched
+    # with a row filter, never by materializing the whole table
     emb0 = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
     )
-    # deterministic query: the embedding of vec_id == 0
-    idx = pc.index(emb0["vec_id"], 0).as_py()
-    q = np.asarray(emb0["embedding"][idx].as_py(), dtype=np.float64)
+    q = np.asarray(emb0["embedding"][0].as_py(), dtype=np.float64)
     qn = q / np.linalg.norm(q)
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def score(batch: pa.Table) -> pa.Table:
-        emb = batch["embedding"]
-        comb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
-        offs = comb.offsets.to_numpy(zero_copy_only=False)
-        flat = comb.values[offs[0] : offs[-1]].to_numpy(zero_copy_only=False)
-        M = flat.astype(np.float64).reshape(batch.num_rows, -1)
+        from pynomaly_ray.stages.similarity import _embedding_matrix
+
+        M = _embedding_matrix(batch)
         norms = np.linalg.norm(M, axis=1)
         s = (M @ qn) / np.where(norms > 0, norms, 1.0)
         return pa.table(

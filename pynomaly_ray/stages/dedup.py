@@ -104,11 +104,29 @@ def explode_bands(n_bands: int):
     return _f
 
 
+_BUCKET_PAIR_CAP = 256
+
+
 def bucket_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """One LSH bucket -> candidate pairs (docs sharing a band hash)."""
+    """One LSH bucket -> candidate pairs (docs sharing a band hash).
+
+    Buckets larger than ``_BUCKET_PAIR_CAP`` emit a star (every doc
+    paired with the lexicographically-first) instead of all O(n^2)
+    pairs: a duplicate-heavy corpus — exactly what a dedup pipeline
+    exists for — would otherwise build hundreds of millions of pairs in
+    one Python task.  The star still links every member of a duplicate
+    group to one representative, which is what downstream grouping
+    needs; only (near-dup, near-dup) edges among non-representatives in
+    oversized buckets are sacrificed.
+    """
     docs = sorted(set(group["doc_id"]))
     if len(docs) < 2:
         return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(str)
+    if len(docs) > _BUCKET_PAIR_CAP:
+        rep = docs[0]
+        return pd.DataFrame(
+            {"doc_a": [rep] * (len(docs) - 1), "doc_b": docs[1:]}
+        )
     a, b = [], []
     for i in range(len(docs)):
         for j in range(i + 1, len(docs)):

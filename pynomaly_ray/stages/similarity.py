@@ -18,6 +18,8 @@ import pyarrow as pa
 
 
 def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    if batch.num_rows == 0:
+        return np.empty((0, 0), dtype=np.float64)
     emb = batch[col]
     comb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
     if hasattr(comb, "offsets"):  # plain Arrow list<float>
@@ -49,6 +51,14 @@ class CosineTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         M = _embedding_matrix(batch)
         norms = np.linalg.norm(M, axis=1)
         S = (M @ self.qn.T) / np.where(norms > 0, norms, 1.0)[:, None]
@@ -103,6 +113,8 @@ class HyperplaneLSH:
         self.planes = rng.randn(dim, n_planes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
         M = _embedding_matrix(batch)
         signs = (M @ self.planes) > 0
         bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))

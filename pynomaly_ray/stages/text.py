@@ -124,11 +124,13 @@ class QualityScore:
 
 
 class Fingerprint:
-    """Rolling-hash document fingerprint (content-defined, order
-    sensitive) over ``text``: adds ``fingerprint: uint64-as-int64``.
+    """Full-content 63-bit document fingerprint over ``text``: adds
+    ``fingerprint: int64``.
 
-    Deterministic across processes (CRC32-based mix) — usable as an
-    exact-dedup content key when doc_ids are unreliable.
+    Every byte participates (CRC32 of the text, of its reverse, and its
+    length, mixed) — C-speed, deterministic across processes, and usable
+    as an exact-dedup content key when doc_ids are unreliable (equal
+    fingerprints <=> equal content up to CRC collision odds ~2^-63).
     """
 
     B = 1000003
@@ -137,13 +139,13 @@ class Fingerprint:
         out = batch.copy()
         fps = []
         for text in batch["text"].fillna(""):
-            h = 0xCBF29CE484222325
-            # roll over 8-char shingles, mixing CRCs — cheap and stable
-            step = max(1, len(text) // 64)  # cap work per doc
-            for i in range(0, max(len(text) - 7, 1), step):
-                c = zlib.crc32(text[i : i + 8].encode("utf-8"))
-                h = ((h * self.B) ^ c) & 0xFFFFFFFFFFFFFFFF
-            fps.append(np.int64(np.uint64(h) >> np.uint64(1)))
+            b = text.encode("utf-8")
+            h = (
+                (zlib.crc32(b) << 32)
+                ^ (zlib.crc32(b[::-1]) * self.B)
+                ^ len(b)
+            ) & 0x7FFFFFFFFFFFFFFF
+            fps.append(h)
         out["fingerprint"] = np.array(fps, dtype=np.int64)
         return out
 
