@@ -474,3 +474,24 @@ def test_fuzz_against_reference(reference_loop) -> None:
             assert (
                 np.abs(scores_of(ref) - scores_of(ours)).max() <= 1e-9
             ), f"parity violation at n={n} f={f} k={k} extent={ext}"
+
+
+def test_large_magnitude_data_gemm_path(reference_loop) -> None:
+    """Regression: the BLAS distance expansion must not lose genuine
+    distances to catastrophic cancellation on large-magnitude features
+    (epoch-second-like values ~1.7e9 with separations <= 60)."""
+    rng = np.random.RandomState(5)
+    X = 1.7e9 + rng.uniform(0, 60, (3000, 1))
+    ours = scores_of(LocalOutlierProbability(X, n_neighbors=10).fit())
+    assert (ours > 0).sum() > 100  # not collapsed to zeros
+    if reference_loop is not None:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref = scores_of(
+                reference_loop.LocalOutlierProbability(X, n_neighbors=10).fit()
+            )
+        assert np.abs(ours - ref).max() <= 1e-9
+    # the GEMM path proper (n large enough to cross the cell threshold)
+    X20 = 1.7e9 + rng.uniform(0, 60, (20000, 1))
+    s = scores_of(LocalOutlierProbability(X20, n_neighbors=10).fit())
+    assert (s > 0).sum() > 1000 and np.isfinite(s).all()
