@@ -57,7 +57,12 @@ def _split_block(table: pa.Table, key_cols, p: int):
 def _merge_bucket(merge_fn, *pieces: pa.Table) -> pa.Table:
     tables = [t for t in pieces if t.num_rows]
     if not tables:
-        return pieces[0].schema.empty_table() if pieces else pa.table({})
+        if not pieces:
+            return pa.table({})
+        # run merge_fn on an empty (schema-carrying) frame so the empty
+        # bucket's block has merge_fn's OUTPUT schema, matching the
+        # non-empty buckets
+        tables = [pieces[0]]
     df = pa.concat_tables(tables, promote_options="permissive").to_pandas()
     out = merge_fn(df)
     return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
@@ -256,12 +261,11 @@ def collect_sorted(ds_or_table, sort_cols, ascending=None) -> pd.DataFrame:
     """Materialize a SMALL result and sort it on the driver (replaces
     Dataset.sort for final presentation ordering — a full distributed
     sort is wasted on driver-bound results)."""
-    if isinstance(ds_or_table, pd.DataFrame):
-        df = ds_or_table
-    elif isinstance(ds_or_table, pa.Table):
-        df = ds_or_table.to_pandas()
-    else:
-        df = ds_or_table.to_pandas()
+    df = (
+        ds_or_table
+        if isinstance(ds_or_table, pd.DataFrame)
+        else ds_or_table.to_pandas()
+    )
     if ascending is None:
         ascending = [True] * len(sort_cols)
     return df.sort_values(

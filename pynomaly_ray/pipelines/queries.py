@@ -628,6 +628,13 @@ def q_user_sessions(sf_dir: str):
     ds = _pq(sf_dir, "events", ["user_id", "ts"])
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty buckets reach the reducer schema-only
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "n_sessions": pd.Series(dtype=np.int64),
+                }
+            )
         df = df.sort_values(["user_id", "ts"], kind="mergesort")
         us = df["ts"].astype("int64").to_numpy()
         uid = df["user_id"].to_numpy()

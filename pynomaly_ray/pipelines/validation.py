@@ -190,7 +190,7 @@ def _post_scan_local(tagged, cfg, out_dir, resume):
     checkpoint write never convert the full stream to pandas — only the
     sparse violation rows, the per-partition partials, and duplicate
     *candidates* cross into Python objects."""
-    tables = [ray.get(r) for r in tagged.to_arrow_refs()]
+    tables = ray.get(tagged.to_arrow_refs())  # one call: parallel fetch
     tables = [t for t in tables if t.num_rows]
     if tables:
         all_t = pa.concat_tables(tables)
@@ -285,6 +285,16 @@ def _post_scan_distributed(tagged, cfg, out_dir, resume):
         if "partition_id" not in viol_df.columns:
             viol_df = _empty_df(_VIOL_COLS)
     else:
+        if not wrote_distributed:
+            import warnings
+
+            warnings.warn(
+                f"violation rows exceed the driver cap "
+                f"({_MAX_DRIVER_VIOLATIONS}) and no out_dir was given: "
+                "individual rows are dropped; only per-partition counts "
+                "survive. Pass out_dir to persist the rows.",
+                RuntimeWarning,
+            )
         viol_df = _empty_df(_VIOL_COLS)
 
         def count_partial(t: pa.Table) -> pa.Table:
@@ -393,8 +403,16 @@ def run_validation(
     else:
         vcounts = pd.Series(dtype=np.int64)
 
+    # Partitions whose rows ALL failed validation have no stat row but
+    # must still appear in the report/manifest as failures — otherwise
+    # they vanish (never committed, rescanned on every resume).
+    extra_parts = sorted(
+        set(vcounts.index) - set(stats_df["partition_id"]) - set(done)
+    )
+    extra_report = _invalid_only_report(extra_parts, vcounts, cfg.run_id)
+
     # ---- Stage C: exact LoOP drift over the stat table ----
-    if len(stats_df) == 0:
+    if len(stats_df) == 0 and not extra_parts:
         report = PARTITION_REPORT_SCHEMA.empty_table()
         if out_dir:
             # Commit this run even though it produced no partitions:
@@ -405,6 +423,9 @@ def run_validation(
             write_manifest_snapshot(
                 out_dir, PARTITION_REPORT_SCHEMA.empty_table(), cfg.run_id
             )
+            # duplicates can still be attributed to completed partitions
+            # (e.g. a tolerated first occurrence arriving in this run)
+            _amend_completed(out_dir, vcounts, done, cfg.run_id)
             final = read_full_manifest(out_dir)
             report = final if final is not None else report
         return ValidationResult(
@@ -417,6 +438,35 @@ def run_validation(
             out_dir,
             0,
             skipped,
+        )
+
+    if len(stats_df) == 0:
+        # only invalid-row partitions this run: no LoOP fit to run
+        report = extra_report
+        n_sequences = 0
+        _mark("stage_c")
+        _mark("stage_d")
+        violations_out = (
+            pa.Table.from_pandas(
+                viol_df, schema=VIOLATION_SCHEMA, preserve_index=False
+            )
+            if collect_violations
+            else VIOLATION_SCHEMA.empty_table()
+        )
+        if out_dir:
+            os.makedirs(os.path.join(out_dir, "partitions"), exist_ok=True)
+            _atomic_write(
+                report,
+                os.path.join(out_dir, "partitions", f"{cfg.run_id}.parquet"),
+            )
+            write_manifest_snapshot(out_dir, report, cfg.run_id)
+            _amend_completed(out_dir, vcounts, done, cfg.run_id)
+            final = read_full_manifest(out_dir)
+            return ValidationResult(
+                final, violations_out, out_dir, n_sequences, skipped
+            )
+        return ValidationResult(
+            report, violations_out, out_dir, n_sequences, skipped
         )
 
     stats_df["stat_vector"] = stats_df.apply(finalize_stat_vector, axis=1)
@@ -488,6 +538,8 @@ def run_validation(
         },
         schema=PARTITION_REPORT_SCHEMA,
     )
+    if extra_report.num_rows:
+        report = pa.concat_tables([report, extra_report])
 
     n_sequences = int(stats_df["n_rows"].sum())
     _mark("stage_d")
@@ -520,6 +572,37 @@ def run_validation(
         )
 
     return ValidationResult(report, violations_out, out_dir, n_sequences, skipped)
+
+
+def _invalid_only_report(
+    parts: list, vcounts: pd.Series, run_id: str
+) -> pa.Table:
+    """Report rows for partitions whose every row failed validation:
+    0 valid rows, no stat vector, no drift score — status 'fail'."""
+    if not parts:
+        return PARTITION_REPORT_SCHEMA.empty_table()
+    n = len(parts)
+    return pa.table(
+        {
+            "partition_id": pa.array(parts, pa.string()),
+            "source": pa.array([None] * n, pa.string()),
+            "n_rows": pa.array([0] * n, pa.int64()),
+            "n_violations": pa.array(
+                [int(vcounts[p]) for p in parts], pa.int64()
+            ),
+            "stat_vector": pa.array([[]] * n, pa.list_(pa.float64())),
+            "loop_score": pa.array([0.0] * n, pa.float64()),
+            "status": pa.array(["fail"] * n, pa.string()),
+            "lineage": pa.array(
+                [
+                    {"n_rows": 0, "stats_digest": "", "run_id": run_id}
+                    for _ in parts
+                ],
+                PARTITION_REPORT_SCHEMA.field("lineage").type,
+            ),
+        },
+        schema=PARTITION_REPORT_SCHEMA,
+    )
 
 
 def _amend_completed(

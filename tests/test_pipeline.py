@@ -380,3 +380,37 @@ def test_distributed_violation_cap(seq_dir, ray_session, monkeypatch, tmp_path):
     assert os.path.isdir(vdir)
     vrows = pq.ParquetDataset(vdir).read()
     assert vrows.num_rows == 9
+
+
+def test_all_invalid_partition_reported_and_committed(ray_session, tmp_path):
+    """A partition whose rows ALL fail validation appears in the report
+    and manifest as a failure (0 valid rows, violation count, status
+    fail) and is committed — not silently dropped and rescanned forever."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pynomaly_ray.pipelines.validation import run_validation
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([None, "b2", "g1", "g2", "g3"], pa.string()),
+            "tokens": pa.array(
+                [None, None, [1, 2], [3], [4, 5, 6]], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([1, 1, 2, 1, 3], pa.int32()),
+            "source": pa.array(["web"] * 5, pa.string()),
+            "partition_id": pa.array(
+                ["bad", "bad", "good", "good", "good"], pa.string()
+            ),
+        }
+    )
+    out = str(tmp_path / "out")
+    cfg = ValidationConfig(valid_sources=["web"], n_neighbors=2, run_id="r1")
+    res = run_validation(rd.from_arrow(t), cfg, out_dir=out)
+    rep = res.report.to_pandas().set_index("partition_id")
+    assert rep.loc["bad", "status"] == "fail"
+    assert rep.loc["bad", "n_rows"] == 0
+    assert rep.loc["bad", "n_violations"] == 3  # null doc_id + 2x null tokens
+    cfg2 = ValidationConfig(valid_sources=["web"], n_neighbors=2, run_id="r2")
+    res2 = run_validation(rd.from_arrow(t), cfg2, out_dir=out)
+    assert res2.skipped_partitions == 2  # 'bad' committed, not rescanned
