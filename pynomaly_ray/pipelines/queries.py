@@ -115,8 +115,8 @@ def q_lineitem_agg(sf_dir: str):
 SQL_LINEITEM_AGG = """
 SELECT l_returnflag, l_linestatus,
        SUM(l_quantity) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -220,7 +220,7 @@ def q_ref_membership(sf_dir: str):
 SQL_REF_MEMBERSHIP = """
 SELECT event_id, user_id
 FROM events
-WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+WHERE user_id IS NULL OR user_id NOT IN (SELECT c_custkey FROM customer)
 ORDER BY event_id
 """
 
@@ -249,7 +249,7 @@ def q_lang_membership(sf_dir: str):
 SQL_LANG_MEMBERSHIP = """
 SELECT doc_id, lang
 FROM documents
-WHERE lang NOT IN ('de', 'en', 'fr')
+WHERE lang IS NULL OR lang NOT IN ('de', 'en', 'fr')
 ORDER BY doc_id
 """
 
@@ -293,7 +293,7 @@ def q_source_stats(sf_dir: str):
 
 
 SQL_SOURCE_STATS = """
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents
 GROUP BY source
@@ -364,7 +364,9 @@ def q_token_counts(sf_dir: str):
 
 SQL_TOKEN_COUNTS = r"""
 SELECT source,
-       SUM(CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS sum_tokens,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                     ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                END) AS BIGINT) AS sum_tokens,
        COUNT(*) AS n_docs
 FROM documents
 GROUP BY source
@@ -424,7 +426,7 @@ SQL_HOURLY_EVENTS = """
 SELECT event_type,
        CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 GROUP BY event_type, CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT)
 ORDER BY event_type, hour_bucket
@@ -532,7 +534,7 @@ def q_segment_revenue(sf_dir: str):
 
 SQL_SEGMENT_REVENUE = """
 SELECT c_mktsegment, COUNT(*) AS n_orders,
-       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_total_cents
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -653,7 +655,7 @@ def q_user_sessions(sf_dir: str):
 
 
 SQL_USER_SESSIONS = """
-SELECT user_id, SUM(is_start) AS n_sessions FROM (
+SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
@@ -782,7 +784,7 @@ def q_nation_revenue(sf_dir: str):
 
 SQL_NATION_REVENUE = """
 SELECT n_name, COUNT(*) AS n_lines,
-       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -32,9 +32,34 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+def arrow_types(obj) -> dict:
+    """Column -> pyarrow type, the dtype surface the driver's value hash
+    sees (round 1 lesson: DuckDB integer SUM is decimal128 unless CAST)."""
+    import pyarrow as pa
+
+    t = obj if isinstance(obj, pa.Table) else pa.Table.from_pandas(
+        obj, preserve_index=False
+    )
+    return {n: str(t.schema.field(n).type) for n in t.schema.names}
+
+
+def compare(
+    name: str,
+    ray_df: pd.DataFrame,
+    sql_df: pd.DataFrame,
+    ray_types: dict | None = None,
+    sql_types: dict | None = None,
+) -> str:
     if list(sorted(ray_df.columns)) != list(sorted(sql_df.columns)):
         return f"SCHEMA MISMATCH ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}"
+    if ray_types and sql_types:
+        bad = {
+            c: (ray_types.get(c), sql_types.get(c))
+            for c in ray_df.columns
+            if ray_types.get(c) != sql_types.get(c)
+        }
+        if bad:
+            return f"DTYPE MISMATCH {bad}"
     if len(ray_df) != len(sql_df):
         return f"ROWCOUNT MISMATCH ray={len(ray_df)} sql={len(sql_df)}"
     a, b = canon(ray_df), canon(sql_df)
@@ -94,8 +119,11 @@ def main():
         if name not in oracles:
             print(f"{name:20s} rows-only: {len(ray_df)} rows")
             continue
-        sql_df = con.execute(oracles[name]).fetchdf()
-        verdict = compare(name, ray_df, sql_df)
+        sql_arrow = con.execute(oracles[name]).arrow()
+        sql_df = sql_arrow.to_pandas()
+        verdict = compare(
+            name, ray_df, sql_df, arrow_types(ray_df), arrow_types(sql_arrow)
+        )
         print(f"{name:20s} {verdict}  ({len(ray_df)} rows)")
         if verdict != "OK":
             failures += 1
