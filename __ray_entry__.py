@@ -24,11 +24,10 @@ from typing import Any
 
 def _sequence_ds_from_documents(sf_dir: str):
     """documents -> sequence table via the Tokenizer actor-pool stage."""
-    import ray.data as rd
-
+    from pynomaly_ray.sources.parquet import read_parquet_clean
     from pynomaly_ray.stages.tokenize import Tokenizer
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source"],
     )

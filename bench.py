@@ -101,21 +101,31 @@ def run_headline(sf_name: str) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict[str, float]:
+def run_queries(sf_dir: str, emit=None) -> dict[str, float]:
     from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
 
     timings = {}
     for name, (fn, _sql) in ORACLE_QUERIES.items():
         t0 = time.perf_counter()
-        res = fn(sf_dir)
-        # consume lazily-built results
-        if hasattr(res, "to_pandas"):
-            res.to_pandas() if not hasattr(res, "materialize") else res.materialize()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            res = fn(sf_dir)
+            # consume lazily-built results
+            if hasattr(res, "to_pandas"):
+                res.to_pandas() if not hasattr(res, "materialize") else res.materialize()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must not void the record
+            timings[name] = None
+            print(f"bench: query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+        if emit is not None:
+            emit(timings)
     return timings
 
 
-def single_run() -> dict:
+def single_run(emit=None) -> dict:
+    """The actual measurement.  ``emit`` (child mode) is called with the
+    partial record at every milestone — headline measured, then after
+    each query — so a transient raylet death mid-run still leaves the
+    latest milestone on stdout for the parent to salvage."""
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(os.path.normpath(sf_dir))
@@ -138,24 +148,76 @@ def single_run() -> dict:
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    headline = run_headline(sf_name)
-    queries = run_queries(sf_dir)
-
     out = {
         "metric": "validation pipeline wall time (synthesized sequence table)",
-        "value": round(headline["seconds"], 3),
+        "value": None,
         "unit": "sec",
-        "sequences": headline["sequences"],
-        "sequences_per_sec": round(headline["sequences_per_sec"], 1),
-        "tokens": headline.get("tokens"),
-        "tokens_per_sec": headline.get("tokens_per_sec"),
-        "partitions": headline["partitions"],
-        "queries": queries,
+        "queries": {},
         "sf": sf_name,
         "num_cpus": num_cpus,
     }
+
+    headline = run_headline(sf_name)
+    out.update(
+        {
+            "value": round(headline["seconds"], 3),
+            "sequences": headline["sequences"],
+            "sequences_per_sec": round(headline["sequences_per_sec"], 1),
+            "tokens": headline.get("tokens"),
+            "tokens_per_sec": headline.get("tokens_per_sec"),
+            "partitions": headline["partitions"],
+        }
+    )
+    if emit is not None:
+        emit(out)
+    if os.environ.get("PNR_BENCH_CRASH_AFTER_HEADLINE"):
+        os._exit(17)  # test hook: simulated raylet death mid-run
+
+    def emit_queries(timings):
+        out["queries"] = dict(timings)
+        if emit is not None:
+            emit(out)
+
+    out["queries"] = run_queries(sf_dir, emit=lambda t: emit_queries(t))
     ray.shutdown()
     return out
+
+
+def resilient_run() -> dict:
+    """Driver entry: run the measurement in a child process; retry once
+    on a Ray-level crash (round 1's official bench record was voided by
+    one transient raylet death); always produce a parseable JSON record
+    from the child's last milestone even when the child dies mid-run."""
+    last_parsed, last_tail = None, ""
+    for attempt in (1, 2):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            capture_output=True,
+            text=True,
+        )
+        parsed = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+                break
+            except (json.JSONDecodeError, ValueError):
+                continue
+        if proc.returncode == 0 and parsed is not None:
+            return parsed
+        last_tail = proc.stderr[-2000:]
+        if parsed is not None and (
+            last_parsed is None or parsed.get("value") is not None
+        ):
+            last_parsed = dict(parsed, crash_note=f"child rc={proc.returncode} on attempt {attempt}")
+    if last_parsed is not None:
+        return last_parsed
+    return {
+        "metric": "validation pipeline wall time (synthesized sequence table)",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "error": f"both attempts crashed before the first milestone; stderr tail: {last_tail}",
+    }
 
 
 def calibration(ncpu: int) -> float:
@@ -246,5 +308,8 @@ if __name__ == "__main__":
         print(calibration(n))
     elif "--scaling" in sys.argv:
         print(json.dumps(scaling_run()))
+    elif "--child" in sys.argv:
+        # milestone lines flushed immediately; the last complete one wins
+        single_run(emit=lambda rec: print(json.dumps(rec), flush=True))
     else:
-        print(json.dumps(single_run()))
+        print(json.dumps(resilient_run()))

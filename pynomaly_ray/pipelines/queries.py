@@ -43,10 +43,12 @@ def _pq(sf_dir: str, table: str, columns=None):
     per-task work meaningful at every scale."""
     import pyarrow.parquet as papq
 
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
     path = os.path.join(sf_dir, f"{table}.parquet")
     rows = papq.read_metadata(path).num_rows
     blocks = max(1, min(64, rows // _ROWS_PER_BLOCK + 1))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    return read_parquet_clean(path, columns=columns, override_num_blocks=blocks)
 
 
 def _cents(x):

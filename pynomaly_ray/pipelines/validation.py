@@ -257,7 +257,9 @@ def _post_scan_distributed(tagged, cfg, out_dir, resume):
         prior_dirs = _prior_docpart_dirs(out_dir, cfg.run_id, resume)
         docparts_ds.write_parquet(os.path.join(out_dir, "docparts", cfg.run_id))
         if prior_dirs:
-            prior_docparts = rd.read_parquet(prior_dirs)
+            from pynomaly_ray.sources.parquet import read_parquet_clean
+
+            prior_docparts = read_parquet_clean(prior_dirs)
 
     dup_ds = duplicates_from_docparts(docparts_ds, prior_docparts)
 
@@ -676,6 +678,8 @@ def sequence_dataset_from_dir(path: str, rows_per_block: int = 32768):
         for f in sorted(os.listdir(path))
         if f.endswith(".parquet")
     ]
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
     total = sum(pq.read_metadata(f).num_rows for f in files)
     blocks = max(len(files), min(1024, total // rows_per_block + 1))
-    return rd.read_parquet(files, override_num_blocks=blocks)
+    return read_parquet_clean(files, override_num_blocks=blocks)
