@@ -151,8 +151,12 @@ def hash_join(
     def _join_bucket(n_left: int, *pieces: pa.Table) -> pa.Table:
         # empty piece tables still carry their schema, so the merge below
         # yields correctly-typed (possibly zero-row) output per bucket
-        ldf = pa.concat_tables(pieces[:n_left]).to_pandas()
-        rdf = pa.concat_tables(pieces[n_left:]).to_pandas()
+        ldf = pa.concat_tables(
+            pieces[:n_left], promote_options="permissive"
+        ).to_pandas()
+        rdf = pa.concat_tables(
+            pieces[n_left:], promote_options="permissive"
+        ).to_pandas()
         out = ldf.merge(rdf, on=keys, how=how)
         if merge_fn is not None:
             out = merge_fn(out)

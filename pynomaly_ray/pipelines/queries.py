@@ -307,12 +307,22 @@ ORDER BY source
 # Q: exact_dedup — exact dedup keep-first (min doc_id) per text content.
 # ---------------------------------------------------------------------------
 def q_exact_dedup(sf_dir: str):
+    """Content is hashed to int64 in the scan; only (hash, min doc_id,
+    count) partials cross the exchange — the text never leaves the map
+    task (64-bit collision odds ~n^2/2^65, negligible at any sf here)."""
+    from pynomaly_ray.functions.hashing import hash_strings
+
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        df = pd.DataFrame(
+            {
+                "content_hash": hash_strings(batch["text"]).astype(np.int64),
+                "doc_id": batch["doc_id"].to_pandas(),
+            }
+        )
         g = (
-            df.groupby("text", sort=False)
+            df.groupby("content_hash", sort=False)
             .agg(doc_id=("doc_id", "min"), copies=("doc_id", "size"))
             .reset_index()
         )
@@ -320,14 +330,14 @@ def q_exact_dedup(sf_dir: str):
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         g = (
-            df.groupby("text", sort=False)
+            df.groupby("content_hash", sort=False)
             .agg(doc_id=("doc_id", "min"), copies=("copies", "sum"))
             .reset_index()
         )
         return g[["doc_id", "copies"]]
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = hash_aggregate(partials, ["text"], merge, 8)
+    out = hash_aggregate(partials, ["content_hash"], merge, 8)
     return collect_sorted(out, ["doc_id"])
 
 
@@ -796,3 +806,299 @@ ORDER BY n_name
 """
 
 ORACLE_QUERIES["nation_revenue"] = (q_nation_revenue, SQL_NATION_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# Q: embedding_neardup_exact — exact all-pairs cosine near-dup baseline:
+# per-block matmul against the broadcast normalized corpus (the small
+# side, shipped once via ray.put), checked against a DuckDB self-join.
+# The LSH-bucketed variant (engine query embedding_neardup) is the scale
+# path; this exact form is valid while the corpus matrix fits a worker
+# (<= ~10^6 x 64 floats).
+# ---------------------------------------------------------------------------
+_NEARDUP_COS_THRESHOLD = 0.4
+
+
+def q_embedding_neardup_exact(sf_dir: str):
+    import pyarrow.parquet as papq
+
+    import ray
+
+    corpus = papq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    from pynomaly_ray.stages.similarity import _embedding_matrix
+
+    C = _embedding_matrix(corpus)
+    cn = np.linalg.norm(C, axis=1)
+    Cn = (C / np.where(cn > 0, cn, 1.0)[:, None]).T  # (dim, n) normalized
+    corpus_ids = corpus["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cref = ray.put((Cn, corpus_ids))
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class PairScan:
+        def __init__(self, ref):
+            self.Cn, self.ids = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "vec_a": pa.array([], pa.int64()),
+                        "vec_b": pa.array([], pa.int64()),
+                        "cosine_e6": pa.array([], pa.int64()),
+                    }
+                )
+            M = _embedding_matrix(batch)
+            mn = np.linalg.norm(M, axis=1)
+            S = (M / np.where(mn > 0, mn, 1.0)[:, None]) @ self.Cn
+            bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # ordered pairs only (a < b): each pair emitted exactly once
+            mask = (S >= _NEARDUP_COS_THRESHOLD) & (
+                bids[:, None] < self.ids[None, :]
+            )
+            bi, cj = np.nonzero(mask)
+            return pa.table(
+                {
+                    "vec_a": pa.array(bids[bi], pa.int64()),
+                    "vec_b": pa.array(self.ids[cj], pa.int64()),
+                    "cosine_e6": pa.array(
+                        np.floor(S[bi, cj] * 1_000_000 + 0.5).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    out = _collect(
+        ds.map_batches(
+            PairScan,
+            fn_constructor_kwargs={"ref": cref},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(1, 4),
+        ),
+        pa.schema(
+            [
+                ("vec_a", pa.int64()),
+                ("vec_b", pa.int64()),
+                ("cosine_e6", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["vec_a", "vec_b"])
+
+
+SQL_EMBEDDING_NEARDUP_EXACT = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: ref_membership_subset — the anti-join with a restricted valid set
+# (even custkeys), so the check is NON-vacuous on this testdata (the
+# plain ref_membership legitimately returns 0 rows here and proves only
+# schema).  Returns per-user violation counts to keep the result small.
+# ---------------------------------------------------------------------------
+def q_ref_membership_subset(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )["c_custkey"]
+    keys = cust.to_numpy(zero_copy_only=False)
+    valid = pa.array(keys[keys % 2 == 0], pa.int64())
+    ds = _pq(sf_dir, "events", ["event_id", "user_id"])
+
+    def anti_partial(batch: pa.Table) -> pa.Table:
+        member = pc.is_in(batch["user_id"], value_set=valid)
+        sel = batch.filter(pc.invert(pc.fill_null(member, False)))
+        df = sel.to_pandas()
+        g = (
+            df.groupby("user_id", sort=False, dropna=False)
+            .size()
+            .reset_index(name="n_bad_events")
+        )
+        return _from_pandas(g)
+
+    partials = ds.map_batches(anti_partial, batch_format="pyarrow")
+    out = hash_aggregate(
+        partials,
+        ["user_id"],
+        lambda df: df.groupby("user_id", sort=False, dropna=False).sum().reset_index(),
+        4,
+    )
+    return collect_sorted(out, ["user_id"])
+
+
+SQL_REF_MEMBERSHIP_SUBSET = """
+SELECT user_id, COUNT(*) AS n_bad_events
+FROM events
+WHERE user_id IS NULL
+   OR user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: long_docs — threshold filter returning real rows on this testdata
+# (the n_chars_check violation scan is legitimately empty here).
+# ---------------------------------------------------------------------------
+def q_long_docs(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.fill_null(pc.greater(batch["n_chars"], 450), False)
+        )
+
+    out = _collect(
+        ds.map_batches(pick, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_LONG_DOCS = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE n_chars > 450
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: latest_orders — keep-newest-per-key dedup (the "keep newest version
+# of each doc" shape of training-data pipelines) as a rank/window query:
+# per customer, the most recent order (orderkey as deterministic
+# tiebreak).  Engine: per-batch partial keep-newest, then the same
+# reduction per key bucket — no global sort, no window shuffle.
+# ---------------------------------------------------------------------------
+def q_latest_orders(sf_dir: str):
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def keep_newest(df: pd.DataFrame) -> pd.DataFrame:
+        # full-resolution epoch-us carried through the reduction so the
+        # tiebreak matches ORDER BY o_orderdate DESC exactly; day floor
+        # is applied only in the final projection
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series(dtype=np.int64),
+                    "o_orderkey": pd.Series(dtype=np.int64),
+                    "order_us": pd.Series(dtype=np.int64),
+                }
+            )
+        if "order_us" not in df.columns:
+            df = df.assign(order_us=df["o_orderdate"].astype("int64"))
+        df = df.sort_values(
+            ["o_custkey", "order_us", "o_orderkey"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        out = df.drop_duplicates("o_custkey", keep="first")
+        return out[["o_custkey", "o_orderkey", "order_us"]].reset_index(drop=True)
+
+    partials = ds.map_batches(
+        lambda t: _from_pandas(keep_newest(t.to_pandas())),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    out = hash_aggregate(partials, ["o_custkey"], keep_newest, 4)
+    df = collect_sorted(out, ["o_custkey"])
+    df["order_day"] = df.pop("order_us") // 86_400_000_000
+    return df
+
+
+SQL_LATEST_ORDERS = """
+SELECT o_custkey, o_orderkey,
+       CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS order_day
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+) = 1
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top_events_per_type — rank/top-N-per-group window query: the three
+# highest-value events of each type.  Engine: local top-3 per type in
+# each batch, same reduction per type bucket; ranks assigned at the end.
+# ---------------------------------------------------------------------------
+def q_top_events_per_type(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "event_id": pd.Series(dtype=np.int64),
+                    "value_cents": pd.Series(dtype=np.int64),
+                }
+            )
+        if "value_cents" not in df.columns:
+            df = df.assign(value_cents=_cents(df["value"].to_numpy()))
+        df = df.sort_values(
+            ["event_type", "value_cents", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("event_type", sort=False).head(3)
+        return out[["event_type", "event_id", "value_cents"]].reset_index(drop=True)
+
+    partials = ds.map_batches(
+        lambda t: _from_pandas(local_top(t.to_pandas())),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    merged = hash_aggregate(partials, ["event_type"], local_top, 2)
+    df = collect_sorted(merged, ["event_type"])
+    df["rank"] = df.groupby("event_type", sort=False).cumcount() + 1
+    return df.sort_values(["event_type", "rank"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+SQL_TOP_EVENTS_PER_TYPE = """
+SELECT event_type, event_id,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+       CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC, event_id
+       ) AS BIGINT) AS rank
+FROM events
+QUALIFY rank <= 3
+ORDER BY event_type, rank
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "embedding_neardup_exact": (
+            q_embedding_neardup_exact,
+            SQL_EMBEDDING_NEARDUP_EXACT,
+        ),
+        "ref_membership_subset": (
+            q_ref_membership_subset,
+            SQL_REF_MEMBERSHIP_SUBSET,
+        ),
+        "long_docs": (q_long_docs, SQL_LONG_DOCS),
+        "latest_orders": (q_latest_orders, SQL_LATEST_ORDERS),
+        "top_events_per_type": (q_top_events_per_type, SQL_TOP_EVENTS_PER_TYPE),
+    }
+)

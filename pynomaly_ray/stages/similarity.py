@@ -123,45 +123,148 @@ class HyperplaneLSH:
         )
 
 
-def near_dup_pairs_embedding(
-    ds, *, dim: int, threshold: float = 0.95, n_planes: int = 10
-) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets.
+class MultiTableLSH:
+    """L independent hyperplane tables of k planes each: emits the long
+    format (vec_id, table_id, bucket) — L rows per vector, embeddings NOT
+    carried (candidates re-join them later).  OR-ing tables lifts recall
+    from p^k to 1-(1-p^k)^L, the standard LSH knob."""
 
-    Within each bucket (a small group after the groupby shuffle), computes
-    exact pairwise cosine and keeps pairs >= threshold.  Pairs split
-    across buckets are missed with probability (1 - (1-theta/pi)^P)... the
-    standard LSH recall tradeoff; lower n_planes for higher recall.
+    def __init__(self, dim: int, n_planes: int = 4, n_tables: int = 8, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        # (dim, n_tables * n_planes): one matmul covers all tables
+        self.planes = rng.randn(dim, n_tables * n_planes)
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "table_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        M = _embedding_matrix(batch)
+        signs = (M @ self.planes) > 0  # (n, T*k)
+        signs = signs.reshape(n, self.n_tables, self.n_planes)
+        bucket = signs @ (1 << np.arange(self.n_planes, dtype=np.int64))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vec_ids, self.n_tables), pa.int64()),
+                "table_id": pa.array(
+                    np.tile(np.arange(self.n_tables, dtype=np.int64), n), pa.int64()
+                ),
+                "bucket": pa.array(bucket.astype(np.int64).ravel(), pa.int64()),
+            }
+        )
+
+
+_BUCKET_PAIR_CAP = 512
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One (table, bucket) group -> candidate id pairs; oversized buckets
+    emit a star to the smallest id (see stages/dedup.py rationale)."""
+    ids = np.unique(np.asarray(g["vec_id"], dtype=np.int64))
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype=np.int64),
+                "vec_b": pd.Series(dtype=np.int64),
+            }
+        )
+    if len(ids) > _BUCKET_PAIR_CAP:
+        return pd.DataFrame({"vec_a": np.full(len(ids) - 1, ids[0]), "vec_b": ids[1:]})
+    iu = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"vec_a": ids[iu[0]], "vec_b": ids[iu[1]]})
+
+
+def near_dup_pairs_embedding(
+    ds,
+    *,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane
+    LSH, fully distributed:
+
+    1. L tables of k hyperplane signs per vector (one matmul);
+    2. groupby (table_id, bucket) -> candidate id pairs (uniform keys);
+    3. hash-exchange dedup of pairs;
+    4. embeddings hash-joined onto the candidates (never broadcast, never
+       driver-collected) and exact cosine computed vectorized per batch;
+    5. only verified pairs >= threshold reach the driver.
+
+    Recall for a pair at angle theta: 1-(1-p^k)^L with p = 1-theta/pi —
+    raise n_tables for higher recall, n_planes for sparser buckets.
     """
-    bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+    from pynomaly_ray.functions.exchange import hash_aggregate, hash_join
+
+    buckets = ds.map_batches(
+        MultiTableLSH,
+        fn_constructor_kwargs={
+            "dim": dim,
+            "n_planes": n_planes,
+            "n_tables": n_tables,
+        },
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=(1, 4),
     )
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        M = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        n = np.linalg.norm(M, axis=1)
-        S = (M @ M.T) / np.outer(np.where(n > 0, n, 1), np.where(n > 0, n, 1))
-        ids = g["vec_id"].to_numpy()
-        iu = np.triu_indices(len(g), k=1)
-        mask = S[iu] >= threshold
-        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": S[iu][mask]})
-
-    pairs = bucketed.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    cands = buckets.groupby(["table_id", "bucket"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
     )
-    df = pairs.to_pandas()
+    uniq = hash_aggregate(
+        cands,
+        ["vec_a", "vec_b"],
+        lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
+        num_partitions=4,
+    )
+
+    def _rename(col_id: str, col_emb: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({col_id: t["vec_id"], col_emb: t["embedding"]})
+
+        return _f
+
+    emb_a = ds.map_batches(_rename("vec_a", "emb_a"), batch_format="pyarrow")
+    emb_b = ds.map_batches(_rename("vec_b", "emb_b"), batch_format="pyarrow")
+    with_a = hash_join(uniq, emb_a, ["vec_a"], num_partitions=4)
+    with_b = hash_join(with_a, emb_b, ["vec_b"], num_partitions=4)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        A = _embedding_matrix(t, "emb_a")
+        B = _embedding_matrix(t, "emb_b")
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        cos = (A * B).sum(axis=1) / (
+            np.where(na > 0, na, 1) * np.where(nb > 0, nb, 1)
+        )
+        keep = cos >= threshold
+        va = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        vb = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "vec_a": pa.array(va, pa.int64()),
+                "vec_b": pa.array(vb, pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    df = with_b.map_batches(verify, batch_format="pyarrow").to_pandas()
     if df.empty:
         return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-    return (
-        df.drop_duplicates(["vec_a", "vec_b"])
-        .sort_values(["vec_a", "vec_b"])
-        .reset_index(drop=True)
-    )
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
