@@ -175,6 +175,51 @@ def hash_join(
     return ray.data.from_arrow_refs(merged)
 
 
+def hash_anti_join(
+    ds_left,
+    ds_right,
+    on: str,
+    num_partitions: int = 16,
+):
+    """Distributed anti-join: left rows whose ``on`` key does NOT occur
+    in the right side.  Both sides hash-partition on the key; each bucket
+    filters with an Arrow ``is_in`` against its own (small) key set — the
+    left rows never round-trip through pandas, so wide columns (token
+    arrays, binary payloads) pass through untouched.
+
+    This is the scale path for "filter out flagged ids": a broadcast
+    ``is_in`` set re-ships the whole id set into every map task, which
+    inverts from win to bottleneck once the set reaches ~10^6 ids; here
+    each task sees only its bucket's 1/P share.
+    """
+    import pyarrow.compute as _pc
+
+    ls = _partitioned_refs(ds_left, [on], num_partitions)
+    rs = _partitioned_refs(ds_right, [on], num_partitions)
+
+    @ray.remote
+    def _anti_bucket(n_left: int, *pieces: pa.Table) -> pa.Table:
+        lt = pa.concat_tables(pieces[:n_left], promote_options="permissive")
+        rt = pa.concat_tables(pieces[n_left:], promote_options="permissive")
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return lt
+        keys = _pc.unique(rt[on].combine_chunks())
+        ok = _pc.invert(
+            _pc.fill_null(_pc.is_in(lt[on], value_set=keys), True)
+        )
+        return lt.filter(ok)
+
+    merged = [
+        _anti_bucket.remote(
+            len(ls),
+            *[ls[i][b] for i in range(len(ls))],
+            *[rs[i][b] for i in range(len(rs))],
+        )
+        for b in range(num_partitions)
+    ]
+    return ray.data.from_arrow_refs(merged)
+
+
 def asof_join(
     ds_left,
     ds_right,

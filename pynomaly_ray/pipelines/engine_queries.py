@@ -21,26 +21,24 @@ from pynomaly_ray.pipelines.queries import _pq, collect_sorted
 def q_loop_embeddings(sf_dir: str):
     """LoOP outlier scores over the embeddings table: the reference's
     core capability exposed as a query (vec_id, loop score scaled 1e6).
-    Non-SQL-expressible (iterative kNN + erf normalization)."""
-    import pyarrow.parquet as papq
+    Non-SQL-expressible (iterative kNN + erf normalization).
 
-    from pynomaly_ray.loop_core import LocalOutlierProbability
+    Routed through ``distributed_loop_scores`` with a single bucket: the
+    whole-table exact global fit (identical to the reference's
+    single-cluster fit) runs in ONE Ray worker task, never on the
+    driver; many-bucket variants (q_loop_distributed) are the path for
+    row counts beyond one worker's O(n^2)."""
+    from pynomaly_ray.stages.loop_distributed import distributed_loop_scores
 
-    t = papq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    scored = distributed_loop_scores(
+        ds, n_neighbors=10, extent=3, num_buckets=1
     )
-    vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    order = np.argsort(vec_ids, kind="stable")
-    vec_ids, M = vec_ids[order], M[order]
-    model = LocalOutlierProbability(M, n_neighbors=10, extent=3).fit()
-    scores = np.asarray(model.local_outlier_probabilities, dtype=np.float64)
-    return pd.DataFrame(
-        {
-            "vec_id": vec_ids,
-            "loop_e6": np.floor(scores * 1_000_000 + 0.5).astype(np.int64),
-        }
+    df = scored.to_pandas()
+    df["loop_e6"] = np.floor(df.pop("loop_score") * 1_000_000 + 0.5).astype(
+        np.int64
     )
+    return collect_sorted(df, ["vec_id"])
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -241,38 +239,51 @@ ENGINE_QUERIES = {
 }
 
 
+_MATRIX_MODE_CAP = 4096
+
+
 def q_loop_matrix_mode(sf_dir: str):
     """LoOP via precomputed distance/neighbor matrices (the reference's
     bring-your-own-metric escape hatch, README.md:371-413) over
     embeddings with a Manhattan metric — demonstrates §2.10 at the query
-    surface. Deterministic (vec_id, loop_e6)."""
-    import pyarrow.parquet as papq
+    surface. Deterministic (vec_id, loop_e6).
 
-    from pynomaly_ray.loop_core import LocalOutlierProbability
+    Matrix mode is inherently a whole-matrix API (the user hands over
+    O(n*k) matrices), so the demo runs as ONE Ray worker task with a
+    documented input cap — the driver only collects the scored rows.
+    Beyond the cap, bring-your-own-metric means bucketing first
+    (q_loop_distributed) and matrix mode within each bucket."""
+    import ray
 
-    t = papq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    order = np.argsort(vec_ids, kind="stable")
-    vec_ids, M = vec_ids[order], M[order]
-    # Manhattan distances (a metric loop_core's internal kNN does not use)
-    k = 10
-    D = np.abs(M[:, None, :] - M[None, :, :]).sum(axis=2)
-    np.fill_diagonal(D, np.inf)
-    idx = np.argpartition(D, k, axis=1)[:, :k]
-    dist = np.take_along_axis(D, idx, axis=1)
-    model = LocalOutlierProbability(
-        distance_matrix=dist, neighbor_matrix=idx, n_neighbors=k
-    ).fit()
-    scores = np.asarray(model.local_outlier_probabilities, dtype=np.float64)
-    return pd.DataFrame(
-        {
-            "vec_id": vec_ids,
-            "loop_e6": np.floor(scores * 1_000_000 + 0.5).astype(np.int64),
-        }
-    )
+    @ray.remote
+    def _fit(path: str) -> pd.DataFrame:
+        import pyarrow.parquet as papq
+
+        from pynomaly_ray.loop_core import LocalOutlierProbability
+
+        t = papq.read_table(path, columns=["vec_id", "embedding"])
+        vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        order = np.argsort(vec_ids, kind="stable")[:_MATRIX_MODE_CAP]
+        vec_ids, M = vec_ids[order], M[order]
+        # Manhattan distances (a metric loop_core's internal kNN lacks)
+        k = 10
+        D = np.abs(M[:, None, :] - M[None, :, :]).sum(axis=2)
+        np.fill_diagonal(D, np.inf)
+        idx = np.argpartition(D, k, axis=1)[:, :k]
+        dist = np.take_along_axis(D, idx, axis=1)
+        model = LocalOutlierProbability(
+            distance_matrix=dist, neighbor_matrix=idx, n_neighbors=k
+        ).fit()
+        scores = np.asarray(model.local_outlier_probabilities, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "vec_id": vec_ids,
+                "loop_e6": np.floor(scores * 1_000_000 + 0.5).astype(np.int64),
+            }
+        )
+
+    return ray.get(_fit.remote(os.path.join(sf_dir, "embeddings.parquet")))
 
 
 ENGINE_QUERIES["loop_matrix_mode"] = q_loop_matrix_mode

@@ -164,18 +164,9 @@ def _prior_docpart_dirs(out_dir: str, run_id: str, resume: bool) -> list[str]:
     dp_root = os.path.join(out_dir, "docparts")
     if not (resume and os.path.isdir(dp_root)):
         return []
-    from pynomaly_ray.state.manifest import manifest_dir
+    from pynomaly_ray.state.manifest import committed_run_ids
 
-    md = manifest_dir(out_dir)
-    committed = (
-        {
-            f[: -len(".parquet")]
-            for f in os.listdir(md)
-            if f.endswith(".parquet")
-        }
-        if os.path.isdir(md)
-        else set()
-    )
+    committed = committed_run_ids(out_dir)
     return [
         os.path.join(dp_root, d)
         for d in sorted(os.listdir(dp_root))
@@ -344,6 +335,17 @@ def run_validation(
         now = _time.perf_counter()
         _phases.append((name, now - _t))
         _t = now
+
+    if out_dir:
+        from pynomaly_ray.state.manifest import committed_run_ids
+
+        if cfg.run_id in committed_run_ids(out_dir):
+            raise ValueError(
+                f"run_id {cfg.run_id!r} already has a committed manifest "
+                f"snapshot in {out_dir!r}; reusing it would overwrite "
+                "checkpointed state (docparts, violations, manifest). "
+                "Pick a fresh run_id for every run against an out_dir."
+            )
 
     skipped = 0
     done: frozenset = frozenset()
@@ -627,7 +629,15 @@ def _amend_completed(
     mdf.loc[mask, "n_violations"] = mdf.loc[mask, "n_violations"] + add
     mdf.loc[mask, "status"] = "fail"
     amended = pa.Table.from_pandas(mdf[mask], preserve_index=False)
-    write_manifest_snapshot(out_dir, amended, f"{run_id}-zamend")
+    # the snapshot sequence number (state/manifest.py) makes this later
+    # snapshot win the per-partition merge; no name tricks needed
+    write_manifest_snapshot(out_dir, amended, run_id)
+
+
+# broadcast-vs-anti-join switch point: ~10^6 string ids is ~50 MB
+# re-serialized into EVERY filter task; beyond it the partitioned
+# anti-join (1/P of the set per task) wins
+_BAD_IDS_BROADCAST_CAP = 1_000_000
 
 
 def write_validated_output(
@@ -642,27 +652,49 @@ def write_validated_output(
     (one directory per partition -> a failed run skips finished
     partitions on retry; never one giant file).  Requires a second scan
     of the input: validation-only runs scan once, check+write runs scan
-    twice with the violating doc_id set broadcast into the filter.
+    twice.
+
+    Size-adaptive like Stage B: below ``_BAD_IDS_BROADCAST_CAP``
+    violating ids, the id set is broadcast into every filter task
+    (cheapest); above it — a garbage input where most rows violate —
+    the broadcast itself becomes the bottleneck and the filter switches
+    to a hash-partitioned anti-join (each task sees 1/P of the id set,
+    token arrays stay zero-copy Arrow).  Both paths are byte-identical
+    (asserted by test).
     """
-    bad_ids = (
-        pa.array(sorted(set(viol_df["doc_id"].dropna())), pa.string())
-        if len(viol_df)
-        else pa.array([], pa.string())
+    bad_id_list = (
+        sorted(set(viol_df["doc_id"].dropna())) if len(viol_df) else []
     )
 
-    def keep_valid(t: pa.Table) -> pa.Table:
-        ok = pc.invert(
-            pc.fill_null(pc.is_in(t["doc_id"], value_set=bad_ids), True)
-        )
-        # null doc_id rows can't be matched by id; drop null ids directly
-        ok = pc.and_(ok, pc.is_valid(t["doc_id"]))
-        ok = pc.and_(ok, pc.is_valid(t["tokens"]))
+    def drop_null_rows(t: pa.Table) -> pa.Table:
+        # null doc_id rows can't be matched by id; null tokens are not
+        # valid output — both dropped in either path
+        ok = pc.and_(pc.is_valid(t["doc_id"]), pc.is_valid(t["tokens"]))
         return t.filter(ok)
 
-    dest = os.path.join(out_dir, "validated", run_id)
-    ds.map_batches(keep_valid, batch_format="pyarrow").write_parquet(
-        dest, partition_cols=["partition_id"]
+    clean = ds.map_batches(
+        drop_null_rows, batch_format="pyarrow", zero_copy_batch=True
     )
+    if len(bad_id_list) <= _BAD_IDS_BROADCAST_CAP:
+        bad_ids = pa.array(bad_id_list, pa.string())
+
+        def keep_valid(t: pa.Table) -> pa.Table:
+            ok = pc.invert(
+                pc.fill_null(pc.is_in(t["doc_id"], value_set=bad_ids), True)
+            )
+            return t.filter(ok)
+
+        valid = clean.map_batches(keep_valid, batch_format="pyarrow")
+    else:
+        from pynomaly_ray.functions.exchange import hash_anti_join
+
+        bad_ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(bad_id_list, pa.string())})
+        )
+        valid = hash_anti_join(clean, bad_ds, "doc_id", num_partitions=16)
+
+    dest = os.path.join(out_dir, "validated", run_id)
+    valid.write_parquet(dest, partition_cols=["partition_id"])
     return dest
 
 

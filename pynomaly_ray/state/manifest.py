@@ -5,38 +5,80 @@ Layout (north_rule "resumable from checkpoint"):
     out_dir/
       violations/            parquet part files (violation rows)
       partitions/            parquet part files (per-partition reports)
-      manifest/<run>.parquet the manifest snapshot: one row per partition
-                             (partition_id, status, n_rows, n_violations,
-                              loop_score, stats_digest, run_id)
+      manifest/<seq>-<run>.parquet  manifest snapshots: one row per
+                             partition (partition_id, status, n_rows,
+                             n_violations, loop_score, stats_digest);
+                             the zero-padded sequence prefix gives
+                             snapshots an explicit monotonic order —
+                             last-wins merges never depend on run_id
+                             lexicographics.
 
 A restarted run reads every snapshot under ``manifest/``, collects the
 completed partition_ids, and *filters them out of the input scan* before
-any heavy work (a broadcast anti-join, no shuffle).  Because every
-accumulator in the pipeline is order-insensitive and all hashes are
-stable (functions/hashing.py), the union of a partial run + a resumed run
-is byte-identical to a single full run — asserted by the resume test.
+any heavy work (a broadcast anti-join, no shuffle).  Resume guarantee
+(scoped): violations, n_rows and n_violations — the constraint results —
+of a partial run + a resumed run union to exactly a single full run's
+(asserted by the resume test).  Drift/loop_score columns are relative to
+each run's fitted population, so a resumed run's scores are its own
+fit's, not the hypothetical single-run fit's.
+
+Run-ids are single-use: a second ``run_validation`` with a run_id that
+already has a snapshot in this out_dir fails fast instead of silently
+overwriting the committed state (duplicate-detection history would be
+destroyed otherwise).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional
+import re
+from typing import Optional
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+_SNAP_RE = re.compile(r"^(\d{6})-(.+)\.parquet$")
 
 
 def manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest")
 
 
+def _snapshots(d: str) -> list[tuple[int, str, str]]:
+    """(seq, run_id, file name) for every snapshot, oldest first.
+    Legacy unprefixed files (``<run>.parquet``) sort before all
+    sequenced ones, then by name."""
+    out = []
+    for name in os.listdir(d):
+        if not name.endswith(".parquet"):
+            continue
+        m = _SNAP_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), m.group(2), name))
+        else:
+            out.append((-1, name[: -len(".parquet")], name))
+    return sorted(out, key=lambda t: (t[0], t[2]))
+
+
+def committed_run_ids(out_dir: str) -> frozenset[str]:
+    """run_ids with at least one committed manifest snapshot."""
+    d = manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return frozenset()
+    return frozenset(run for _seq, run, _name in _snapshots(d))
+
+
 def write_manifest_snapshot(
     out_dir: str, report: pa.Table, run_id: str
 ) -> str:
-    """Write one atomic manifest snapshot (tmp + rename) for this run."""
+    """Write one atomic manifest snapshot (tmp + rename) for this run,
+    under the next sequence number — later snapshots always win the
+    last-per-partition merge regardless of run_id naming."""
     d = manifest_dir(out_dir)
     os.makedirs(d, exist_ok=True)
-    final = os.path.join(d, f"{run_id}.parquet")
+    existing = _snapshots(d)
+    seq = (existing[-1][0] + 1) if existing else 0
+    final = os.path.join(d, f"{max(seq, 0):06d}-{run_id}.parquet")
     tmp = final + ".tmp"
     cols = [
         "partition_id",
@@ -57,23 +99,21 @@ def completed_partitions(out_dir: str) -> frozenset[str]:
     if not os.path.isdir(d):
         return frozenset()
     done: set[str] = set()
-    for name in sorted(os.listdir(d)):
-        if name.endswith(".parquet"):
-            t = pq.read_table(os.path.join(d, name), columns=["partition_id"])
-            done.update(t["partition_id"].to_pylist())
+    for _seq, _run, name in _snapshots(d):
+        t = pq.read_table(os.path.join(d, name), columns=["partition_id"])
+        done.update(t["partition_id"].to_pylist())
     return frozenset(done)
 
 
 def read_full_manifest(out_dir: str) -> Optional[pa.Table]:
     """Union of all manifest snapshots, deduplicated by partition_id
-    (last snapshot wins; snapshots are sorted by run file name)."""
+    (newest snapshot wins, by sequence number)."""
     d = manifest_dir(out_dir)
     if not os.path.isdir(d):
         return None
     tables = [
-        pq.read_table(os.path.join(d, n))
-        for n in sorted(os.listdir(d))
-        if n.endswith(".parquet")
+        pq.read_table(os.path.join(d, name))
+        for _seq, _run, name in _snapshots(d)
     ]
     if not tables:
         return None

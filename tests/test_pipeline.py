@@ -342,7 +342,9 @@ def test_zero_valid_rows_run_still_commits(ray_session, tmp_path):
     out = str(tmp_path / "out")
     cfg = ValidationConfig(valid_sources=["web"], run_id="allbad")
     run_validation(rd.from_arrow(bad), cfg, out_dir=out)
-    assert os.path.exists(os.path.join(out, "manifest", "allbad.parquet"))
+    import glob
+
+    assert glob.glob(os.path.join(out, "manifest", "*-allbad.parquet"))
     from pynomaly_ray.pipelines.validation import _prior_docpart_dirs
 
     assert _prior_docpart_dirs(out, "nextrun", True) == [
@@ -414,3 +416,105 @@ def test_all_invalid_partition_reported_and_committed(ray_session, tmp_path):
     cfg2 = ValidationConfig(valid_sources=["web"], n_neighbors=2, run_id="r2")
     res2 = run_validation(rd.from_arrow(t), cfg2, out_dir=out)
     assert res2.skipped_partitions == 2  # 'bad' committed, not rescanned
+
+
+def test_run_id_reuse_fails_fast(seq_dir, ray_session):
+    """A committed run_id is single-use per out_dir: reuse would silently
+    overwrite manifest/docparts/violations state (ADVICE r1)."""
+    import ray.data as rd
+
+    from pynomaly_ray.pipelines.validation import run_validation
+
+    out = "/tmp/pnr_test/out_runid_reuse"
+    shutil.rmtree(out, ignore_errors=True)
+    f = os.path.join(seq_dir, "part-web-0000.parquet")
+    run_validation(rd.read_parquet(f), ValidationConfig(**CFG, run_id="x1"), out_dir=out)
+    with pytest.raises(ValueError, match="already has a committed manifest"):
+        run_validation(
+            rd.read_parquet(f),
+            ValidationConfig(**CFG, run_id="x1"),
+            out_dir=out,
+            resume=False,
+        )
+
+
+def test_manifest_snapshot_order_not_lexicographic(seq_dir, ray_session):
+    """Snapshots win last-per-partition by SEQUENCE, not run_id name: a
+    later run named 'a2' must override an earlier run named 'b1' for
+    shared partitions (ADVICE r1: non-monotonic run_ids)."""
+    import pyarrow as pa
+
+    from pynomaly_ray.state.manifest import (
+        read_full_manifest,
+        write_manifest_snapshot,
+    )
+
+    out = "/tmp/pnr_test/out_seq_order"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    def snap(status, run_id):
+        return pa.table(
+            {
+                "partition_id": ["p0"],
+                "source": ["web"],
+                "n_rows": pa.array([1], pa.int64()),
+                "n_violations": pa.array([0], pa.int64()),
+                "loop_score": pa.array([0.0], pa.float64()),
+                "status": [status],
+            }
+        )
+
+    write_manifest_snapshot(out, snap("pass", "b1"), "b1")
+    write_manifest_snapshot(out, snap("fail", "a2"), "a2")  # later, sorts-before name
+    m = read_full_manifest(out).to_pandas()
+    assert list(m.status) == ["fail"]
+
+
+def test_validated_output_anti_join_path_identical(seq_dir, ray_session, monkeypatch, tmp_path):
+    """Majority-violating input through the broadcast filter and the
+    hash-partitioned anti-join filter: byte-identical validated output
+    (the adaptive switch must be invisible)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pynomaly_ray.pipelines.validation as V
+
+    # majority-violating synthetic input: 3/4 of doc_ids flagged
+    n = 400
+    tok = pa.array([[1, 2, 3]] * n, pa.list_(pa.int32()))
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(n)], pa.string()),
+            "tokens": tok,
+            "n_tok": pa.array([3] * n, pa.int32()),
+            "source": pa.array(["web"] * n, pa.string()),
+            "partition_id": pa.array(
+                [f"p{i % 4}" for i in range(n)], pa.string()
+            ),
+        }
+    )
+    viol = pd.DataFrame({"doc_id": [f"d{i:04d}" for i in range(n) if i % 4 != 3]})
+
+    def read_back(out):
+        import glob
+
+        files = sorted(glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True))
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        return df
+
+    out_a = str(tmp_path / "broadcast")
+    V.write_validated_output(rd.from_arrow(t), viol, out_a, "r1")
+    a = read_back(out_a)
+
+    monkeypatch.setattr(V, "_BAD_IDS_BROADCAST_CAP", 10)  # force anti-join
+    out_b = str(tmp_path / "antijoin")
+    V.write_validated_output(rd.from_arrow(t), viol, out_b, "r1")
+    b = read_back(out_b)
+
+    assert len(a) == len(b) == n // 4
+    assert list(a.doc_id) == list(b.doc_id)
+    for x, y in zip(a.tokens, b.tokens):
+        xa, ya = np.asarray(x, dtype=np.int32), np.asarray(y, dtype=np.int32)
+        assert np.array_equal(xa, ya) and xa.dtype == ya.dtype
