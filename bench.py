@@ -101,11 +101,21 @@ def run_headline(sf_name: str) -> dict:
     }
 
 
+# engine-only pipelines heavy enough to be worth tracking per round
+# (the dedup family was round 1's flagged scale risk)
+_BENCH_ENGINE_QUERIES = ("minhash_dedup", "simhash_fingerprints", "embedding_neardup")
+
+
 def run_queries(sf_dir: str, emit=None) -> dict[str, float]:
+    from pynomaly_ray.pipelines.engine_queries import ENGINE_QUERIES
     from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
 
+    todo = {name: fn for name, (fn, _sql) in ORACLE_QUERIES.items()}
+    todo.update(
+        {name: ENGINE_QUERIES[name] for name in _BENCH_ENGINE_QUERIES}
+    )
     timings = {}
-    for name, (fn, _sql) in ORACLE_QUERIES.items():
+    for name, fn in todo.items():
         t0 = time.perf_counter()
         try:
             res = fn(sf_dir)

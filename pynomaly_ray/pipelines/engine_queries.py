@@ -72,9 +72,9 @@ def q_simhash_fingerprints(sf_dir: str):
     from pynomaly_ray.stages.text import Fingerprint
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
-    out = docs.map_batches(
-        SimHasher, batch_format="pandas", concurrency=(1, 4)
-    ).map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 4))
+    out = docs.map_batches(SimHasher(), batch_format="pandas").map_batches(
+        Fingerprint(), batch_format="pandas"
+    )
     df = out.to_pandas()[["doc_id", "simhash", "fingerprint"]]
     return collect_sorted(df, ["doc_id"])
 
@@ -84,7 +84,7 @@ def q_lang_id(sf_dir: str):
     from pynomaly_ray.stages.text import LangId
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
-    pred = docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    pred = docs.map_batches(LangId(), batch_format="pandas")
 
     def agg(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -114,7 +114,7 @@ def q_quality_scores(sf_dir: str):
     from pynomaly_ray.stages.text import QualityScore
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
-    scored = docs.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 4))
+    scored = docs.map_batches(QualityScore(), batch_format="pandas")
 
     def agg(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

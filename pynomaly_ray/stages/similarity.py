@@ -165,21 +165,44 @@ class MultiTableLSH:
 _BUCKET_PAIR_CAP = 512
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """One (table, bucket) group -> candidate id pairs; oversized buckets
-    emit a star to the smallest id (see stages/dedup.py rationale)."""
-    ids = np.unique(np.asarray(g["vec_id"], dtype=np.int64))
-    if len(ids) < 2:
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """ALL (table_id, bucket) groups of one exchange bucket -> candidate
+    id pairs; vectorized singleton elimination, Python only on collision
+    groups; oversized buckets emit a star to the smallest id (see
+    stages/dedup.py rationale)."""
+    if not len(df):
         return pd.DataFrame(
             {
                 "vec_a": pd.Series(dtype=np.int64),
                 "vec_b": pd.Series(dtype=np.int64),
             }
         )
-    if len(ids) > _BUCKET_PAIR_CAP:
-        return pd.DataFrame({"vec_a": np.full(len(ids) - 1, ids[0]), "vec_b": ids[1:]})
-    iu = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"vec_a": ids[iu[0]], "vec_b": ids[iu[1]]})
+    keys = ["table_id", "bucket"]
+    d = df.drop_duplicates(keys + ["vec_id"]).sort_values(
+        keys + ["vec_id"], kind="mergesort"
+    )
+    sizes = d.groupby(keys, sort=False)["vec_id"].transform("size")
+    d = d[sizes >= 2]
+    if not len(d):
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype=np.int64),
+                "vec_b": pd.Series(dtype=np.int64),
+            }
+        )
+    a_out, b_out = [], []
+    for _, g in d.groupby(keys, sort=False):
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) > _BUCKET_PAIR_CAP:
+            a_out.append(np.full(len(ids) - 1, ids[0]))
+            b_out.append(ids[1:])
+        else:
+            iu = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[iu[0]])
+            b_out.append(ids[iu[1]])
+    return pd.DataFrame(
+        {"vec_a": np.concatenate(a_out), "vec_b": np.concatenate(b_out)}
+    )
 
 
 def near_dup_pairs_embedding(
@@ -205,25 +228,14 @@ def near_dup_pairs_embedding(
     """
     from pynomaly_ray.functions.exchange import hash_aggregate, hash_join
 
+    # plane matrices are tiny and deterministic — plain callable, task pool
     buckets = ds.map_batches(
-        MultiTableLSH,
-        fn_constructor_kwargs={
-            "dim": dim,
-            "n_planes": n_planes,
-            "n_tables": n_tables,
-        },
+        MultiTableLSH(dim=dim, n_planes=n_planes, n_tables=n_tables),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 4),
     )
-    cands = buckets.groupby(["table_id", "bucket"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    uniq = hash_aggregate(
-        cands,
-        ["vec_a", "vec_b"],
-        lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
-        num_partitions=4,
+    cands = hash_aggregate(
+        buckets, ["table_id", "bucket"], _bucket_pairs, num_partitions=4
     )
 
     def _rename(col_id: str, col_emb: str):
@@ -234,7 +246,15 @@ def near_dup_pairs_embedding(
 
     emb_a = ds.map_batches(_rename("vec_a", "emb_a"), batch_format="pyarrow")
     emb_b = ds.map_batches(_rename("vec_b", "emb_b"), batch_format="pyarrow")
-    with_a = hash_join(uniq, emb_a, ["vec_a"], num_partitions=4)
+    # every copy of a pair (one per colliding table) shares vec_a, so the
+    # in-bucket dedup inside the first join is globally exact
+    with_a = hash_join(
+        cands,
+        emb_a,
+        ["vec_a"],
+        merge_fn=lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
+        num_partitions=4,
+    )
     with_b = hash_join(with_a, emb_b, ["vec_b"], num_partitions=4)
 
     def verify(t: pa.Table) -> pa.Table:
