@@ -833,50 +833,46 @@ def q_embedding_neardup_exact(sf_dir: str):
     cn = np.linalg.norm(C, axis=1)
     Cn = (C / np.where(cn > 0, cn, 1.0)[:, None]).T  # (dim, n) normalized
     corpus_ids = corpus["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # broadcast once into the object store; each task reads it zero-copy
+    # (a plain task-pool closure — the stage holds no state worth an
+    # actor's spawn latency)
     cref = ray.put((Cn, corpus_ids))
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    class PairScan:
-        def __init__(self, ref):
-            self.Cn, self.ids = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table(
-                    {
-                        "vec_a": pa.array([], pa.int64()),
-                        "vec_b": pa.array([], pa.int64()),
-                        "cosine_e6": pa.array([], pa.int64()),
-                    }
-                )
-            M = _embedding_matrix(batch)
-            mn = np.linalg.norm(M, axis=1)
-            S = (M / np.where(mn > 0, mn, 1.0)[:, None]) @ self.Cn
-            bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            # ordered pairs only (a < b): each pair emitted exactly once
-            mask = (S >= _NEARDUP_COS_THRESHOLD) & (
-                bids[:, None] < self.ids[None, :]
-            )
-            bi, cj = np.nonzero(mask)
+    def pair_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return pa.table(
                 {
-                    "vec_a": pa.array(bids[bi], pa.int64()),
-                    "vec_b": pa.array(self.ids[cj], pa.int64()),
-                    "cosine_e6": pa.array(
-                        np.floor(S[bi, cj] * 1_000_000 + 0.5).astype(np.int64),
-                        pa.int64(),
-                    ),
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine_e6": pa.array([], pa.int64()),
                 }
             )
+        Cn_l, ids_l = ray.get(cref)
+        M = _embedding_matrix(batch)
+        mn = np.linalg.norm(M, axis=1)
+        S = (M / np.where(mn > 0, mn, 1.0)[:, None]) @ Cn_l
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # ordered pairs only (a < b): each pair emitted exactly once
+        mask = (S >= _NEARDUP_COS_THRESHOLD) & (bids[:, None] < ids_l[None, :])
+        bi, cj = np.nonzero(mask)
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[bi], pa.int64()),
+                "vec_b": pa.array(ids_l[cj], pa.int64()),
+                "cosine_e6": pa.array(
+                    np.floor(S[bi, cj] * 1_000_000 + 0.5).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
 
     out = _collect(
         ds.map_batches(
-            PairScan,
-            fn_constructor_kwargs={"ref": cref},
+            pair_scan,
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=(1, 4),
         ),
         pa.schema(
             [
