@@ -287,3 +287,29 @@ def q_loop_matrix_mode(sf_dir: str):
 
 
 ENGINE_QUERIES["loop_matrix_mode"] = q_loop_matrix_mode
+
+
+def q_knn_cosine_ivf(sf_dir: str):
+    """IVF approximate cosine top-10 for the same query vector as the
+    exact knn_cosine oracle query — the ANN scale path (coarse spherical
+    k-means centroids + n_probe bucket scan).  Rows-only check; the
+    recall-vs-exact contract is pinned by pytest
+    (test_ivf_topk_recall_on_clustered_data)."""
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.stages.similarity import cosine_topk_ivf
+
+    emb0 = papq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    q = np.asarray(emb0["embedding"][0].as_py(), dtype=np.float64)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = cosine_topk_ivf(ds, q, k=10, n_centroids=16, n_probe=8)
+    df = df.drop(columns=["query_id"])
+    df["score_e6"] = np.floor(df.pop("score") * 1_000_000 + 0.5).astype(np.int64)
+    return df.reset_index(drop=True)
+
+
+ENGINE_QUERIES["knn_cosine_ivf"] = q_knn_cosine_ivf

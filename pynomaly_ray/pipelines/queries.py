@@ -1083,8 +1083,151 @@ ORDER BY event_type, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: source_median_chars — EXACT distributed median per group, computed
+# from merged value counts (n_chars has a small discrete domain, so the
+# count vector IS the sufficient statistic — no sample collection, no
+# approximation; the classic count-sketch route to exact quantiles over
+# discrete columns).
+# ---------------------------------------------------------------------------
+def q_source_median_chars(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["source", "n_chars"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["source", "n_chars"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out_src, out_med = [], []
+        for src, grp in g.groupby("source", sort=False):
+            grp = grp.sort_values("n_chars", kind="mergesort")
+            cum = grp["cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            idx = (n - 1) // 2  # discrete lower median == quantile_disc 0.5
+            pos = int(np.searchsorted(cum, idx + 1))
+            out_src.append(src)
+            out_med.append(int(grp["n_chars"].iloc[pos]))
+        return pd.DataFrame(
+            {
+                "source": out_src,
+                "median_chars": pd.array(out_med, dtype=np.int64),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["source"], merge, 2)
+    return collect_sorted(out, ["source"])
+
+
+SQL_SOURCE_MEDIAN_CHARS = """
+SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top_lang_per_source — grouped mode with deterministic tiebreak
+# (count desc, lang asc): partial counts -> merged counts -> per-group
+# argmax inside the key-bucketed reducer.
+# ---------------------------------------------------------------------------
+def q_top_lang_per_source(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["source", "lang"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], sort=False)["c"].sum().reset_index()
+        g = g.sort_values(
+            ["source", "c", "lang"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.drop_duplicates("source", keep="first").reset_index(drop=True)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["source"], merge, 2)
+    return collect_sorted(out, ["source"])
+
+
+SQL_TOP_LANG_PER_SOURCE = """
+SELECT source, lang, c FROM (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+) QUALIFY row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) = 1
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: token_frequency — global top-50 token frequency table (the
+# vocabulary-building op of a training-data pipeline): per-batch
+# value_counts partial -> token-hash exchange -> local+global top-k.
+# ---------------------------------------------------------------------------
+def q_token_frequency(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        # str.split() drops empty tokens == trim + \s+ split in the SQL
+        counts = s.str.split().explode().dropna().value_counts()
+        return _from_pandas(
+            pd.DataFrame(
+                {"token": counts.index, "cnt": counts.to_numpy(dtype=np.int64)}
+            )
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["cnt"].sum().reset_index()
+        # local top-k per bucket: the global top-50 is necessarily within
+        # the union of per-bucket top-50s (buckets partition the tokens)
+        return g.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(50)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = hash_aggregate(partials, ["token"], merge, 8)
+    df = merged.to_pandas()
+    df = (
+        df.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+        .head(50)
+        .reset_index(drop=True)
+    )
+    return df
+
+
+SQL_TOKEN_FREQUENCY = r"""
+SELECT token, COUNT(*) AS cnt FROM (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+) GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 50
+"""
+
+
 ORACLE_QUERIES.update(
     {
+        "source_median_chars": (q_source_median_chars, SQL_SOURCE_MEDIAN_CHARS),
+        "top_lang_per_source": (q_top_lang_per_source, SQL_TOP_LANG_PER_SOURCE),
+        "token_frequency": (q_token_frequency, SQL_TOKEN_FREQUENCY),
         "embedding_neardup_exact": (
             q_embedding_neardup_exact,
             SQL_EMBEDDING_NEARDUP_EXACT,

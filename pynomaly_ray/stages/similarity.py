@@ -103,6 +103,121 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     return out
 
 
+def _kmeans_spherical(
+    M: np.ndarray, k: int, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Deterministic spherical k-means (cosine/dot assignment) for IVF
+    coarse quantization: rows of ``M`` must be L2-normalized; returns
+    (k, dim) normalized centroids.  Pure numpy Lloyd iterations — no
+    sklearn in this environment."""
+    rng = np.random.RandomState(seed)
+    n = len(M)
+    k = min(k, n)
+    C = M[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)
+        for c in range(k):
+            rows = assign == c
+            if rows.any():
+                v = M[rows].sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    C[c] = v / norm
+            else:
+                # re-seed an empty centroid at the point worst-served by
+                # its current centroid (deterministic)
+                worst = np.argmin((M * C[assign]).sum(axis=1))
+                C[c] = M[worst]
+    return C
+
+
+def cosine_topk_ivf(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_rows: int = 16384,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """IVF approximate cosine top-k: the scale path beyond brute force.
+
+    Coarse centroids are trained once on a bounded sample (driver-side,
+    O(train_rows x dim)); every worker task then assigns its batch's
+    vectors to centroids with one matmul and scores ONLY the rows whose
+    centroid is among each query's ``n_probe`` closest — scanning
+    n_probe/n_centroids of the corpus instead of all of it.  Same
+    output schema as :func:`cosine_topk`; recall is the IVF tradeoff
+    (raise n_probe toward n_centroids to approach exact).
+    """
+    import ray
+
+    sample = ds.limit(train_rows).to_pandas()
+    S = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    sn = np.linalg.norm(S, axis=1)
+    C = _kmeans_spherical(
+        S / np.where(sn > 0, sn, 1.0)[:, None], n_centroids, seed=seed
+    )
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    n_probe = min(n_probe, len(C))
+    # (Q, n_probe) centroid ids each query probes
+    probes = np.argpartition(-(qn @ C.T), n_probe - 1, axis=1)[:, :n_probe]
+    probe_masks = np.zeros((len(qn), len(C)), dtype=bool)
+    for qi in range(len(qn)):
+        probe_masks[qi, probes[qi]] = True
+    cref = ray.put((C, qn, probe_masks))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("score", pa.float64()),
+            ]
+        )
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        C_l, qn_l, masks = ray.get(cref)
+        M = _embedding_matrix(batch)
+        norms = np.linalg.norm(M, axis=1)
+        Mn = M / np.where(norms > 0, norms, 1.0)[:, None]
+        assign = np.argmax(Mn @ C_l.T, axis=1)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(qn_l)):
+            rows = np.flatnonzero(masks[qi][assign])
+            if not len(rows):
+                continue
+            scores = Mn[rows] @ qn_l[qi]
+            kk = min(k, len(rows))
+            top = np.argpartition(-scores, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(vec_ids[rows[top]].tolist())
+            out_s.extend(scores[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
+    df = local.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+    return (
+        df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 class HyperplaneLSH:
     """Random-hyperplane sign buckets: adds ``bucket: int64`` so that a
     groupby("bucket") co-locates probable neighbors (IVF/LSH scale path

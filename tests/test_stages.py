@@ -363,3 +363,32 @@ def test_embedding_neardup_multitable_recall(ray_session):
     got = set(zip(pairs.vec_a.astype(int), pairs.vec_b.astype(int)))
     assert got <= exact          # exactness of the verify step
     assert len(got) >= len(exact) * 0.5  # LSH recall floor (seeded, deterministic)
+
+
+def test_ivf_topk_recall_on_clustered_data(ray_session):
+    """IVF cosine top-k vs exact brute force on clustered embeddings:
+    high recall when the corpus has cluster structure (IVF's regime),
+    and exact agreement on the scores of the hits it returns."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.similarity import cosine_topk, cosine_topk_ivf
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 24) * 4
+    M = np.vstack([c + rng.randn(80, 24) * 0.5 for c in centers])
+    ids = np.arange(len(M), dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(M)})
+    queries = M[[5, 200, 555]] + rng.randn(3, 24) * 0.1
+
+    ds = rd.from_pandas(df).repartition(4)
+    exact = cosine_topk(ds, queries, k=10)
+    approx = cosine_topk_ivf(
+        ds, queries, k=10, n_centroids=8, n_probe=2, train_rows=640
+    )
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        assert len(e & a) / len(e) >= 0.9  # clustered-regime recall
+    # scores of returned hits are exact (no quantization of the metric)
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged.score_a, merged.score_e, atol=1e-12)
