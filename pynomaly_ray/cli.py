@@ -98,6 +98,112 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Deduplicate a documents table (exact / minhash / simhash)."""
+    import os
+
+    ray = _ensure_ray(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    ds = read_parquet_clean(args.input, columns=[args.id_col, args.text_col])
+    if (args.id_col, args.text_col) != ("doc_id", "text"):
+        ds = ds.map_batches(
+            lambda t: t.rename_columns(["doc_id", "text"]),
+            batch_format="pyarrow",
+        )
+    else:
+        ds = ds.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                pc.cast(t["doc_id"], pa.string()),
+            ),
+            batch_format="pyarrow",
+        )
+    os.makedirs(args.out, exist_ok=True)
+    if args.method == "exact":
+        from pynomaly_ray.stages.dedup import exact_duplicates_by_content
+
+        groups = exact_duplicates_by_content(ds)
+        groups.write_parquet(os.path.join(args.out, "groups"))
+        df = groups.to_pandas()
+        summary = {
+            "method": "exact",
+            "content_groups": int(len(df)),
+            "duplicate_rows": int((df["copies"] - 1).sum()),
+        }
+    elif args.method == "minhash":
+        from pynomaly_ray.stages.dedup import minhash_lsh_duplicates
+
+        pairs = minhash_lsh_duplicates(
+            ds,
+            n_perm=args.n_perm,
+            n_bands=args.n_bands,
+            jaccard_threshold=args.threshold,
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(pairs, preserve_index=False),
+            os.path.join(args.out, "pairs.parquet"),
+        )
+        summary = {"method": "minhash", "near_dup_pairs": int(len(pairs))}
+    else:  # simhash
+        from pynomaly_ray.stages.dedup import SimHasher
+
+        hashed = ds.map_batches(SimHasher(), batch_format="pandas")
+        hashed.write_parquet(os.path.join(args.out, "simhash"))
+        summary = {"method": "simhash", "rows": int(hashed.count())}
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_loop(args) -> int:
+    """Distributed LoOP outlier scores over an embeddings table."""
+    import os
+
+    ray = _ensure_ray(args.num_cpus)
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.stages.loop_distributed import distributed_loop_scores
+    from pynomaly_ray.stages.similarity import HyperplaneLSH
+
+    ds = read_parquet_clean(args.input, columns=[args.id_col, args.vec_col])
+    bucketer = None
+    if args.lsh_planes > 0:
+        import pyarrow.parquet as pq
+
+        dim = len(
+            pq.read_table(args.input, columns=[args.vec_col])[args.vec_col][0]
+        )
+        bucketer = HyperplaneLSH(dim=dim, n_planes=args.lsh_planes)
+    scored = distributed_loop_scores(
+        ds,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        n_neighbors=args.n_neighbors,
+        extent=args.extent,
+        num_buckets=args.buckets,
+        bucketer=bucketer,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    scored.write_parquet(args.out)
+    df = scored.to_pandas()
+    print(
+        json.dumps(
+            {
+                "rows": int(len(df)),
+                "mean_score": float(df["loop_score"].mean()),
+                "max_score": float(df["loop_score"].max()),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pynomaly_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -133,6 +239,39 @@ def main(argv=None) -> int:
     g.add_argument("--clean", action="store_true", help="no planted violations")
     g.add_argument("--force", action="store_true")
     g.set_defaults(fn=cmd_gen)
+
+    d = sub.add_parser("dedup", help="deduplicate a documents table")
+    d.add_argument("--input", required=True, help="documents parquet file/dir")
+    d.add_argument("--out", required=True)
+    d.add_argument(
+        "--method", choices=["exact", "minhash", "simhash"], default="exact"
+    )
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--n-perm", type=int, default=64)
+    d.add_argument("--n-bands", type=int, default=16)
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_dedup)
+
+    lo = sub.add_parser(
+        "loop", help="distributed LoOP outlier scores over embeddings"
+    )
+    lo.add_argument("--input", required=True, help="embeddings parquet file/dir")
+    lo.add_argument("--out", required=True)
+    lo.add_argument("--id-col", default="vec_id")
+    lo.add_argument("--vec-col", default="embedding")
+    lo.add_argument("--n-neighbors", type=int, default=10)
+    lo.add_argument("--extent", type=int, default=3)
+    lo.add_argument("--buckets", type=int, default=16)
+    lo.add_argument(
+        "--lsh-planes",
+        type=int,
+        default=0,
+        help="hyperplane-LSH locality buckets (0 = random hash buckets)",
+    )
+    lo.add_argument("--num-cpus", type=int, default=None)
+    lo.set_defaults(fn=cmd_loop)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -168,3 +168,35 @@ def test_asof_join_semantics(ray_session):
     )
     assert wide.schema().names == ["k", "ts", "lv", "ts_right", "val"]
     assert wide.count() == 2
+
+
+def test_cli_dedup_and_loop(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pynomaly_ray.cli import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+    out1 = str(tmp_path / "dedup_exact")
+    assert main(["dedup", "--input", docs, "--out", out1, "--method", "exact"]) == 0
+    groups = pq.read_table(os.path.join(out1, "groups")).to_pandas()
+    assert len(groups) > 0 and {"content_hash", "doc_id", "copies"} <= set(groups)
+
+    out2 = str(tmp_path / "dedup_mh")
+    assert main(
+        ["dedup", "--input", docs, "--out", out2, "--method", "minhash",
+         "--threshold", "0.5"]
+    ) == 0
+    assert os.path.exists(os.path.join(out2, "pairs.parquet"))
+
+    out3 = str(tmp_path / "loop")
+    assert main(
+        ["loop", "--input", emb, "--out", out3, "--buckets", "4",
+         "--lsh-planes", "2"]
+    ) == 0
+    scores = pq.read_table(out3).to_pandas()
+    assert len(scores) == 500
+    assert scores["loop_score"].between(0, 1).all()
