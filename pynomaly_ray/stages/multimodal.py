@@ -159,6 +159,51 @@ class AudioFeatures:
         )
 
 
+class ImageResize:
+    """Actor-pool stage: decode (stub/fake) -> nearest-neighbor resize ->
+    re-emit the resized image as a raw RGB payload with updated metadata
+    (the preprocessing step in front of any vision encoder).  The resize
+    itself is a vectorized index gather; only decode is stubbed."""
+
+    def __init__(self, out_width: int = 4, out_height: int = 4, decoder=None):
+        self.ow = out_width
+        self.oh = out_height
+        self.decode = decoder or fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads, metas = [], [], []
+        for mid, payload, m in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            w = (m or {}).get("width") or 8
+            h = (m or {}).get("height") or 8
+            px = self.decode(payload, width=w, height=h)
+            iy = (np.arange(self.oh) * h) // self.oh
+            ix = (np.arange(self.ow) * w) // self.ow
+            resized = px[iy][:, ix]
+            ids.append(mid)
+            payloads.append(resized.tobytes())
+            metas.append(
+                {
+                    "width": self.ow,
+                    "height": self.oh,
+                    "sample_rate": 0,
+                    "codec": "raw-rgb",
+                }
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "media_type": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+
 class FrameSampler:
     """Video frame-sampling plumbing: emits one row per sampled frame
     index (flat_map shape).  Decode is stubbed; frame positions are

@@ -1,0 +1,173 @@
+"""Property-based tests (hypothesis) for the numeric core and the
+vectorized kernels — invariants the example-based suite can't sweep."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+SETTINGS = dict(max_examples=25, deadline=None)
+
+
+# ---------------------------------------------------------------------------
+# loop_core invariants
+# ---------------------------------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    n=st.integers(min_value=12, max_value=60),
+    dim=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=10_000),
+    extent=st.sampled_from([1, 2, 3]),
+)
+def test_loop_scores_range_and_permutation_invariance(n, dim, seed, extent):
+    """Scores always lie in [0,1]; permuting tie-free input rows permutes
+    the scores identically (the reference's flipud test, generalized)."""
+    import warnings
+
+    from pynomaly_ray.loop_core import LocalOutlierProbability
+
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)  # continuous -> ties have measure zero
+    k = min(8, n - 2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        s = np.asarray(
+            LocalOutlierProbability(X, n_neighbors=k, extent=extent)
+            .fit()
+            .local_outlier_probabilities,
+            dtype=np.float64,
+        )
+        perm = rng.permutation(n)
+        s2 = np.asarray(
+            LocalOutlierProbability(X[perm], n_neighbors=k, extent=extent)
+            .fit()
+            .local_outlier_probabilities,
+            dtype=np.float64,
+        )
+    assert np.all(s >= 0.0) and np.all(s <= 1.0)
+    np.testing.assert_allclose(s2, s[perm], atol=1e-9)
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(min_value=12, max_value=50),
+    seed=st.integers(min_value=0, max_value=10_000),
+    scale=st.floats(min_value=0.01, max_value=100.0),
+    shift=st.floats(min_value=-50.0, max_value=50.0),
+)
+def test_loop_scores_similarity_invariance(n, seed, scale, shift):
+    """LoOP is invariant under similarity transforms (uniform scale +
+    translation): all distances scale by the same constant, which cancels
+    in the PLOF ratio."""
+    import warnings
+
+    from pynomaly_ray.loop_core import LocalOutlierProbability
+
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, 3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        a = np.asarray(
+            LocalOutlierProbability(X, n_neighbors=8)
+            .fit()
+            .local_outlier_probabilities,
+            dtype=np.float64,
+        )
+        b = np.asarray(
+            LocalOutlierProbability(X * scale + shift, n_neighbors=8)
+            .fit()
+            .local_outlier_probabilities,
+            dtype=np.float64,
+        )
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# vectorized kernel parity over arbitrary unicode text
+# ---------------------------------------------------------------------------
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+@settings(**SETTINGS)
+@given(texts=st.lists(_text, min_size=1, max_size=8))
+def test_minhash_batch_single_parity_property(texts):
+    from pynomaly_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(n_perm=16)
+    batch = mh.signatures(texts)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(batch[i], mh.signature(t))
+
+
+@settings(**SETTINGS)
+@given(texts=st.lists(_text, min_size=1, max_size=8))
+def test_simhash_batch_single_parity_property(texts):
+    from pynomaly_ray.stages.dedup import SimHasher
+
+    sh = SimHasher()
+    batch = sh.simhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == int(sh.simhash(t))
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(_text, min_size=2, max_size=6),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_ngram_jaccard_metric_properties(texts, k):
+    """Jaccard similarity: symmetric, reflexive (==1 on identical text),
+    bounded in [0,1]."""
+    from pynomaly_ray.stages.dedup import ngram_jaccard
+
+    a, b = texts[0], texts[1]
+    ab = ngram_jaccard(a, b, k)
+    ba = ngram_jaccard(b, a, k)
+    assert ab == ba
+    assert 0.0 <= ab <= 1.0
+    assert ngram_jaccard(a, a, k) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# exchange-layer reducers: associativity with arbitrary splits
+# ---------------------------------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=200,
+    ),
+    cut=st.integers(min_value=0, max_value=200),
+)
+def test_partial_aggregate_split_invariance(vals, cut):
+    """Partial-then-merge equals whole-batch aggregation for the
+    sum/min/max/count reducer shape, regardless of where the batch was
+    split — the correctness contract every map-side partial relies on."""
+    df = pd.DataFrame(vals, columns=["key", "v"])
+    cut = min(cut, len(df))
+
+    def partial(d):
+        return (
+            d.groupby("key", sort=False)
+            .agg(n=("v", "size"), s=("v", "sum"), lo=("v", "min"), hi=("v", "max"))
+            .reset_index()
+        )
+
+    def merge(d):
+        return (
+            d.groupby("key", sort=False)
+            .agg(n=("n", "sum"), s=("s", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+            .reset_index()
+        )
+
+    whole = partial(df).sort_values("key").reset_index(drop=True)
+    split = (
+        merge(pd.concat([partial(df.iloc[:cut]), partial(df.iloc[cut:])]))
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(whole, split, check_dtype=False)

@@ -392,3 +392,46 @@ def test_ivf_topk_recall_on_clustered_data(ray_session):
     # scores of returned hits are exact (no quantization of the metric)
     merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
     assert np.allclose(merged.score_a, merged.score_e, atol=1e-12)
+
+
+def test_image_resize_plumbing(ray_session):
+    """Resize stage: raw-RGB payloads of exactly out_w*out_h*3 bytes,
+    updated metadata, deterministic, and chainable into ImageFeatures."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.multimodal import (
+        ImageFeatures,
+        ImageResize,
+        make_fake_media_table,
+    )
+
+    ds = rd.from_arrow(make_fake_media_table(24, seed=6))
+    resized = ds.map_batches(
+        ImageResize, fn_constructor_kwargs={"out_width": 4, "out_height": 4},
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 2),
+    )
+    t = resized.to_arrow_refs()
+    import ray
+
+    tbl = pa.concat_tables([x for x in ray.get(t) if x.num_rows])
+    assert tbl.num_rows == 24
+    for p, m in zip(tbl["payload"].to_pylist(), tbl["meta"].to_pylist()):
+        assert len(p) == 4 * 4 * 3
+        assert m["width"] == 4 and m["height"] == 4 and m["codec"] == "raw-rgb"
+    # chainable: features over the resized table still work (decode of a
+    # raw payload goes through the same fake decoder plumbing)
+    feats = rd.from_arrow(tbl).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=8, concurrency=(1, 2)
+    ).to_pandas()
+    assert len(feats) == 24
+    # determinism across runs
+    tbl2 = pa.concat_tables(
+        [x for x in ray.get(
+            rd.from_arrow(make_fake_media_table(24, seed=6)).map_batches(
+                ImageResize,
+                fn_constructor_kwargs={"out_width": 4, "out_height": 4},
+                batch_format="pyarrow", batch_size=8, concurrency=(1, 2),
+            ).to_arrow_refs()
+        ) if x.num_rows]
+    )
+    assert tbl["payload"].to_pylist() == tbl2["payload"].to_pylist()
