@@ -313,3 +313,49 @@ def q_knn_cosine_ivf(sf_dir: str):
 
 
 ENGINE_QUERIES["knn_cosine_ivf"] = q_knn_cosine_ivf
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type via mergeable
+    HyperLogLog registers (functions/sketches.py): per-batch partials of
+    CONSTANT size (2^p bytes per group) replace shipping every distinct
+    pair through the exchange — the sketch path for 100 TB cardinality
+    estimation.  Accuracy contract (~1.04/sqrt(2^12) = 1.6% rel. error)
+    is pinned by pytest against the exact query."""
+    from pynomaly_ray.functions.exchange import hash_aggregate
+    from pynomaly_ray.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    P = 12
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = [
+            {"event_type": et, "regs": hll_partial(g["user_id"], P)}
+            for et, g in df.groupby("event_type", sort=False)
+        ]
+        out = pd.DataFrame(rows, columns=["event_type", "regs"])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            {
+                "event_type": et,
+                "n_users_approx": int(round(hll_estimate(hll_merge(g["regs"])))),
+            }
+            for et, g in df.groupby("event_type", sort=False)
+        ]
+        return pd.DataFrame(rows, columns=["event_type", "n_users_approx"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["event_type"], merge, 2)
+    return collect_sorted(out, ["event_type"])
+
+
+ENGINE_QUERIES["approx_distinct_users"] = q_approx_distinct_users

@@ -1223,8 +1223,64 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: trailing_events — sliding RANGE-window aggregate (streaming shape):
+# for every event, how many events the same user fired in the trailing
+# hour (inclusive).  Engine: user-bucketed exchange; inside each bucket
+# a sorted two-pointer (vectorized searchsorted) per user — no window
+# shuffle, no per-row Python.
+# ---------------------------------------------------------------------------
+_TRAIL_US = 3_600_000_000
+
+
+def q_trailing_events(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def windowed(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype=np.int64),
+                    "n_trailing_1h": pd.Series(dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]])
+        )
+        bounds = np.concatenate([starts, [len(df)]])
+        out = np.empty(len(df), dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = us[s:e]
+            # rows with ts in [t-1h, t]; side='right' on the upper bound
+            # counts RANGE peers (equal-ts rows) like SQL does
+            lo = np.searchsorted(seg, seg - _TRAIL_US, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            out[s:e] = hi - lo
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(), "n_trailing_1h": out}
+        )
+
+    out = hash_aggregate(ds, ["user_id"], windowed, 8)
+    return collect_sorted(out, ["event_id"])
+
+
+SQL_TRAILING_EVENTS = """
+SELECT event_id,
+       CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_trailing_1h
+FROM events
+ORDER BY event_id
+"""
+
+
 ORACLE_QUERIES.update(
     {
+        "trailing_events": (q_trailing_events, SQL_TRAILING_EVENTS),
         "source_median_chars": (q_source_median_chars, SQL_SOURCE_MEDIAN_CHARS),
         "top_lang_per_source": (q_top_lang_per_source, SQL_TOP_LANG_PER_SOURCE),
         "token_frequency": (q_token_frequency, SQL_TOKEN_FREQUENCY),

@@ -435,3 +435,36 @@ def test_image_resize_plumbing(ray_session):
         ) if x.num_rows]
     )
     assert tbl["payload"].to_pylist() == tbl2["payload"].to_pylist()
+
+
+def test_hll_sketch_accuracy_and_merge():
+    """HLL invariants: split-merge == whole; estimate within the p=12
+    theoretical band; idempotent under duplicate insertion."""
+    from pynomaly_ray.functions.sketches import hll_estimate, hll_merge, hll_partial
+
+    rng = np.random.RandomState(4)
+    keys = [f"user-{i}" for i in range(20000)]
+    dup = keys + keys[:5000]
+    whole = hll_partial(dup, 12)
+    parts = [hll_partial(dup[i::7], 12) for i in range(7)]
+    np.testing.assert_array_equal(hll_merge(parts), whole)
+    est = hll_estimate(whole)
+    assert abs(est - 20000) / 20000 < 0.05  # ~3 sigma of 1.04/sqrt(4096)
+    # idempotence: re-inserting everything changes nothing
+    np.testing.assert_array_equal(hll_merge([whole, whole]), whole)
+    # small-range regime (linear counting)
+    small = hll_partial([f"k{i}" for i in range(100)], 12)
+    assert abs(hll_estimate(small) - 100) / 100 < 0.05
+
+
+def test_approx_distinct_users_vs_exact(ray_session):
+    from pynomaly_ray.pipelines.engine_queries import q_approx_distinct_users
+    from pynomaly_ray.pipelines.queries import q_distinct_users
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_distinct_users(sf).set_index("event_type")["n_users"]
+    approx = q_approx_distinct_users(sf).set_index("event_type")["n_users_approx"]
+    assert set(exact.index) == set(approx.index)
+    for et in exact.index:
+        rel = abs(int(approx[et]) - int(exact[et])) / max(int(exact[et]), 1)
+        assert rel < 0.05, (et, int(approx[et]), int(exact[et]))
