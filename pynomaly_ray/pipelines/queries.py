@@ -358,7 +358,17 @@ def q_token_counts(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["n_tokens"] = df["text"].str.split().str.len().fillna(0).astype(np.int64)
+        # explicit ASCII token class on BOTH sides (SQL below uses the
+        # same regexp_extract_all) so the parity claim is independent of
+        # whether the data contains unicode whitespace (Python str.split
+        # and RE2 \s disagree there)
+        df["n_tokens"] = (
+            df["text"]
+            .str.findall(r"[^ \t\n\r\f\v]+")
+            .str.len()
+            .fillna(0)
+            .astype(np.int64)
+        )
         g = (
             df.groupby("source", sort=False)
             .agg(sum_tokens=("n_tokens", "sum"), n_docs=("n_tokens", "size"))
@@ -376,9 +386,7 @@ def q_token_counts(sf_dir: str):
 
 SQL_TOKEN_COUNTS = r"""
 SELECT source,
-       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
-                     ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
-                END) AS BIGINT) AS sum_tokens,
+       CAST(SUM(length(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))) AS BIGINT) AS sum_tokens,
        COUNT(*) AS n_docs
 FROM documents
 GROUP BY source
@@ -1186,8 +1194,11 @@ def q_token_frequency(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch["text"].to_pandas().fillna("")
-        # str.split() drops empty tokens == trim + \s+ split in the SQL
-        counts = s.str.split().explode().dropna().value_counts()
+        # same explicit ASCII token class as the SQL's regexp_extract_all
+        # (data-independent parity; see q_token_counts)
+        counts = (
+            s.str.findall(r"[^ \t\n\r\f\v]+").explode().dropna().value_counts()
+        )
         return _from_pandas(
             pd.DataFrame(
                 {"token": counts.index, "cnt": counts.to_numpy(dtype=np.int64)}
@@ -1215,8 +1226,8 @@ def q_token_frequency(sf_dir: str):
 
 SQL_TOKEN_FREQUENCY = r"""
 SELECT token, COUNT(*) AS cnt FROM (
-  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-  FROM documents WHERE trim(text) <> ''
+  SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
+  FROM documents
 ) GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 50
