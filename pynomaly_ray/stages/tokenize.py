@@ -32,6 +32,11 @@ class Tokenizer:
     tokenizer would use.
     """
 
+    # per-actor cache bound: an open vocabulary (the 100 TB case) must
+    # not grow actor heaps without limit; past the cap, misses are
+    # computed without being stored (hashing stays correct either way)
+    _CACHE_CAP = 1_000_000
+
     def __init__(self, vocab_size: int = 32768, partitions_per_source: int = 1):
         self.vocab_size = vocab_size
         self.partitions_per_source = partitions_per_source
@@ -40,12 +45,15 @@ class Tokenizer:
     def _ids(self, words: list[str]) -> np.ndarray:
         cache = self.cache
         v = self.vocab_size
+        room = len(cache) < self._CACHE_CAP
         out = np.empty(len(words), dtype=np.int32)
         for i, w in enumerate(words):
             tid = cache.get(w)
             if tid is None:
                 tid = zlib.crc32(w.encode("utf-8")) % v
-                cache[w] = tid
+                if room:
+                    cache[w] = tid
+                    room = len(cache) < self._CACHE_CAP
             out[i] = tid
         return out
 
