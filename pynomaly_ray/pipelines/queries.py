@@ -1289,8 +1289,122 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: brand_revenue — lineitem x part partitioned hash join (fat side
+# pre-aggregated per partkey inside the scan; join output collapsed by
+# the in-bucket aggregate), grouped revenue per brand.
+# ---------------------------------------------------------------------------
+def q_brand_revenue(sf_dir: str):
+    from pynomaly_ray.functions.exchange import hash_join
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        df["disc_cents"] = _cents(price * (1.0 - disc))
+        g = (
+            df.groupby("l_partkey", sort=False)
+            .agg(n_lines=("disc_cents", "size"), disc_cents=("disc_cents", "sum"))
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+    part = _pq(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand"]),
+        batch_format="pyarrow",
+    )
+
+    def bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("p_brand", sort=False)
+            .agg(n_lines=("n_lines", "sum"), sum_disc_cents=("disc_cents", "sum"))
+            .reset_index()
+        )
+
+    joined = hash_join(li_agg, part, ["l_partkey"], merge_fn=bucket_agg, num_partitions=8)
+    out = hash_aggregate(
+        joined,
+        ["p_brand"],
+        lambda df: df.groupby("p_brand", sort=False).sum().reset_index(),
+        1,
+    )
+    return collect_sorted(out, ["p_brand"])
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: region_supplier_balance — supplier -> nation -> region resolved by
+# chained broadcast lookups (all small sides), grouped account balance
+# per region; exercises the region table and the dimension-chain shape.
+# ---------------------------------------------------------------------------
+def q_region_supplier_balance(sf_dir: str):
+    import pyarrow.parquet as papq
+
+    nation = papq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = papq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    region_of_nation = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    )
+    name_of_region = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+
+    ds = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["r_name"] = df["s_nationkey"].map(region_of_nation).map(name_of_region)
+        df["bal_cents"] = _cents(df["s_acctbal"].to_numpy())
+        g = (
+            df.groupby("r_name", sort=False)
+            .agg(n_suppliers=("bal_cents", "size"), sum_bal_cents=("bal_cents", "sum"))
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(
+        partials,
+        ["r_name"],
+        lambda df: df.groupby("r_name", sort=False).sum().reset_index(),
+        1,
+    )
+    return collect_sorted(out, ["r_name"])
+
+
+SQL_REGION_SUPPLIER_BALANCE = """
+SELECT r_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
 ORACLE_QUERIES.update(
     {
+        "brand_revenue": (q_brand_revenue, SQL_BRAND_REVENUE),
+        "region_supplier_balance": (
+            q_region_supplier_balance,
+            SQL_REGION_SUPPLIER_BALANCE,
+        ),
         "trailing_events": (q_trailing_events, SQL_TRAILING_EVENTS),
         "source_median_chars": (q_source_median_chars, SQL_SOURCE_MEDIAN_CHARS),
         "top_lang_per_source": (q_top_lang_per_source, SQL_TOP_LANG_PER_SOURCE),
