@@ -20,6 +20,8 @@ bounded by the number of upstream blocks.
 
 from __future__ import annotations
 
+import math
+import os
 from typing import Callable, Sequence
 
 import numpy as np
@@ -27,6 +29,43 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+
+# "One reducer's bucket must fit in worker memory" (module docstring):
+# the fan-out P is derived from the bytes actually entering the exchange
+# instead of a per-call literal, so the same query code runs at sandbox
+# scale (P=1..4) and at 100x (P grows linearly with the data).  The
+# target is deliberately a fraction of a worker heap — reducers hold the
+# concatenated pandas frame plus its Arrow output simultaneously.
+_DEFAULT_BUCKET_TARGET_BYTES = 64 << 20
+_MAX_PARTITIONS = 1024
+
+
+def _bucket_target_bytes() -> int:
+    return int(
+        os.environ.get("PNR_BUCKET_TARGET_BYTES", _DEFAULT_BUCKET_TARGET_BYTES)
+    )
+
+
+def auto_num_partitions(total_bytes: int) -> int:
+    """Exchange fan-out sized to the exchanged volume: ceil(bytes /
+    target-bucket-bytes), clamped to [1, 1024].  Override the target via
+    ``PNR_BUCKET_TARGET_BYTES`` (tests force multi-partition paths with
+    a tiny target)."""
+    return max(
+        1, min(_MAX_PARTITIONS, math.ceil(max(total_bytes, 1) / _bucket_target_bytes()))
+    )
+
+
+def _materialized(ds) -> tuple[list, int]:
+    """Execute ``ds`` and return (block refs, total bytes).  An exchange
+    materializes its input by construction (every block must be split by
+    key before reducers can run), so this adds no extra pass."""
+    mds = ds.materialize()
+    try:
+        nbytes = mds.size_bytes() or 0
+    except Exception:
+        nbytes = 0
+    return mds.to_arrow_refs(), nbytes
 
 
 def _bucket_of(table: pa.Table, key_cols: Sequence[str], p: int) -> np.ndarray:
@@ -70,8 +109,8 @@ def _merge_bucket(merge_fn, *pieces: pa.Table) -> pa.Table:
     )
 
 
-def _partitioned_refs(ds, key_cols: Sequence[str], p: int) -> list[list]:
-    """Scatter every block of ``ds`` into ``p`` key-hash bucket refs.
+def _partitioned_refs(block_refs: list, key_cols: Sequence[str], p: int) -> list[list]:
+    """Scatter every block ref into ``p`` key-hash bucket refs.
 
     Returns one list of ``p`` sub-table refs per upstream block — the
     shared exchange step of hash_aggregate / hash_join / asof_join.
@@ -80,7 +119,7 @@ def _partitioned_refs(ds, key_cols: Sequence[str], p: int) -> list[list]:
         _split_block.options(num_returns=p if p > 1 else 1).remote(
             ref, list(key_cols), p
         )
-        for ref in ds.to_arrow_refs()
+        for ref in block_refs
     ]
     if p == 1:
         return [[r] for r in split_refs]
@@ -91,20 +130,22 @@ def hash_aggregate(
     ds,
     key_cols: Sequence[str],
     merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """Key-co-located reduction over a Dataset of (pre-aggregated) rows.
 
     ``merge_fn``: vectorized pandas reduction applied once per bucket
     (e.g. ``df.groupby(keys).sum()``).  Returns a ray.data.Dataset of the
-    merged rows.  Size ``num_partitions`` to the key-space volume — the
-    default suits <=10^7 partial rows; scale it with the data (one
-    reducer's bucket must fit in worker memory).
+    merged rows.  ``num_partitions`` defaults to size-adaptive (see
+    :func:`auto_num_partitions`): one bucket per ~64 MB of exchanged
+    partials, so a reducer's bucket always fits in worker memory.
     """
-    split_cols = _partitioned_refs(ds, key_cols, num_partitions)
+    refs, nbytes = _materialized(ds)
+    p = num_partitions or auto_num_partitions(nbytes)
+    split_cols = _partitioned_refs(refs, key_cols, p)
     merged = [
         _merge_bucket.remote(merge_fn, *[split_cols[i][b] for i in range(len(split_cols))])
-        for b in range(num_partitions)
+        for b in range(p)
     ]
     return ray.data.from_arrow_refs(merged)
 
@@ -114,7 +155,7 @@ def hash_join(
     ds_right,
     on: Sequence[str],
     merge_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     how: str = "inner",
 ):
     """Explicit partitioned hash join of two Datasets on ``on`` keys.
@@ -125,15 +166,16 @@ def hash_join(
     never materializes).  This is the both-sides-large path; for a small
     side prefer a broadcast ``pc.is_in`` / dict lookup in map_batches.
 
-    Skew note: a hot join key lands in one bucket; raise
-    ``num_partitions`` and/or pre-aggregate the skewed side first (the
-    merge_fn hook exists precisely so the fat join output collapses
-    inside the bucket task).
+    ``num_partitions`` defaults to size-adaptive on the SUM of both
+    sides' bytes.  Skew note: a hot join key lands in one bucket; raise
+    the fan-out and/or pre-aggregate the skewed side first (the merge_fn
+    hook exists precisely so the fat join output collapses inside the
+    bucket task).
     """
     keys = list(on)
-    left_refs = ds_left.to_arrow_refs()
-    right_refs = ds_right.to_arrow_refs()
-    p = num_partitions
+    left_refs, lbytes = _materialized(ds_left)
+    right_refs, rbytes = _materialized(ds_right)
+    p = num_partitions or auto_num_partitions(lbytes + rbytes)
     ls = [
         _split_block.options(num_returns=p if p > 1 else 1).remote(r, keys, p)
         for r in left_refs
@@ -179,7 +221,7 @@ def hash_anti_join(
     ds_left,
     ds_right,
     on: str,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """Distributed anti-join: left rows whose ``on`` key does NOT occur
     in the right side.  Both sides hash-partition on the key; each bucket
@@ -194,8 +236,11 @@ def hash_anti_join(
     """
     import pyarrow.compute as _pc
 
-    ls = _partitioned_refs(ds_left, [on], num_partitions)
-    rs = _partitioned_refs(ds_right, [on], num_partitions)
+    lrefs, lbytes = _materialized(ds_left)
+    rrefs, rbytes = _materialized(ds_right)
+    num_partitions = num_partitions or auto_num_partitions(lbytes + rbytes)
+    ls = _partitioned_refs(lrefs, [on], num_partitions)
+    rs = _partitioned_refs(rrefs, [on], num_partitions)
 
     @ray.remote
     def _anti_bucket(n_left: int, *pieces: pa.Table) -> pa.Table:
@@ -226,7 +271,7 @@ def asof_join(
     by: str,
     left_on: str,
     right_on: str,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Distributed as-of join: for each left row, the latest right row of
     the same ``by`` key with ``right_on <= left_on`` (backward, exact
@@ -245,8 +290,11 @@ def asof_join(
     engine-defined in every system — project only tie-invariant right
     columns (e.g. the time itself) if results must be comparable.
     """
-    ls = _partitioned_refs(ds_left, [by], num_partitions)
-    rs = _partitioned_refs(ds_right, [by], num_partitions)
+    lrefs, lbytes = _materialized(ds_left)
+    rrefs, rbytes = _materialized(ds_right)
+    num_partitions = num_partitions or auto_num_partitions(lbytes + rbytes)
+    ls = _partitioned_refs(lrefs, [by], num_partitions)
+    rs = _partitioned_refs(rrefs, [by], num_partitions)
 
     @ray.remote
     def _asof_bucket(n_left: int, *pieces: pa.Table) -> pa.Table:

@@ -104,7 +104,6 @@ def q_lang_id(sf_dir: str):
         pred.map_batches(agg, batch_format="pyarrow"),
         ["lang"],
         lambda df: df.groupby("lang", sort=False).sum().reset_index(),
-        1,
     )
     return collect_sorted(merged, ["lang"])
 
@@ -134,7 +133,6 @@ def q_quality_scores(sf_dir: str):
         scored.map_batches(agg, batch_format="pyarrow"),
         ["source"],
         lambda df: df.groupby("source", sort=False).sum().reset_index(),
-        1,
     )
     return collect_sorted(merged, ["source"])
 
@@ -354,7 +352,7 @@ def q_approx_distinct_users(sf_dir: str):
         return pd.DataFrame(rows, columns=["event_type", "n_users_approx"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = hash_aggregate(partials, ["event_type"], merge, 2)
+    out = hash_aggregate(partials, ["event_type"], merge)
     return collect_sorted(out, ["event_type"])
 
 

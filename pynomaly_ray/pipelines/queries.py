@@ -110,7 +110,7 @@ def q_lineitem_agg(sf_dir: str):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = hash_aggregate(partials, ["l_returnflag", "l_linestatus"], merge, 2)
+    out = hash_aggregate(partials, ["l_returnflag", "l_linestatus"], merge)
     return collect_sorted(out, ["l_returnflag", "l_linestatus"])
 
 
@@ -182,7 +182,7 @@ def q_dup_orderkeys(sf_dir: str):
         return g[g["cnt"] > 1]
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = hash_aggregate(partials, ["l_orderkey"], merge, 8)
+    out = hash_aggregate(partials, ["l_orderkey"], merge)
     return collect_sorted(out, ["l_orderkey"])
 
 
@@ -290,7 +290,7 @@ def q_source_stats(sf_dir: str):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = hash_aggregate(partials, ["source"], merge, 2)
+    out = hash_aggregate(partials, ["source"], merge)
     return collect_sorted(out, ["source"])
 
 
@@ -337,7 +337,7 @@ def q_exact_dedup(sf_dir: str):
         return g[["doc_id", "copies"]]
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = hash_aggregate(partials, ["content_hash"], merge, 8)
+    out = hash_aggregate(partials, ["content_hash"], merge)
     return collect_sorted(out, ["doc_id"])
 
 
@@ -380,7 +380,7 @@ def q_token_counts(sf_dir: str):
         return df.groupby("source", sort=False).sum().reset_index()
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = hash_aggregate(partials, ["source"], merge, 2)
+    out = hash_aggregate(partials, ["source"], merge)
     return collect_sorted(out, ["source"])
 
 
@@ -438,7 +438,7 @@ def q_hourly_events(sf_dir: str):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = hash_aggregate(partials, ["event_type", "hour_bucket"], merge, 4)
+    out = hash_aggregate(partials, ["event_type", "hour_bucket"], merge)
     return collect_sorted(out, ["event_type", "hour_bucket"])
 
 
@@ -518,37 +518,48 @@ ORACLE_QUERIES = {
 
 
 # ---------------------------------------------------------------------------
-# Q: segment_revenue — broadcast hash join: orders x customer (small side
-# shipped once via ray.put-style closure capture), grouped revenue.
+# Q: segment_revenue — orders x customer partitioned hash join.  Customer
+# is a FACT-SCALED table (TPC-H SF x 150k rows), so it goes through the
+# key-partitioned exchange like any other fact table — never a driver
+# dict captured in task closures (which would neither build nor ship at
+# 100x).  The fat side (orders) is pre-aggregated per custkey inside the
+# scan, and the join output collapses to per-segment partials inside
+# each bucket task.
 # ---------------------------------------------------------------------------
 def q_segment_revenue(sf_dir: str):
-    import pyarrow.parquet as papq
+    from pynomaly_ray.functions.exchange import hash_join
 
-    cust = papq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_mktsegment"],
-    )
-    seg_of = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-    )
-    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def ord_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["c_mktsegment"] = df["o_custkey"].map(seg_of)
         df["total_cents"] = _cents(df["o_totalprice"].to_numpy())
         g = (
-            df.groupby("c_mktsegment", sort=False)
+            df.groupby("o_custkey", sort=False)
             .agg(n_orders=("total_cents", "size"), sum_total_cents=("total_cents", "sum"))
             .reset_index()
         )
         return _from_pandas(g)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("c_mktsegment", sort=False).sum().reset_index()
+    ord_agg = orders.map_batches(ord_partial, batch_format="pyarrow", batch_size=65536)
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = hash_aggregate(partials, ["c_mktsegment"], merge, 2)
+    def bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("c_mktsegment", sort=False)
+            .agg(n_orders=("n_orders", "sum"), sum_total_cents=("sum_total_cents", "sum"))
+            .reset_index()
+        )
+
+    joined = hash_join(ord_agg, cust, ["o_custkey"], merge_fn=bucket_agg)
+    out = hash_aggregate(
+        joined,
+        ["c_mktsegment"],
+        lambda df: df.groupby("c_mktsegment", sort=False).sum().reset_index(),
+    )
     return collect_sorted(out, ["c_mktsegment"])
 
 
@@ -587,12 +598,12 @@ def q_priority_lines(sf_dir: str):
             .reset_index()
         )
 
-    joined = hash_join(li, orders, ["l_orderkey"], merge_fn=bucket_agg, num_partitions=8)
+    joined = hash_join(li, orders, ["l_orderkey"], merge_fn=bucket_agg)
 
     def final_merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_orderpriority", sort=False).sum().reset_index()
 
-    out = hash_aggregate(joined, ["o_orderpriority"], final_merge, 1)
+    out = hash_aggregate(joined, ["o_orderpriority"], final_merge)
     return collect_sorted(out, ["o_orderpriority"])
 
 
@@ -626,7 +637,7 @@ def q_distinct_users(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     # bucket by event_type so each reducer holds full distinct sets per key
-    out = hash_aggregate(partials, ["event_type"], merge, 2)
+    out = hash_aggregate(partials, ["event_type"], merge)
     return collect_sorted(out, ["event_type"])
 
 
@@ -670,7 +681,7 @@ def q_user_sessions(sf_dir: str):
             .reset_index(name="n_sessions")
         )
 
-    out = hash_aggregate(ds, ["user_id"], sessions, 8)
+    out = hash_aggregate(ds, ["user_id"], sessions)
     return collect_sorted(out, ["user_id"])
 
 
@@ -738,23 +749,21 @@ ORACLE_QUERIES["asof_orders"] = (q_asof_orders, SQL_ASOF_ORDERS)
 
 
 # ---------------------------------------------------------------------------
-# Q: nation_revenue — three-way join: lineitem x orders via partitioned
-# hash join (both large), then customer->nation resolved by broadcast
-# lookup; grouped integer-exact revenue per nation (TPC-H Q5 shape).
+# Q: nation_revenue — three-way join (TPC-H Q5 shape): lineitem x orders
+# and then x customer, BOTH via the partitioned hash join — customer is
+# fact-scaled (SF x 150k) so it must flow through the exchange, never a
+# driver dict in a closure.  Only the genuinely constant-size nation
+# dimension (25 rows) is resolved by broadcast dict lookup inside the
+# bucket reducers.  Each join pre-aggregates so no stage's output grows
+# beyond its key-space.
 # ---------------------------------------------------------------------------
 def q_nation_revenue(sf_dir: str):
     import pyarrow.parquet as papq
 
     from pynomaly_ray.functions.exchange import hash_join
 
-    cust = papq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    )
     nation = papq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
-    )
-    nation_of_cust = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
     )
     name_of_nation = dict(
         zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
@@ -780,24 +789,34 @@ def q_nation_revenue(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_name"] = (
-            df["o_custkey"].map(nation_of_cust).map(name_of_nation)
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        # collapse the join output to per-customer partials inside the
+        # bucket so the second join's left side is at most |customer|
+        return (
+            df.groupby("o_custkey", sort=False)
+            .agg(n_lines=("n_lines", "sum"), disc_cents=("disc_cents", "sum"))
+            .reset_index()
         )
+
+    cust_rev = hash_join(li_agg, orders, ["l_orderkey"], merge_fn=per_cust)
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_name"] = df["c_nationkey"].map(name_of_nation)
         return (
             df.groupby("n_name", sort=False)
             .agg(n_lines=("n_lines", "sum"), sum_disc_cents=("disc_cents", "sum"))
             .reset_index()
         )
 
-    joined = hash_join(
-        li_agg, orders, ["l_orderkey"], merge_fn=bucket_agg, num_partitions=8
-    )
+    joined = hash_join(cust_rev, cust, ["o_custkey"], merge_fn=per_nation)
     out = hash_aggregate(
         joined,
         ["n_name"],
         lambda df: df.groupby("n_name", sort=False).sum().reset_index(),
-        1,
     )
     return collect_sorted(out, ["n_name"])
 
@@ -935,7 +954,6 @@ def q_ref_membership_subset(sf_dir: str):
         partials,
         ["user_id"],
         lambda df: df.groupby("user_id", sort=False, dropna=False).sum().reset_index(),
-        4,
     )
     return collect_sorted(out, ["user_id"])
 
@@ -1020,7 +1038,7 @@ def q_latest_orders(sf_dir: str):
         batch_format="pyarrow",
         batch_size=65536,
     )
-    out = hash_aggregate(partials, ["o_custkey"], keep_newest, 4)
+    out = hash_aggregate(partials, ["o_custkey"], keep_newest)
     df = collect_sorted(out, ["o_custkey"])
     df["order_day"] = df.pop("order_us") // 86_400_000_000
     return df
@@ -1070,7 +1088,7 @@ def q_top_events_per_type(sf_dir: str):
         batch_format="pyarrow",
         batch_size=65536,
     )
-    merged = hash_aggregate(partials, ["event_type"], local_top, 2)
+    merged = hash_aggregate(partials, ["event_type"], local_top)
     df = collect_sorted(merged, ["event_type"])
     df["rank"] = df.groupby("event_type", sort=False).cumcount() + 1
     return df.sort_values(["event_type", "rank"], kind="mergesort").reset_index(
@@ -1133,7 +1151,7 @@ def q_source_median_chars(sf_dir: str):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = hash_aggregate(partials, ["source"], merge, 2)
+    out = hash_aggregate(partials, ["source"], merge)
     return collect_sorted(out, ["source"])
 
 
@@ -1172,7 +1190,7 @@ def q_top_lang_per_source(sf_dir: str):
         return g.drop_duplicates("source", keep="first").reset_index(drop=True)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = hash_aggregate(partials, ["source"], merge, 2)
+    out = hash_aggregate(partials, ["source"], merge)
     return collect_sorted(out, ["source"])
 
 
@@ -1214,7 +1232,7 @@ def q_token_frequency(sf_dir: str):
         ).head(50)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    merged = hash_aggregate(partials, ["token"], merge, 8)
+    merged = hash_aggregate(partials, ["token"], merge)
     df = merged.to_pandas()
     df = (
         df.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
@@ -1274,7 +1292,7 @@ def q_trailing_events(sf_dir: str):
             {"event_id": df["event_id"].to_numpy(), "n_trailing_1h": out}
         )
 
-    out = hash_aggregate(ds, ["user_id"], windowed, 8)
+    out = hash_aggregate(ds, ["user_id"], windowed)
     return collect_sorted(out, ["event_id"])
 
 
@@ -1324,12 +1342,11 @@ def q_brand_revenue(sf_dir: str):
             .reset_index()
         )
 
-    joined = hash_join(li_agg, part, ["l_partkey"], merge_fn=bucket_agg, num_partitions=8)
+    joined = hash_join(li_agg, part, ["l_partkey"], merge_fn=bucket_agg)
     out = hash_aggregate(
         joined,
         ["p_brand"],
         lambda df: df.groupby("p_brand", sort=False).sum().reset_index(),
-        1,
     )
     return collect_sorted(out, ["p_brand"])
 
@@ -1382,7 +1399,6 @@ def q_region_supplier_balance(sf_dir: str):
         partials,
         ["r_name"],
         lambda df: df.groupby("r_name", sort=False).sum().reset_index(),
-        1,
     )
     return collect_sorted(out, ["r_name"])
 

@@ -255,7 +255,7 @@ def _post_scan_distributed(tagged, cfg, out_dir, resume):
     dup_ds = duplicates_from_docparts(docparts_ds, prior_docparts)
 
     merged = hash_aggregate(
-        partials_ds, ["partition_id"], merge_partials_df, num_partitions=8
+        partials_ds, ["partition_id"], merge_partials_df
     )
     stats_df = merged.to_pandas()
     if "partition_id" not in stats_df.columns:  # no valid rows at all
@@ -300,7 +300,6 @@ def _post_scan_distributed(tagged, cfg, out_dir, resume):
             all_viol.map_batches(count_partial, batch_format="pyarrow"),
             ["partition_id"],
             lambda df: df.groupby("partition_id", sort=False).sum().reset_index(),
-            8,
         ).to_pandas()
         vcounts = counts.set_index("partition_id")["cnt"]
     return viol_df, stats_df, vcounts, wrote_distributed
@@ -691,7 +690,7 @@ def write_validated_output(
         bad_ds = rd.from_arrow(
             pa.table({"doc_id": pa.array(bad_id_list, pa.string())})
         )
-        valid = hash_anti_join(clean, bad_ds, "doc_id", num_partitions=16)
+        valid = hash_anti_join(clean, bad_ds, "doc_id")
 
     dest = os.path.join(out_dir, "validated", run_id)
     valid.write_parquet(dest, partition_cols=["partition_id"])

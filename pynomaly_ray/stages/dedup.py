@@ -322,7 +322,7 @@ def minhash_lsh_duplicates(
         bands,
         ["band_id", "band_hash"],
         bucket_candidate_pairs,
-        num_partitions=8,
+        
     )
     def _rename(col_id: str, col_text: str):
         def _f(t: pa.Table) -> pa.Table:
@@ -340,9 +340,9 @@ def minhash_lsh_duplicates(
         texts_a,
         ["doc_a"],
         merge_fn=lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-        num_partitions=4,
+        
     )
-    with_b = hash_join(with_a, texts_b, ["doc_b"], num_partitions=4)
+    with_b = hash_join(with_a, texts_b, ["doc_b"])
     verified = with_b.map_batches(
         _PairVerifier(shingle_k=shingle_k), batch_format="pyarrow"
     )
@@ -436,4 +436,4 @@ def exact_duplicates_by_content(docs_ds):
         )
 
     partials = docs_ds.map_batches(partial, batch_format="pyarrow")
-    return hash_aggregate(partials, ["content_hash"], merge, num_partitions=8)
+    return hash_aggregate(partials, ["content_hash"], merge)

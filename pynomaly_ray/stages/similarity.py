@@ -350,7 +350,7 @@ def near_dup_pairs_embedding(
         batch_size=8192,
     )
     cands = hash_aggregate(
-        buckets, ["table_id", "bucket"], _bucket_pairs, num_partitions=4
+        buckets, ["table_id", "bucket"], _bucket_pairs
     )
 
     def _rename(col_id: str, col_emb: str):
@@ -368,9 +368,9 @@ def near_dup_pairs_embedding(
         emb_a,
         ["vec_a"],
         merge_fn=lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
-        num_partitions=4,
+        
     )
-    with_b = hash_join(with_a, emb_b, ["vec_b"], num_partitions=4)
+    with_b = hash_join(with_a, emb_b, ["vec_b"])
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -166,7 +166,7 @@ def duplicates_from_docparts(docparts_ds, prior_docparts_ds=None):
         g = df.groupby("doc_id", sort=False)["cnt"].sum().reset_index(name="total")
         return g[g["total"] > 1]
 
-    dup_totals = hash_aggregate(union_ds, ["doc_id"], merge, 16).to_pandas()
+    dup_totals = hash_aggregate(union_ds, ["doc_id"], merge).to_pandas()
     dup_ids = dup_totals["doc_id"].tolist() if len(dup_totals) else []
     if not dup_ids:
         return ray.data.from_arrow(pa.table(_EMPTY_VIOL))

@@ -112,6 +112,65 @@ def test_hash_join_matches_pandas(ray_session):
     assert int(out["y"].sum()) == int(expect["y"].sum())
 
 
+def test_auto_num_partitions_bounds():
+    from pynomaly_ray.functions.exchange import (
+        _bucket_target_bytes,
+        auto_num_partitions,
+    )
+
+    t = _bucket_target_bytes()
+    assert auto_num_partitions(0) == 1
+    assert auto_num_partitions(t) == 1
+    assert auto_num_partitions(t + 1) == 2
+    assert auto_num_partitions(10**18) == 1024  # clamped
+
+
+def test_hash_aggregate_adaptive_multi_partition(ray_session, monkeypatch):
+    """With a tiny bucket target the exchange is forced onto the multi-P
+    path; results must equal the single-bucket reduction exactly."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "4096")
+    df = pd.DataFrame(
+        {"k": (np.arange(5000) % 97).astype(np.int64), "v": np.arange(5000, dtype=np.int64)}
+    )
+
+    def merge(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("k", sort=False)["v"].sum().reset_index()
+
+    out_ds = hash_aggregate(rd.from_pandas(df), ["k"], merge)
+    assert out_ds.num_blocks() > 1  # fan-out actually adapted
+    out = out_ds.to_pandas().sort_values("k").reset_index(drop=True)
+    ref = (
+        hash_aggregate(rd.from_pandas(df), ["k"], merge, num_partitions=1)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = df.groupby("k", sort=True)["v"].sum().reset_index()
+    pd.testing.assert_frame_equal(out, expect)
+    pd.testing.assert_frame_equal(ref, expect)
+
+
+def test_hash_join_adaptive_matches_explicit(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import hash_join
+
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "2048")
+    rng = np.random.RandomState(9)
+    left = pd.DataFrame({"k": rng.randint(0, 200, 4000), "x": rng.randn(4000)})
+    right = pd.DataFrame({"k": np.arange(150), "y": np.arange(150) * 3})
+    out_ds = hash_join(rd.from_pandas(left), rd.from_pandas(right), ["k"])
+    assert out_ds.num_blocks() > 1
+    out = out_ds.to_pandas()
+    expect = left.merge(right, on=["k"], how="inner")
+    assert len(out) == len(expect)
+    assert int(out["y"].sum()) == int(expect["y"].sum())
+
+
 def test_cli_end_to_end(ray_session, tmp_path):
     from pynomaly_ray.cli import main
 
