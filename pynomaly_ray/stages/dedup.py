@@ -17,16 +17,17 @@ The LSH shuffle keys are (band_id, band_hash) — uniformly distributed by
 construction, so the groupby is skew-free; candidate verification runs
 per bucket (small groups) and never materializes the corpus.
 
-Hashing: words are hashed once per actor (cached dict), shingles are a
-64-bit polynomial fold of the word hashes computed with a handful of
-whole-batch numpy ops; per-doc minima come from ``np.minimum.reduceat``
-over the flat shingle array — no Python loop over shingles or bands.
+Hashing: words are hashed whole-batch with pandas' C SipHash
+(``functions/hashing.hash_strings`` — no per-word Python loop, no
+unbounded per-actor vocabulary cache), shingles are a 64-bit polynomial
+fold of the word hashes computed with a handful of whole-batch numpy
+ops; per-doc minima come from ``np.minimum.reduceat`` over the flat
+shingle array — no Python loop over shingles or bands.
 """
 
 from __future__ import annotations
 
 import re
-import zlib
 from itertools import chain
 
 import numpy as np
@@ -37,24 +38,6 @@ _MERSENNE = (1 << 61) - 1
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 _POLY_B = np.uint64(0x100000001B3)
-
-
-def _word64(w: str) -> int:
-    """Stable 64-bit word hash: crc32 of the word and of its reverse."""
-    b = w.encode("utf-8", "surrogatepass")
-    return zlib.crc32(b) | (zlib.crc32(b[::-1]) << 32)
-
-
-def _word_hash_array(words: list[str], cache: dict) -> np.ndarray:
-    out = np.empty(len(words), dtype=np.uint64)
-    get = cache.get
-    for i, w in enumerate(words):
-        h = get(w)
-        if h is None:
-            h = _word64(w)
-            cache[w] = h
-        out[i] = h
-    return out
 
 
 def _fold_short(wh: np.ndarray) -> np.uint64:
@@ -201,14 +184,48 @@ def explode_bands(n_bands: int):
 _BUCKET_PAIR_CAP = 256
 
 
+def _emit_group_pairs(
+    vals: np.ndarray, sizes: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) pair arrays for every collision group, batched by group
+    SIZE so Python cost is O(#distinct sizes), not O(#groups): all
+    groups of one size stack into an (m, s) matrix and emit their
+    upper-triangle pairs with two fancy-index takes.  Groups larger than
+    ``cap`` emit a star to their first element (see
+    ``bucket_candidate_pairs`` rationale).
+
+    ``vals``: concatenation of the group member arrays, each group's
+    members contiguous and sorted; ``sizes``: per-group lengths (>= 2).
+    """
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    a_out, b_out = [], []
+    small = sizes <= cap
+    for s in np.unique(sizes[small]):
+        if s < 2:
+            continue
+        gsel = np.flatnonzero(small & (sizes == s))
+        rows = vals[offsets[gsel][:, None] + np.arange(s)[None, :]]  # (m, s)
+        iu0, iu1 = np.triu_indices(s, k=1)
+        a_out.append(rows[:, iu0].ravel())
+        b_out.append(rows[:, iu1].ravel())
+    for g in np.flatnonzero(~small):  # rare by construction
+        seg = vals[offsets[g] : offsets[g + 1]]
+        a_out.append(np.full(len(seg) - 1, seg[0], dtype=vals.dtype))
+        b_out.append(seg[1:])
+    if not a_out:
+        return np.empty(0, dtype=vals.dtype), np.empty(0, dtype=vals.dtype)
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
 def bucket_candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
     """ALL (band_id, band_hash) groups of one exchange bucket -> candidate
     pairs, in one vectorized pass: singleton groups (the overwhelming
     majority — band hashes are uniform) are dropped with a groupby
-    transform, and Python touches only actual collision groups, whose
-    count is proportional to the candidate output itself.  Replaces a
-    per-group ``map_groups`` callback that cost ~1 ms per group (65 s at
-    80k groups on sf0.1).
+    transform, and the surviving collision groups emit their pairs
+    batched by group size (``_emit_group_pairs`` — Python cost is
+    O(#distinct sizes), typically 2-3 iterations).  Replaces a per-group
+    ``map_groups`` callback that cost ~1 ms per group (65 s at 80k
+    groups on sf0.1).
 
     Collision groups larger than ``_BUCKET_PAIR_CAP`` emit a star (every
     doc paired with the lexicographically-first) instead of all O(n^2)
@@ -230,19 +247,11 @@ def bucket_candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
     d = d[sizes >= 2]
     if not len(d):
         return pd.DataFrame({"doc_a": empty, "doc_b": empty})
-    a_out, b_out = [], []
-    for _, g in d.groupby(keys, sort=False):
-        docs = g["doc_id"].to_numpy()  # deduped + sorted already
-        if len(docs) > _BUCKET_PAIR_CAP:
-            a_out.append(np.full(len(docs) - 1, docs[0]))
-            b_out.append(docs[1:])
-        else:
-            iu = np.triu_indices(len(docs), k=1)
-            a_out.append(docs[iu[0]])
-            b_out.append(docs[iu[1]])
-    return pd.DataFrame(
-        {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
-    )
+    # rows are contiguous per (band_id, band_hash) group and sorted, so
+    # the group sizes index straight into the value vector
+    gsizes = d.groupby(keys, sort=False).size().to_numpy()
+    a, b = _emit_group_pairs(d["doc_id"].to_numpy(), gsizes, _BUCKET_PAIR_CAP)
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -355,15 +364,18 @@ def minhash_lsh_duplicates(
 
 class SimHasher:
     """64-bit SimHash over word features, vectorized across the batch:
-    word hashes from a per-actor cache, bit counts per doc via
-    ``np.add.reduceat`` on the flat (n_words x 64) bit matrix.
+    word hashes via the same whole-batch SipHash the shingle kernel uses
+    (``functions/hashing.hash_strings`` — C-vectorized, so there is no
+    per-word Python loop and no per-actor cache whose heap would grow
+    with an open vocabulary), bit counts per doc via ``np.add.reduceat``.
     Adds ``simhash: int64``."""
 
     def __init__(self):
         self.word_re = re.compile(r"\w+", re.UNICODE)
-        self.cache: dict[str, int] = {}
 
     def simhash_batch(self, texts) -> np.ndarray:
+        from pynomaly_ray.functions.hashing import hash_strings
+
         findall = self.word_re.findall
         split = [findall(("" if t is None else t).lower()) for t in texts]
         n_docs = len(split)
@@ -374,7 +386,7 @@ class SimHasher:
         nz = np.nonzero(lengths)[0]
         if len(nz) == 0:
             return out
-        wh = _word_hash_array(list(chain.from_iterable(split)), self.cache)
+        wh = hash_strings(list(chain.from_iterable(split)))
         woff = np.concatenate([[0], np.cumsum(lengths)])
         offs = woff[:-1][nz]
         half = lengths[nz]  # bit set iff ones-count * 2 > n_words

@@ -282,9 +282,11 @@ _BUCKET_PAIR_CAP = 512
 
 def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     """ALL (table_id, bucket) groups of one exchange bucket -> candidate
-    id pairs; vectorized singleton elimination, Python only on collision
-    groups; oversized buckets emit a star to the smallest id (see
-    stages/dedup.py rationale)."""
+    id pairs; vectorized singleton elimination, pair emission batched by
+    group size (stages/dedup._emit_group_pairs); oversized buckets emit
+    a star to the smallest id (see stages/dedup.py rationale)."""
+    from pynomaly_ray.stages.dedup import _emit_group_pairs
+
     if not len(df):
         return pd.DataFrame(
             {
@@ -305,19 +307,11 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
                 "vec_b": pd.Series(dtype=np.int64),
             }
         )
-    a_out, b_out = [], []
-    for _, g in d.groupby(keys, sort=False):
-        ids = g["vec_id"].to_numpy(dtype=np.int64)
-        if len(ids) > _BUCKET_PAIR_CAP:
-            a_out.append(np.full(len(ids) - 1, ids[0]))
-            b_out.append(ids[1:])
-        else:
-            iu = np.triu_indices(len(ids), k=1)
-            a_out.append(ids[iu[0]])
-            b_out.append(ids[iu[1]])
-    return pd.DataFrame(
-        {"vec_a": np.concatenate(a_out), "vec_b": np.concatenate(b_out)}
+    gsizes = d.groupby(keys, sort=False).size().to_numpy()
+    a, b = _emit_group_pairs(
+        d["vec_id"].to_numpy(dtype=np.int64), gsizes, _BUCKET_PAIR_CAP
     )
+    return pd.DataFrame({"vec_a": a, "vec_b": b})
 
 
 def near_dup_pairs_embedding(

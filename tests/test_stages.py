@@ -468,3 +468,34 @@ def test_approx_distinct_users_vs_exact(ray_session):
     for et in exact.index:
         rel = abs(int(approx[et]) - int(exact[et])) / max(int(exact[et]), 1)
         assert rel < 0.05, (et, int(approx[et]), int(exact[et]))
+
+
+def test_emit_group_pairs_matches_naive_and_star():
+    from pynomaly_ray.stages.dedup import _emit_group_pairs
+
+    rng = np.random.RandomState(5)
+    sizes = np.array([2, 3, 3, 7, 2, 5], dtype=np.int64)
+    vals = rng.randint(0, 10**6, sizes.sum()).astype(np.int64)
+    a, b = _emit_group_pairs(vals, sizes, cap=256)
+    # naive reference
+    na, nb = [], []
+    off = 0
+    for s in sizes:
+        seg = vals[off : off + s]
+        iu = np.triu_indices(s, k=1)
+        na.append(seg[iu[0]])
+        nb.append(seg[iu[1]])
+        off += s
+    # emission order is batched by group size — compare as sets
+    got = set(zip(a.tolist(), b.tolist()))
+    want = set(zip(np.concatenate(na).tolist(), np.concatenate(nb).tolist()))
+    assert got == want and len(a) == len(np.concatenate(na))
+    # star fallback for an oversized group: n-1 pairs, all anchored at
+    # the first element
+    big = np.arange(100, dtype=np.int64)
+    sa, sb = _emit_group_pairs(big, np.array([100]), cap=10)
+    assert len(sa) == 99 and (sa == 0).all() and (sb == big[1:]).all()
+    # object-dtype (string doc ids) path
+    docs = np.array(["d1", "d2", "d3", "x1", "x2"], dtype=object)
+    oa, ob = _emit_group_pairs(docs, np.array([3, 2]), cap=256)
+    assert set(zip(oa, ob)) == {("d1", "d2"), ("d1", "d3"), ("d2", "d3"), ("x1", "x2")}
