@@ -138,19 +138,19 @@ def cmd_dedup(args) -> int:
     elif args.method == "minhash":
         from pynomaly_ray.stages.dedup import minhash_lsh_duplicates
 
-        pairs = minhash_lsh_duplicates(
+        # distributed sink: verified pairs are filtered in the map tasks
+        # and written as partitioned parquet without ever forming a
+        # driver-side DataFrame (materialize once -> write + count share
+        # the same executed blocks)
+        pairs_ds = minhash_lsh_duplicates(
             ds,
             n_perm=args.n_perm,
             n_bands=args.n_bands,
             jaccard_threshold=args.threshold,
-        )
-        import pyarrow.parquet as pq
-
-        pq.write_table(
-            pa.Table.from_pandas(pairs, preserve_index=False),
-            os.path.join(args.out, "pairs.parquet"),
-        )
-        summary = {"method": "minhash", "near_dup_pairs": int(len(pairs))}
+            as_dataset=True,
+        ).materialize()
+        pairs_ds.write_parquet(os.path.join(args.out, "pairs"))
+        summary = {"method": "minhash", "near_dup_pairs": int(pairs_ds.count())}
     else:  # simhash
         from pynomaly_ray.stages.dedup import SimHasher
 

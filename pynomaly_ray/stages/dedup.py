@@ -301,16 +301,21 @@ def minhash_lsh_duplicates(
     n_bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    as_dataset: bool = False,
 ):
     """Full MinHash-LSH near-dup pipeline over (doc_id, text) batches.
 
     Fully distributed: signatures and band hashes are vectorized batch
     kernels; candidate pairs are deduplicated by a hash exchange, their
     texts hash-joined on (docs never collected to the driver), and the
-    exact-Jaccard verify runs inside map tasks.  Only the final verified
-    pair list — the pipeline's actual result — reaches the driver.
+    exact-Jaccard verify runs inside map tasks.
 
-    Returns a pandas DataFrame of verified pairs (doc_a, doc_b, jaccard).
+    Returns a pandas DataFrame of verified pairs (doc_a, doc_b, jaccard)
+    by default — the right shape for corpora whose verified-pair list is
+    driver-sized.  With ``as_dataset=True`` the threshold filter runs in
+    the map tasks and the verified pairs come back as a ray.data.Dataset
+    (``write_parquet`` it) — the 100-TB path where even the pair list is
+    too large to collect.
     """
     from pynomaly_ray.functions.exchange import hash_aggregate, hash_join
 
@@ -355,6 +360,15 @@ def minhash_lsh_duplicates(
     verified = with_b.map_batches(
         _PairVerifier(shingle_k=shingle_k), batch_format="pyarrow"
     )
+    if as_dataset:
+        import pyarrow.compute as pc
+
+        return verified.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["jaccard"], jaccard_threshold)
+            ),
+            batch_format="pyarrow",
+        )
     out = verified.to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})

@@ -321,7 +321,8 @@ def near_dup_pairs_embedding(
     threshold: float = 0.4,
     n_planes: int = 4,
     n_tables: int = 8,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """Embedding-cosine near-duplicate pairs via multi-table hyperplane
     LSH, fully distributed:
 
@@ -330,7 +331,10 @@ def near_dup_pairs_embedding(
     3. hash-exchange dedup of pairs;
     4. embeddings hash-joined onto the candidates (never broadcast, never
        driver-collected) and exact cosine computed vectorized per batch;
-    5. only verified pairs >= threshold reach the driver.
+    5. only verified pairs >= threshold reach the driver — or, with
+       ``as_dataset=True``, stay distributed as a ray.data.Dataset for a
+       ``write_parquet`` sink (the path for corpora whose verified-pair
+       list itself exceeds driver memory).
 
     Recall for a pair at angle theta: 1-(1-p^k)^L with p = 1-theta/pi —
     raise n_tables for higher recall, n_planes for sparser buckets.
@@ -393,7 +397,10 @@ def near_dup_pairs_embedding(
             }
         )
 
-    df = with_b.map_batches(verify, batch_format="pyarrow").to_pandas()
+    verified = with_b.map_batches(verify, batch_format="pyarrow")
+    if as_dataset:
+        return verified  # threshold filter already ran in the map tasks
+    df = verified.to_pandas()
     if df.empty:
         return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

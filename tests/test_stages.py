@@ -499,3 +499,70 @@ def test_emit_group_pairs_matches_naive_and_star():
     docs = np.array(["d1", "d2", "d3", "x1", "x2"], dtype=object)
     oa, ob = _emit_group_pairs(docs, np.array([3, 2]), cap=256)
     assert set(zip(oa, ob)) == {("d1", "d2"), ("d1", "d3"), ("d2", "d3"), ("x1", "x2")}
+
+
+def test_dedup_dataset_sink_paths(ray_session, tmp_path):
+    """as_dataset=True returns the same verified pairs as the DataFrame
+    path, without a driver-side collect; CLI dedup writes the pair
+    parquet distributed."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.dedup import minhash_lsh_duplicates
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(200)]
+    base = " ".join(rng.choice(vocab, size=60))
+    docs = {"a0": base, "a1": base, "b0": base + " extra tail words here"}
+    for i in range(30):
+        docs[f"z{i:02d}"] = " ".join(rng.choice(vocab, size=60))
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    ds = rd.from_pandas(df).repartition(3)
+    want = minhash_lsh_duplicates(ds, jaccard_threshold=0.8)
+    got_ds = minhash_lsh_duplicates(ds, jaccard_threshold=0.8, as_dataset=True)
+    got = (
+        got_ds.to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # embedding variant
+    from pynomaly_ray.stages.similarity import near_dup_pairs_embedding
+
+    n, dim = 80, 16
+    E = rng.randn(n, dim)
+    E[1] = E[0] + 0.01 * rng.randn(dim)  # planted near-dup
+    edf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(E)})
+    eds = rd.from_pandas(edf).repartition(2)
+    ewant = near_dup_pairs_embedding(eds, dim=dim, threshold=0.9)
+    egot = (
+        near_dup_pairs_embedding(eds, dim=dim, threshold=0.9, as_dataset=True)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(egot, ewant)
+    assert {(0, 1)} <= set(zip(ewant.vec_a.astype(int), ewant.vec_b.astype(int)))
+
+
+def test_cli_dedup_minhash_distributed_sink(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pynomaly_ray.cli import main
+
+    out = str(tmp_path / "dd")
+    rc = main(
+        [
+            "dedup", "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out, "--method", "minhash",
+        ]
+    )
+    assert rc == 0
+    pair_dir = os.path.join(out, "pairs")
+    files = [f for f in os.listdir(pair_dir) if f.endswith(".parquet")]
+    assert files
+    t = pq.read_table(pair_dir)
+    assert set(t.schema.names) == {"doc_a", "doc_b", "jaccard"}
+    assert t.num_rows > 0  # sf0.001 documents contain planted duplicates
