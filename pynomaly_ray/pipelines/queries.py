@@ -1414,8 +1414,196 @@ ORDER BY r_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: ngram_jaccard_exact — EXACT 5-word-shingle Jaccard near-dup pairs
+# (the hard oracle for the kernel MinHash-LSH verification rests on).
+# Distributed shape: distinct (shingle_hash, doc_id) rows from the scan;
+# pairs sharing a shingle emitted inside shingle-hash buckets (uniform
+# keys) with per-bucket partial intersection counts; totals + per-doc
+# set sizes joined via the partitioned exchange; the tau cut is the
+# exact rational i*10 >= union*8 on BOTH sides (no float threshold
+# boundary).  This is the exact baseline — pair volume is O(sum of
+# shingle-group-size^2), valid while no single shingle is shared by
+# ~10^4+ docs; the LSH pipeline (minhash_dedup) is the scale path it
+# certifies.  Tokens use the explicit ASCII class (see q_token_counts)
+# and only docs with >= 5 tokens participate, both sides.
+# ---------------------------------------------------------------------------
+_NGRAM_K = 5
+_ASCII_TOKEN_RE = r"[^ \t\n\r\f\v]+"
+
+
+def _shingle_hash_rows(token_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
+    """Flat uint64 poly-fold hashes of every k-word shingle plus per-doc
+    offsets; every doc must have >= _NGRAM_K tokens (caller filters).
+    Vectorized: one SipHash pass over the flat word list, k shifted
+    multiply-adds for the fold (same construction as stages/dedup)."""
+    from pynomaly_ray.functions.hashing import hash_strings
+
+    k = _NGRAM_K
+    lengths = np.fromiter(
+        (len(t) for t in token_lists), dtype=np.int64, count=len(token_lists)
+    )
+    flat = [w for lst in token_lists for w in lst]
+    wh = hash_strings(flat)
+    woff = np.concatenate([[0], np.cumsum(lengths)])
+    soff = np.concatenate([[0], np.cumsum(lengths - k + 1)])
+    m = len(wh) - k + 1
+    B = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        acc = wh[:m].copy()
+        for j in range(1, k):
+            acc = acc * B + wh[j : j + m]
+    doc_of = np.repeat(np.arange(len(lengths)), lengths)[:m]
+    valid = (np.arange(m) + k) <= woff[doc_of + 1]
+    return acc[valid], soff
+
+
+def q_ngram_jaccard_exact(sf_dir: str):
+    from pynomaly_ray.functions.exchange import hash_join
+    from pynomaly_ray.stages.dedup import _emit_group_pairs
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle_partial(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        toks = s.str.findall(_ASCII_TOKEN_RE)
+        ids = batch["doc_id"].to_pandas().to_numpy()
+        keep = toks.str.len().to_numpy() >= _NGRAM_K
+        lists = toks[keep].tolist()
+        ids = ids[keep]
+        if not len(ids):
+            return pa.table(
+                {"sh": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        sh, soff = _shingle_hash_rows(lists)
+        df = pd.DataFrame(
+            {
+                "sh": sh.astype(np.int64),
+                "doc_id": np.repeat(ids, np.diff(soff)),
+            }
+        ).drop_duplicates()  # per-doc DISTINCT shingles (docs are whole per batch)
+        return _from_pandas(df)
+
+    # one scan, two exchange consumers -> materialize the rows once
+    rows = ds.map_batches(shingle_partial, batch_format="pyarrow").materialize()
+    sizes = hash_aggregate(
+        rows,
+        ["doc_id"],
+        lambda df: df.groupby("doc_id", sort=False)
+        .size()
+        .reset_index(name="n_sh"),
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype=np.int64),
+                    "doc_b": pd.Series(dtype=np.int64),
+                    "i": pd.Series(dtype=np.int64),
+                }
+            )
+        d = df.sort_values(["sh", "doc_id"], kind="mergesort")
+        gs = d.groupby("sh", sort=False)["doc_id"].transform("size")
+        d = d[gs.to_numpy() >= 2]
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype=np.int64),
+                    "doc_b": pd.Series(dtype=np.int64),
+                    "i": pd.Series(dtype=np.int64),
+                }
+            )
+        gsizes = d.groupby("sh", sort=False).size().to_numpy()
+        # cap = unbounded: this is the EXACT query; the capped star
+        # emission belongs to the LSH scale path
+        a, b = _emit_group_pairs(
+            d["doc_id"].to_numpy(dtype=np.int64), gsizes, cap=1 << 31
+        )
+        return (
+            pd.DataFrame({"doc_a": a, "doc_b": b})
+            .groupby(["doc_a", "doc_b"], sort=False)
+            .size()
+            .reset_index(name="i")
+        )
+
+    inter = hash_aggregate(rows, ["sh"], pair_partial)
+    inter_tot = hash_aggregate(
+        inter,
+        ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], sort=False)["i"]
+        .sum()
+        .reset_index(),
+    )
+    na = sizes.map_batches(
+        lambda t: t.rename_columns(["doc_a", "n_a"]), batch_format="pyarrow"
+    )
+    nb = sizes.map_batches(
+        lambda t: t.rename_columns(["doc_b", "n_b"]), batch_format="pyarrow"
+    )
+    with_a = hash_join(inter_tot, na, ["doc_a"])
+    with_b = hash_join(with_a, nb, ["doc_b"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        i = df["i"].to_numpy(dtype=np.int64)
+        union = (df["n_a"] + df["n_b"]).to_numpy(dtype=np.int64) - i
+        keep = i * 10 >= union * 8  # tau = 0.8, exact rational compare
+        df = df[keep]
+        e6 = np.floor(i[keep] * 1e6 / union[keep] + 0.5).astype(np.int64)
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_a": df["doc_a"].to_numpy(dtype=np.int64),
+                    "doc_b": df["doc_b"].to_numpy(dtype=np.int64),
+                    "jaccard_e6": e6,
+                }
+            )
+        )
+
+    out = _collect(
+        with_b.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("jaccard_e6", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_a", "doc_b"])
+
+
+SQL_NGRAM_JACCARD_EXACT = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], CHR(30)) AS shingle
+  FROM tok, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(i * 1000000.0 / (na.n + nb.n - i) + 0.5) AS BIGINT) AS jaccard_e6
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE i * 10 >= (na.n + nb.n - i) * 8
+ORDER BY doc_a, doc_b
+"""
+
+
 ORACLE_QUERIES.update(
     {
+        "ngram_jaccard_exact": (q_ngram_jaccard_exact, SQL_NGRAM_JACCARD_EXACT),
         "brand_revenue": (q_brand_revenue, SQL_BRAND_REVENUE),
         "region_supplier_balance": (
             q_region_supplier_balance,
