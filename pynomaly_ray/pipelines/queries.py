@@ -843,7 +843,7 @@ ORACLE_QUERIES["nation_revenue"] = (q_nation_revenue, SQL_NATION_REVENUE)
 # path; this exact form is valid while the corpus matrix fits a worker
 # (<= ~10^6 x 64 floats).
 # ---------------------------------------------------------------------------
-_NEARDUP_COS_THRESHOLD = 0.4
+_NEARDUP_E6_THRESHOLD = 400_000  # cosine >= 0.4, cut on the e6 grid
 
 
 def q_embedding_neardup_exact(sf_dir: str):
@@ -881,17 +881,18 @@ def q_embedding_neardup_exact(sf_dir: str):
         mn = np.linalg.norm(M, axis=1)
         S = (M / np.where(mn > 0, mn, 1.0)[:, None]) @ Cn_l
         bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # threshold on the ROUNDED integer surface (cosine_e6), matching
+        # the SQL cut exactly — a float compare against 0.4 could differ
+        # between numpy and DuckDB for a pair landing on the boundary
+        e6 = np.floor(S * 1_000_000 + 0.5)
         # ordered pairs only (a < b): each pair emitted exactly once
-        mask = (S >= _NEARDUP_COS_THRESHOLD) & (bids[:, None] < ids_l[None, :])
+        mask = (e6 >= _NEARDUP_E6_THRESHOLD) & (bids[:, None] < ids_l[None, :])
         bi, cj = np.nonzero(mask)
         return pa.table(
             {
                 "vec_a": pa.array(bids[bi], pa.int64()),
                 "vec_b": pa.array(ids_l[cj], pa.int64()),
-                "cosine_e6": pa.array(
-                    np.floor(S[bi, cj] * 1_000_000 + 0.5).astype(np.int64),
-                    pa.int64(),
-                ),
+                "cosine_e6": pa.array(e6[bi, cj].astype(np.int64), pa.int64()),
             }
         )
 
@@ -917,7 +918,8 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
             * 1000000 + 0.5) AS BIGINT) AS cosine_e6
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+WHERE CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           * 1000000 + 0.5) AS BIGINT) >= 400000
 ORDER BY vec_a, vec_b
 """
 
@@ -1276,18 +1278,34 @@ def q_trailing_events(sf_dir: str):
         df = df.sort_values(["user_id", "ts"], kind="mergesort")
         us = df["ts"].astype("int64").to_numpy()
         uid = df["user_id"].to_numpy()
-        starts = np.flatnonzero(
-            np.concatenate([[True], uid[1:] != uid[:-1]])
-        )
-        bounds = np.concatenate([starts, [len(df)]])
-        out = np.empty(len(df), dtype=np.int64)
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            seg = us[s:e]
-            # rows with ts in [t-1h, t]; side='right' on the upper bound
-            # counts RANGE peers (equal-ts rows) like SQL does
-            lo = np.searchsorted(seg, seg - _TRAIL_US, side="left")
-            hi = np.searchsorted(seg, seg, side="right")
-            out[s:e] = hi - lo
+        new_seg = np.concatenate([[True], uid[1:] != uid[:-1]])
+        seg_id = np.cumsum(new_seg) - 1
+        # offset-keyed searchsorted: give each user segment its own
+        # disjoint key band (band width > time span + window) so ONE
+        # global searchsorted answers every per-segment window query —
+        # no Python loop proportional to the user count.  A query probe
+        # (t - 1h) can dip below its band's first key but never reaches
+        # the previous band's last key (bands are padded by the window),
+        # so 'left' insertion stays inside the right segment.
+        base = us - us.min()
+        span = int(base.max()) + _TRAIL_US + 1
+        n_segs = int(seg_id[-1]) + 1
+        if n_segs * span < (1 << 62):
+            keyed = seg_id * span + base  # globally sorted by construction
+            lo = np.searchsorted(keyed, keyed - _TRAIL_US, side="left")
+            # side='right' on the upper bound counts RANGE peers
+            # (equal-ts rows) like SQL does
+            hi = np.searchsorted(keyed, keyed, side="right")
+            out = hi - lo
+        else:  # unreachable at per-bucket scale; exact fallback
+            starts = np.flatnonzero(new_seg)
+            bounds = np.concatenate([starts, [len(df)]])
+            out = np.empty(len(df), dtype=np.int64)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                seg = us[s:e]
+                lo = np.searchsorted(seg, seg - _TRAIL_US, side="left")
+                hi = np.searchsorted(seg, seg, side="right")
+                out[s:e] = hi - lo
         return pd.DataFrame(
             {"event_id": df["event_id"].to_numpy(), "n_trailing_1h": out}
         )

@@ -49,6 +49,60 @@ def real_decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def detect_image_decoder():
+    """Probe for a real imaging library (PIL first, then cv2) and return
+    a decode callable matching the stage decoder signature, or None.
+
+    Runs once per actor at stage ``__init__`` — a production environment
+    with PIL/cv2 installed gets real decode with zero code change, while
+    this container falls back to the deterministic fake.  The requested
+    width/height kwargs are accepted for signature compatibility but a
+    real decode uses the payload's intrinsic dimensions.
+    """
+    try:
+        import io
+
+        from PIL import Image
+
+        def _pil_decode(payload: bytes, width: int = 8, height: int = 8):
+            img = Image.open(io.BytesIO(payload or b"")).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+
+        return _pil_decode
+    except ImportError:
+        pass
+    try:
+        import cv2
+
+        def _cv2_decode(payload: bytes, width: int = 8, height: int = 8):
+            arr = cv2.imdecode(
+                np.frombuffer(payload or b"", np.uint8), cv2.IMREAD_COLOR
+            )
+            return arr[..., ::-1].astype(np.uint8)  # BGR -> RGB
+
+        return _cv2_decode
+    except ImportError:
+        return None
+
+
+def detect_audio_decoder():
+    """Probe for a real audio library (soundfile) and return a decode
+    callable matching the stage decoder signature, or None (see
+    :func:`detect_image_decoder`)."""
+    try:
+        import io
+
+        import soundfile as sf
+
+        def _sf_decode(payload: bytes, sample_rate: int = 16000):
+            data, _sr = sf.read(io.BytesIO(payload or b""), dtype="float32")
+            return data if data.ndim == 1 else data.mean(axis=1)
+
+        return _sf_decode
+    except ImportError:
+        return None
+
+
 def fake_decode(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
     """Deterministic stand-in decoder: bytes -> pseudo-pixels via SHA256
     expansion.  Shape (height, width, 3) uint8, stable across processes."""
@@ -73,7 +127,7 @@ class ImageFeatures:
     """
 
     def __init__(self, decoder=None):
-        self.decode = decoder or fake_decode
+        self.decode = decoder or detect_image_decoder() or fake_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, feats = [], []
@@ -127,7 +181,7 @@ class AudioFeatures:
     wav2vec-style embedder would use, with decode swapped in."""
 
     def __init__(self, decoder=None, sample_rate: int = 16000):
-        self.decode = decoder or fake_decode_audio
+        self.decode = decoder or detect_audio_decoder() or fake_decode_audio
         self.sample_rate = sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -168,7 +222,7 @@ class ImageResize:
     def __init__(self, out_width: int = 4, out_height: int = 4, decoder=None):
         self.ow = out_width
         self.oh = out_height
-        self.decode = decoder or fake_decode
+        self.decode = decoder or detect_image_decoder() or fake_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, payloads, metas = [], [], []

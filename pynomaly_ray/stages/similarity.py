@@ -116,6 +116,7 @@ def _kmeans_spherical(
     C = M[rng.choice(n, size=k, replace=False)].copy()
     for _ in range(iters):
         assign = np.argmax(M @ C.T, axis=1)
+        empty = []
         for c in range(k):
             rows = assign == c
             if rows.any():
@@ -124,11 +125,24 @@ def _kmeans_spherical(
                 if norm > 0:
                     C[c] = v / norm
             else:
-                # re-seed an empty centroid at the point worst-served by
-                # its current centroid (deterministic)
-                worst = np.argmin((M * C[assign]).sum(axis=1))
-                C[c] = M[worst]
+                empty.append(c)
+        if empty:
+            _reseed_empty_centroids(C, M, assign, empty)
     return C
+
+
+def _reseed_empty_centroids(
+    C: np.ndarray, M: np.ndarray, assign: np.ndarray, empty: list[int]
+) -> None:
+    """Re-seed each empty centroid at a DISTINCT worst-served point
+    (ascending cosine to its assigned centroid), deterministically.
+    Several centroids emptying in the same Lloyd iteration must not all
+    land on the identical point — duplicate centroids waste n_probe
+    budget in cosine_topk_ivf."""
+    served = (M * C[assign]).sum(axis=1)
+    order = np.argsort(served, kind="stable")  # worst-served first
+    for i, c in enumerate(empty):
+        C[c] = M[order[i % len(order)]]
 
 
 def cosine_topk_ivf(

@@ -5,7 +5,7 @@ Layout (north_rule "resumable from checkpoint"):
     out_dir/
       violations/            parquet part files (violation rows)
       partitions/            parquet part files (per-partition reports)
-      manifest/<seq>-<run>.parquet  manifest snapshots: one row per
+      manifest/seq-<seq>-<run>.parquet  snapshots: one row per
                              partition (partition_id, status, n_rows,
                              n_violations, loop_score, stats_digest);
                              the zero-padded sequence prefix gives
@@ -37,7 +37,11 @@ from typing import Optional
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_SNAP_RE = re.compile(r"^(\d{6})-(.+)\.parquet$")
+# Written snapshots carry an explicit "seq-" prefix so a run_id that
+# happens to START with digits-dash (e.g. "202608-night") can never be
+# misparsed as a sequenced file and win last-per-partition merges with a
+# fake sequence number; anything not matching is treated as legacy.
+_SNAP_RE = re.compile(r"^seq-(\d{6})-(.+)\.parquet$")
 
 
 def manifest_dir(out_dir: str) -> str:
@@ -78,7 +82,7 @@ def write_manifest_snapshot(
     os.makedirs(d, exist_ok=True)
     existing = _snapshots(d)
     seq = (existing[-1][0] + 1) if existing else 0
-    final = os.path.join(d, f"{max(seq, 0):06d}-{run_id}.parquet")
+    final = os.path.join(d, f"seq-{max(seq, 0):06d}-{run_id}.parquet")
     tmp = final + ".tmp"
     cols = [
         "partition_id",

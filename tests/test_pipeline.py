@@ -470,6 +470,17 @@ def test_manifest_snapshot_order_not_lexicographic(seq_dir, ray_session):
     m = read_full_manifest(out).to_pandas()
     assert list(m.status) == ["fail"]
 
+    # a legacy file whose run_id itself LOOKS like a sequence prefix
+    # ("202608-night") must not be parsed as sequenced: it neither wins
+    # over genuinely newer snapshots nor inflates the next sequence
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(snap("pass", "legacy"), os.path.join(out, "manifest", "202608-night.parquet"))
+    m = read_full_manifest(out).to_pandas()
+    assert list(m.status) == ["fail"]  # the seq-000001 snapshot still wins
+    path = write_manifest_snapshot(out, snap("pass", "c3"), "c3")
+    assert os.path.basename(path) == "seq-000002-c3.parquet"  # not 202609
+
 
 def test_validated_output_anti_join_path_identical(seq_dir, ray_session, monkeypatch, tmp_path):
     """Majority-violating input through the broadcast filter and the

@@ -249,7 +249,7 @@ def test_cli_dedup_and_loop(ray_session, tmp_path):
         ["dedup", "--input", docs, "--out", out2, "--method", "minhash",
          "--threshold", "0.5"]
     ) == 0
-    assert os.path.exists(os.path.join(out2, "pairs.parquet"))
+    assert os.path.isdir(os.path.join(out2, "pairs"))  # distributed pair sink
 
     out3 = str(tmp_path / "loop")
     assert main(
@@ -259,3 +259,47 @@ def test_cli_dedup_and_loop(ray_session, tmp_path):
     scores = pq.read_table(out3).to_pandas()
     assert len(scores) == 500
     assert scores["loop_score"].between(0, 1).all()
+
+
+def test_hash_aggregate_hot_key_bounded_by_partials(ray_session):
+    """A planted hot key (50% of ALL rows) reaches its reducer as at most
+    one pre-aggregated partial row per upstream block — the documented
+    skew bound of the map-side-combine + hash-exchange design (a hot key
+    costs one reducer O(#blocks), not O(#rows))."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    n_blocks = 16
+    rng = np.random.RandomState(0)
+    n = 32000
+    keys = np.where(
+        rng.rand(n) < 0.5, 0, rng.randint(1, 5000, n)
+    ).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": np.ones(n, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(n_blocks)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("k", sort=False)["v"]
+            .sum()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # batch_size=None -> one combine per block, the worst-case partial count
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def merge(d: pd.DataFrame) -> pd.DataFrame:
+        return (
+            d.groupby("k", sort=False)
+            .agg(cnt=("cnt", "sum"), n_partials=("cnt", "size"))
+            .reset_index()
+        )
+
+    out = hash_aggregate(partials, ["k"], merge, num_partitions=4).to_pandas()
+    hot = out[out["k"] == 0].iloc[0]
+    assert int(hot["cnt"]) == int((df["k"] == 0).sum())
+    assert int(hot["n_partials"]) <= n_blocks  # the skew bound
+    assert int(out["cnt"].sum()) == n

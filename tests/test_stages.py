@@ -566,3 +566,55 @@ def test_cli_dedup_minhash_distributed_sink(ray_session, tmp_path):
     t = pq.read_table(pair_dir)
     assert set(t.schema.names) == {"doc_a", "doc_b", "jaccard"}
     assert t.num_rows > 0  # sf0.001 documents contain planted duplicates
+
+
+def test_media_decoder_autodetect(monkeypatch):
+    """detect_*_decoder probes real libs at stage init: absent (this
+    container) -> fake fallback; present (monkeypatched PIL) -> the
+    stage dispatches to the real decode with zero code change."""
+    import sys
+    import types
+
+    from pynomaly_ray.stages import multimodal as mm
+
+    assert mm.detect_image_decoder() is None  # no PIL/cv2 here
+    assert mm.detect_audio_decoder() is None  # no soundfile here
+    assert mm.ImageFeatures().decode is mm.fake_decode
+    assert mm.AudioFeatures().decode is mm.fake_decode_audio
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return np.full((4, 4, 3), 7, dtype=np.uint8)
+
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: _FakeImg()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    dec = mm.detect_image_decoder()
+    assert dec is not None
+    assert (dec(b"payload") == 7).all()
+    stage = mm.ImageFeatures()
+    assert stage.decode is not mm.fake_decode
+    out = stage(mm.make_fake_media_table(3))
+    assert out.num_rows == 3
+    assert out["mean_r"].to_pylist() == [7.0, 7.0, 7.0]
+
+
+def test_kmeans_reseed_distinct_points():
+    from pynomaly_ray.stages.similarity import _reseed_empty_centroids
+
+    # 6 distinct unit vectors in 2D; centroids 0/1 serve everything,
+    # centroids 2 and 3 are empty in this iteration
+    ang = np.linspace(0.1, 1.2, 6)
+    M = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    C = np.stack([M[0], M[5], np.array([1.0, 0.0]), np.array([0.0, 1.0])])
+    assign = np.array([0, 0, 0, 1, 1, 1])
+    _reseed_empty_centroids(C, M, assign, [2, 3])
+    # both empties reseeded to real data points, and to DIFFERENT ones
+    assert any((C[2] == m).all() for m in M)
+    assert any((C[3] == m).all() for m in M)
+    assert not (C[2] == C[3]).all()
