@@ -1619,8 +1619,204 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: inactive_customers — large-large distributed ANTI-join through
+# functions/exchange.hash_anti_join (both sides key-partitioned, each
+# bucket filters with Arrow is_in against its 1/P key share — no
+# broadcast set, no pandas round-trip of the left rows).  Every customer
+# in this testdata has SOME order, so the right side is restricted to
+# urgent orders — "customers who never placed an urgent order" is the
+# non-vacuous variant of the shape.
+# ---------------------------------------------------------------------------
+def q_inactive_customers(sf_dir: str):
+    from pynomaly_ray.functions.exchange import hash_anti_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        sel = t.filter(
+            pc.fill_null(pc.equal(t["o_orderpriority"], "1-URGENT"), False)
+        )
+        return pa.table({"c_custkey": sel["o_custkey"]})
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        urgent, batch_format="pyarrow"
+    )
+    out = _collect(
+        hash_anti_join(cust, orders, "c_custkey"),
+        pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+    )
+    return collect_sorted(out, ["c_custkey"])
+
+
+SQL_INACTIVE_CUSTOMERS = """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+FROM customer
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL
+)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: customer_order_counts — LEFT OUTER join with zero-fill (per-entity
+# activity rollup incl. inactive entities): orders pre-aggregated per
+# custkey in the scan, customer LEFT-joined through the partitioned
+# exchange, unmatched customers surfacing as 0-count rows.
+# ---------------------------------------------------------------------------
+def q_customer_order_counts(sf_dir: str):
+    from pynomaly_ray.functions.exchange import hash_join
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["total_cents"] = _cents(df["o_totalprice"].to_numpy())
+        g = (
+            df.groupby("o_custkey", sort=False)
+            .agg(n_orders=("total_cents", "size"), sum_total_cents=("total_cents", "sum"))
+            .reset_index()
+        )
+        return _from_pandas(g.rename(columns={"o_custkey": "c_custkey"}))
+
+    ord_agg = orders.map_batches(ord_partial, batch_format="pyarrow", batch_size=65536)
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+
+    def zero_fill(df: pd.DataFrame) -> pd.DataFrame:
+        # unmatched customers arrive as NaN partials (merge's int->float
+        # widening); collapse partials per customer and fill zeros
+        g = (
+            df.groupby("c_custkey", sort=False)
+            .agg(
+                n_orders=("n_orders", "sum"),
+                sum_total_cents=("sum_total_cents", "sum"),
+            )
+            .reset_index()
+        )
+        g["n_orders"] = g["n_orders"].fillna(0).astype(np.int64)
+        g["sum_total_cents"] = g["sum_total_cents"].fillna(0).astype(np.int64)
+        return g
+
+    joined = hash_join(cust, ord_agg, ["c_custkey"], merge_fn=zero_fill, how="left")
+    out = hash_aggregate(
+        joined,
+        ["c_custkey"],
+        lambda df: df.groupby("c_custkey", sort=False).sum().reset_index(),
+    )
+    return collect_sorted(out, ["c_custkey"])
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+           AS sum_total_cents
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: train_split — deterministic train/holdout split assignment (the
+# held-out-set operator of a training-data pipeline) with per-source
+# split statistics.  The split key is a pure function of doc_id (modulo
+# band), so assignment is reproducible across runs, retries and engines
+# — which is exactly what makes it SQL-checkable.
+# ---------------------------------------------------------------------------
+def q_train_split(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["split"] = np.where(df["doc_id"] % 10 < 8, "train", "holdout")
+        g = (
+            df.groupby(["source", "split"], sort=False)
+            .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(
+        partials,
+        ["source", "split"],
+        lambda df: df.groupby(["source", "split"], sort=False).sum().reset_index(),
+    )
+    return collect_sorted(out, ["source", "split"])
+
+
+SQL_TRAIN_SPLIT = """
+SELECT source,
+       CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'holdout' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: source_p90_chars — exact distributed p90 per group from merged
+# value counts (generalizes source_median_chars to arbitrary quantiles:
+# the count vector over a discrete domain is the sufficient statistic).
+# ---------------------------------------------------------------------------
+def q_source_p90_chars(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["source", "n_chars"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["source", "n_chars"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out_src, out_q = [], []
+        for src, grp in g.groupby("source", sort=False):
+            grp = grp.sort_values("n_chars", kind="mergesort")
+            cum = grp["cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            idx = (9 * n + 9) // 10 - 1  # ceil(0.9*n)-1 == quantile_disc 0.9
+            pos = int(np.searchsorted(cum, idx + 1))
+            out_src.append(src)
+            out_q.append(int(grp["n_chars"].iloc[pos]))
+        return pd.DataFrame(
+            {"source": out_src, "p90_chars": pd.array(out_q, dtype=np.int64)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["source"], merge)
+    return collect_sorted(out, ["source"])
+
+
+SQL_SOURCE_P90_CHARS = """
+SELECT source, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 ORACLE_QUERIES.update(
     {
+        "inactive_customers": (q_inactive_customers, SQL_INACTIVE_CUSTOMERS),
+        "customer_order_counts": (
+            q_customer_order_counts,
+            SQL_CUSTOMER_ORDER_COUNTS,
+        ),
+        "train_split": (q_train_split, SQL_TRAIN_SPLIT),
+        "source_p90_chars": (q_source_p90_chars, SQL_SOURCE_P90_CHARS),
         "ngram_jaccard_exact": (q_ngram_jaccard_exact, SQL_NGRAM_JACCARD_EXACT),
         "brand_revenue": (q_brand_revenue, SQL_BRAND_REVENUE),
         "region_supplier_balance": (
