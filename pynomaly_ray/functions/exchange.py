@@ -46,14 +46,31 @@ def _bucket_target_bytes() -> int:
     )
 
 
+# Below this much data per bucket, reducer-task spawn overhead dominates
+# the reduction itself — the parallelism term never splits finer.
+_MIN_BUCKET_BYTES = 4 << 20
+
+
 def auto_num_partitions(total_bytes: int) -> int:
-    """Exchange fan-out sized to the exchanged volume: ceil(bytes /
-    target-bucket-bytes), clamped to [1, 1024].  Override the target via
-    ``PNR_BUCKET_TARGET_BYTES`` (tests force multi-partition paths with
-    a tiny target)."""
-    return max(
-        1, min(_MAX_PARTITIONS, math.ceil(max(total_bytes, 1) / _bucket_target_bytes()))
-    )
+    """Exchange fan-out from the exchanged volume, under two constraints:
+
+    - memory (the hard floor): every bucket must fit a worker heap, so
+      P >= bytes / target-bucket-bytes (``PNR_BUCKET_TARGET_BYTES``,
+      default 64 MB — tests force multi-P paths with a tiny target);
+    - parallelism: reducers should use the cluster, so up to one bucket
+      per ~4 MB bounded by the cluster CPU count (a 64 MB-bucket-only
+      rule left a 77 MB exchange on 2 reducers with 30 idle cores —
+      measured 2-4x slower on the embedding near-dup join).
+
+    Clamped to [1, 1024].
+    """
+    p_mem = math.ceil(max(total_bytes, 1) / _bucket_target_bytes())
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # no cluster context (unit tests without ray)
+        cpus = 8
+    p_par = min(cpus, math.ceil(max(total_bytes, 1) / _MIN_BUCKET_BYTES))
+    return max(1, min(_MAX_PARTITIONS, max(p_mem, p_par)))
 
 
 def _materialized(ds) -> tuple[list, int]:

@@ -112,17 +112,24 @@ def test_hash_join_matches_pandas(ray_session):
     assert int(out["y"].sum()) == int(expect["y"].sum())
 
 
-def test_auto_num_partitions_bounds():
+def test_auto_num_partitions_bounds(ray_session):
+    import ray
+
     from pynomaly_ray.functions.exchange import (
+        _MIN_BUCKET_BYTES,
         _bucket_target_bytes,
         auto_num_partitions,
     )
 
     t = _bucket_target_bytes()
+    cpus = int(ray.cluster_resources()["CPU"])
     assert auto_num_partitions(0) == 1
-    assert auto_num_partitions(t) == 1
-    assert auto_num_partitions(t + 1) == 2
+    assert auto_num_partitions(_MIN_BUCKET_BYTES) == 1  # tiny exchange: 1 bucket
     assert auto_num_partitions(10**18) == 1024  # clamped
+    # parallelism term: one bucket per ~4MB, bounded by cluster CPUs
+    assert auto_num_partitions(t) == min(cpus, t // _MIN_BUCKET_BYTES)
+    # memory floor: bucket size never exceeds the target even past CPUs
+    assert auto_num_partitions(100 * t) >= 100
 
 
 def test_hash_aggregate_adaptive_multi_partition(ray_session, monkeypatch):
