@@ -1,6 +1,8 @@
 """Mergeable sketches for approximate wide aggregations.
 
-HyperLogLog here is the engine's approximate-COUNT(DISTINCT) path: the
+Two sketches: HyperLogLog (approximate COUNT(DISTINCT)) and a
+deterministic KLL quantile sketch (approximate quantiles of continuous
+columns).  HyperLogLog is the engine's approximate-COUNT(DISTINCT) path: the
 exact path (q_distinct_users) must ship every distinct (group, key) pair
 through the exchange — O(distinct) bytes — while a register vector is a
 CONSTANT 2^p bytes per group regardless of cardinality, which is the
@@ -67,6 +69,105 @@ def hll_merge(parts) -> np.ndarray:
         arr = np.asarray(pvec, dtype=np.uint8)
         out = arr.copy() if out is None else np.maximum(out, arr)
     return out
+
+
+class KLLSketch:
+    """Deterministic KLL-style mergeable quantile sketch for CONTINUOUS
+    columns — the 100-TB path where the exact count-vector quantiles
+    (q_source_median_chars / q_source_p90_chars) don't apply because the
+    value domain isn't small and discrete.
+
+    Level ``i`` holds a buffer of items each representing ``2^i`` input
+    rows; a buffer past capacity ``k`` is sorted and every other element
+    promoted to level ``i+1`` (classic KLL compaction).  The kept parity
+    alternates with the level index instead of a random coin, making the
+    sketch fully deterministic — identical on retry, which a distributed
+    exchange partial must be.  Size is O(k log(n/k)); merge is
+    concatenate-then-compact (associative up to the deterministic
+    compaction order; rank error stays within the same O(1/k) envelope
+    either way, which is the contract tests pin).
+    """
+
+    __slots__ = ("k", "levels")
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+
+    def add(self, values) -> "KLLSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self.levels[0] = np.concatenate([self.levels[0], v])
+            self._compress()
+        return self
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                buf = np.sort(self.levels[i], kind="stable")
+                # an odd-length buffer can't halve weight-exactly: one
+                # element stays behind so total represented count n is
+                # conserved through every compaction
+                if len(buf) % 2:
+                    self.levels[i] = buf[-1:]
+                    buf = buf[:-1]
+                else:
+                    self.levels[i] = np.empty(0, dtype=np.float64)
+                keep = buf[(i % 2) :: 2]
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], keep])
+            i += 1
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        for i, buf in enumerate(other.levels):
+            while len(self.levels) <= i:
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._compress()
+        return self
+
+    @property
+    def n(self) -> int:
+        """Total input rows represented (sum of item weights)."""
+        return int(sum(len(b) << i for i, b in enumerate(self.levels)))
+
+    def quantile(self, q: float) -> float:
+        """Approximate ``quantile_disc``-style quantile (rank ceil(q*n))."""
+        vals = np.concatenate(self.levels)
+        if not len(vals):
+            return float("nan")
+        weights = np.concatenate(
+            [np.full(len(b), 1 << i, dtype=np.int64) for i, b in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        cw = np.cumsum(weights[order])
+        target = max(int(np.ceil(q * cw[-1])), 1)
+        idx = int(np.searchsorted(cw, target, side="left"))
+        return float(vals[order][min(idx, len(vals) - 1)])
+
+    # --- Arrow-exchange serialization: two flat vectors per sketch ----
+    def to_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """(values, level-per-value) — list-column-friendly partials."""
+        vals = np.concatenate(self.levels) if self.levels else np.empty(0)
+        lvls = np.concatenate(
+            [np.full(len(b), i, dtype=np.int8) for i, b in enumerate(self.levels)]
+        ) if self.levels else np.empty(0, dtype=np.int8)
+        return vals.astype(np.float64), lvls
+
+    @classmethod
+    def from_arrays(cls, vals, lvls, k: int = 256) -> "KLLSketch":
+        sk = cls(k=k)
+        vals = np.asarray(vals, dtype=np.float64)
+        lvls = np.asarray(lvls, dtype=np.int64)
+        top = int(lvls.max()) if len(lvls) else 0
+        sk.levels = [vals[lvls == i].copy() for i in range(top + 1)]
+        if not sk.levels:
+            sk.levels = [np.empty(0, dtype=np.float64)]
+        sk._compress()
+        return sk
 
 
 def hll_estimate(regs: np.ndarray) -> float:

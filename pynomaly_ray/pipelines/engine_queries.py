@@ -357,3 +357,50 @@ def q_approx_distinct_users(sf_dir: str):
 
 
 ENGINE_QUERIES["approx_distinct_users"] = q_approx_distinct_users
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Approximate per-source value quantiles (p50/p90 of event value)
+    via the mergeable KLL sketch: O(k log n) partial bytes per group
+    instead of the O(distinct-values) count vectors the exact quantile
+    queries exchange — the sketch path for CONTINUOUS columns at 100 TB.
+    Rank-error contract (<= ~2% of n at k=256) is pinned by pytest
+    against numpy exact quantiles."""
+    from pynomaly_ray.functions.exchange import hash_aggregate
+    from pynomaly_ray.functions.sketches import KLLSketch
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            vals, lvls = KLLSketch().add(g["value"].to_numpy()).to_arrays()
+            rows.append({"event_type": et, "vals": vals, "lvls": lvls})
+        out = pd.DataFrame(rows, columns=["event_type", "vals", "lvls"])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            sk = KLLSketch()
+            for vals, lvls in zip(g["vals"], g["lvls"]):
+                sk.merge(KLLSketch.from_arrays(vals, lvls))
+            rows.append(
+                {
+                    "event_type": et,
+                    "n": sk.n,
+                    "p50_e6": int(round(sk.quantile(0.5) * 1e6)),
+                    "p90_e6": int(round(sk.quantile(0.9) * 1e6)),
+                }
+            )
+        return pd.DataFrame(rows, columns=["event_type", "n", "p50_e6", "p90_e6"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["event_type"], merge)
+    return collect_sorted(out, ["event_type"])
+
+
+ENGINE_QUERIES["approx_quantiles"] = q_approx_quantiles

@@ -1808,8 +1808,43 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: hash_sample — deterministic uniform sampling at scale: every row
+# gets a pseudo-random priority from a Knuth multiplicative hash of its
+# key (pure integer arithmetic, so DuckDB computes the identical value),
+# and the sample is the bottom-k by priority — per-block local top-k +
+# tiny driver merge, NO global sort, NO randomness to reconcile across
+# retries.  This is the reproducible "pick n documents for eval" op of
+# a training-data pipeline, exact-oracle-checkable.
+# ---------------------------------------------------------------------------
+_KNUTH = 2654435761  # 2^32 / golden ratio
+
+
+def q_hash_sample(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+
+    def prio(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["priority"] = (
+            df["doc_id"].to_numpy(dtype=np.int64) * _KNUTH
+        ) % 4294967296
+        return _from_pandas(df)
+
+    scored = ds.map_batches(prio, batch_format="pyarrow")
+    return topk(scored, ["priority", "doc_id"], 20, descending=[False, False])
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, source, (doc_id * 2654435761) % 4294967296 AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT 20
+"""
+
+
 ORACLE_QUERIES.update(
     {
+        "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
         "inactive_customers": (q_inactive_customers, SQL_INACTIVE_CUSTOMERS),
         "customer_order_counts": (
             q_customer_order_counts,

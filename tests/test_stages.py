@@ -618,3 +618,59 @@ def test_kmeans_reseed_distinct_points():
     assert any((C[2] == m).all() for m in M)
     assert any((C[3] == m).all() for m in M)
     assert not (C[2] == C[3]).all()
+
+
+def test_kll_sketch_accuracy_and_merge():
+    from pynomaly_ray.functions.sketches import KLLSketch
+
+    rng = np.random.RandomState(11)
+    data = rng.lognormal(0, 1, 100_000)
+    # single-shot sketch
+    sk = KLLSketch().add(data)
+    assert sk.n == len(data)
+    srt = np.sort(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = sk.quantile(q)
+        # rank error bound: estimated quantile's true rank within 2% of n
+        rank = np.searchsorted(srt, est)
+        assert abs(rank - q * len(data)) <= 0.02 * len(data), q
+    # split + merge anywhere: same error envelope
+    merged = KLLSketch()
+    for chunk in np.array_split(data, 37):
+        merged.merge(KLLSketch().add(chunk))
+    assert merged.n == len(data)
+    for q in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(srt, merged.quantile(q))
+        assert abs(rank - q * len(data)) <= 0.02 * len(data), q
+    # serialization roundtrip preserves the estimate exactly
+    vals, lvls = merged.to_arrays()
+    back = KLLSketch.from_arrays(vals, lvls)
+    assert back.quantile(0.5) == merged.quantile(0.5)
+    # determinism: same input stream -> identical sketch state
+    a = KLLSketch().add(data).to_arrays()
+    b = KLLSketch().add(data.copy()).to_arrays()
+    assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
+
+
+def test_approx_quantiles_query_near_exact(ray_session):
+    from pynomaly_ray.pipelines.engine_queries import ENGINE_QUERIES
+
+    import pyarrow.parquet as papq
+
+    out = ENGINE_QUERIES["approx_quantiles"]("/root/testdata/sf0.001")
+    ev = papq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    assert set(out["event_type"]) == set(ev["event_type"].unique())
+    for _, row in out.iterrows():
+        vals = np.sort(
+            ev.loc[ev["event_type"] == row["event_type"], "value"].to_numpy()
+        )
+        assert int(row["n"]) == len(vals)
+        for q, col in ((0.5, "p50_e6"), (0.9, "p90_e6")):
+            est = row[col] / 1e6
+            rank = np.searchsorted(vals, est)
+            assert abs(rank - q * len(vals)) <= max(0.02 * len(vals), 2), (
+                row["event_type"],
+                q,
+            )
