@@ -1264,53 +1264,54 @@ LIMIT 50
 _TRAIL_US = 3_600_000_000
 
 
+def _trailing_window_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype=np.int64),
+                "n_trailing_1h": pd.Series(dtype=np.int64),
+            }
+        )
+    df = df.sort_values(["user_id", "ts"], kind="mergesort")
+    us = df["ts"].astype("int64").to_numpy()
+    uid = df["user_id"].to_numpy()
+    new_seg = np.concatenate([[True], uid[1:] != uid[:-1]])
+    seg_id = np.cumsum(new_seg) - 1
+    # offset-keyed searchsorted: give each user segment its own
+    # disjoint key band (band width > time span + window) so ONE
+    # global searchsorted answers every per-segment window query —
+    # no Python loop proportional to the user count.  A query probe
+    # (t - 1h) can dip below its band's first key but never reaches
+    # the previous band's last key (bands are padded by the window),
+    # so 'left' insertion stays inside the right segment.
+    base = us - us.min()
+    span = int(base.max()) + _TRAIL_US + 1
+    n_segs = int(seg_id[-1]) + 1
+    if n_segs * span < (1 << 62):
+        keyed = seg_id * span + base  # globally sorted by construction
+        lo = np.searchsorted(keyed, keyed - _TRAIL_US, side="left")
+        # side='right' on the upper bound counts RANGE peers
+        # (equal-ts rows) like SQL does
+        hi = np.searchsorted(keyed, keyed, side="right")
+        out = hi - lo
+    else:  # unreachable at per-bucket scale; exact fallback
+        starts = np.flatnonzero(new_seg)
+        bounds = np.concatenate([starts, [len(df)]])
+        out = np.empty(len(df), dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = us[s:e]
+            lo = np.searchsorted(seg, seg - _TRAIL_US, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            out[s:e] = hi - lo
+    return pd.DataFrame(
+        {"event_id": df["event_id"].to_numpy(), "n_trailing_1h": out}
+    )
+
+
+
 def q_trailing_events(sf_dir: str):
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
-
-    def windowed(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series(dtype=np.int64),
-                    "n_trailing_1h": pd.Series(dtype=np.int64),
-                }
-            )
-        df = df.sort_values(["user_id", "ts"], kind="mergesort")
-        us = df["ts"].astype("int64").to_numpy()
-        uid = df["user_id"].to_numpy()
-        new_seg = np.concatenate([[True], uid[1:] != uid[:-1]])
-        seg_id = np.cumsum(new_seg) - 1
-        # offset-keyed searchsorted: give each user segment its own
-        # disjoint key band (band width > time span + window) so ONE
-        # global searchsorted answers every per-segment window query —
-        # no Python loop proportional to the user count.  A query probe
-        # (t - 1h) can dip below its band's first key but never reaches
-        # the previous band's last key (bands are padded by the window),
-        # so 'left' insertion stays inside the right segment.
-        base = us - us.min()
-        span = int(base.max()) + _TRAIL_US + 1
-        n_segs = int(seg_id[-1]) + 1
-        if n_segs * span < (1 << 62):
-            keyed = seg_id * span + base  # globally sorted by construction
-            lo = np.searchsorted(keyed, keyed - _TRAIL_US, side="left")
-            # side='right' on the upper bound counts RANGE peers
-            # (equal-ts rows) like SQL does
-            hi = np.searchsorted(keyed, keyed, side="right")
-            out = hi - lo
-        else:  # unreachable at per-bucket scale; exact fallback
-            starts = np.flatnonzero(new_seg)
-            bounds = np.concatenate([starts, [len(df)]])
-            out = np.empty(len(df), dtype=np.int64)
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                seg = us[s:e]
-                lo = np.searchsorted(seg, seg - _TRAIL_US, side="left")
-                hi = np.searchsorted(seg, seg, side="right")
-                out[s:e] = hi - lo
-        return pd.DataFrame(
-            {"event_id": df["event_id"].to_numpy(), "n_trailing_1h": out}
-        )
-
-    out = hash_aggregate(ds, ["user_id"], windowed)
+    out = hash_aggregate(ds, ["user_id"], _trailing_window_kernel)
     return collect_sorted(out, ["event_id"])
 
 

@@ -171,3 +171,53 @@ def test_partial_aggregate_split_invariance(vals, cut):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(whole, split, check_dtype=False)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 120),
+    n_users=st.integers(1, 6),
+    span=st.integers(1, 10_000_000_000),
+    seed=st.integers(0, 10_000),
+)
+def test_trailing_window_offset_searchsorted_property(n, n_users, span, seed):
+    """The offset-keyed global searchsorted in q_trailing_events must
+    equal a naive per-row window count for arbitrary user/ts data —
+    including duplicate timestamps (RANGE peers), windows crossing
+    segment starts, and probes dipping below a segment's first key."""
+    import pynomaly_ray.pipelines.queries as Q
+
+    rng = np.random.RandomState(seed)
+    base = 1_600_000_000_000_000  # realistic epoch-us magnitude
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, n_users, n).astype(np.int64),
+            "ts": pd.to_datetime(base + rng.randint(0, span, n), unit="us"),
+        }
+    )
+    out = (
+        Q._trailing_window_kernel(df.copy())
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # naive O(n^2) reference
+    us = df["ts"].astype("int64").to_numpy()
+    uid = df["user_id"].to_numpy()
+    naive = np.array(
+        [
+            int(
+                (
+                    (uid == uid[i])
+                    & (us >= us[i] - Q._TRAIL_US)
+                    & (us <= us[i])
+                ).sum()
+            )
+            for i in range(n)
+        ],
+        dtype=np.int64,
+    )
+    expect = pd.DataFrame(
+        {"event_id": df["event_id"], "n_trailing_1h": naive}
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, expect)
