@@ -371,6 +371,26 @@ def asof_join(
     return ray.data.from_arrow_refs(merged)
 
 
+# A broadcast side is shipped into EVERY task closure: only genuinely
+# constant-size dimension tables (nation=25, region=5, a source list)
+# qualify.  Fact-scaled tables (customer, orders, ...) grow with SF and
+# must flow through the partitioned exchange instead — this guard turns
+# that design rule into a runtime error instead of a 100x surprise.
+_DIM_ROW_LIMIT = 100_000
+
+
+def dim_lookup(table, key_col: str, val_col: str, limit: int = _DIM_ROW_LIMIT) -> dict:
+    """key->value dict from a CONSTANT-SIZE dimension table, with a hard
+    row-count guard against accidentally broadcasting a fact table."""
+    if table.num_rows > limit:
+        raise ValueError(
+            f"dim_lookup({key_col}->{val_col}): {table.num_rows} rows exceeds "
+            f"the broadcast-dimension limit ({limit}); route this table "
+            "through hash_join/hash_anti_join instead"
+        )
+    return dict(zip(table[key_col].to_pylist(), table[val_col].to_pylist()))
+
+
 def collect_sorted(ds_or_table, sort_cols, ascending=None) -> pd.DataFrame:
     """Materialize a SMALL result and sort it on the driver (replaces
     Dataset.sort for final presentation ordering — a full distributed

@@ -196,24 +196,30 @@ ORDER BY l_orderkey
 
 
 # ---------------------------------------------------------------------------
-# Q: ref_membership — broadcast anti-join: events whose user_id is not a
-# customer key (referential-integrity violation rows).
+# Q: ref_membership — referential-integrity violations: events whose
+# user_id is not a customer key.  Customer is FACT-SCALED, so the check
+# runs as a key-partitioned hash_anti_join (each bucket probes its own
+# 1/P key share), not a broadcast key set that would re-ship SFx150k
+# keys into every task.  NULL user_ids are violations by definition and
+# can't ride a key-hash exchange — they split off in the scan and union
+# back in.
 # ---------------------------------------------------------------------------
 def q_ref_membership(sf_dir: str):
-    import pyarrow.parquet as pq
+    from pynomaly_ray.functions.exchange import hash_anti_join
 
-    # small side read once on the driver and broadcast into the filter
-    custkeys = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
-    )["c_custkey"].combine_chunks()
     ds = _pq(sf_dir, "events", ["event_id", "user_id"])
-
-    def anti(batch: pa.Table) -> pa.Table:
-        member = pc.is_in(batch["user_id"], value_set=custkeys)
-        return batch.filter(pc.invert(pc.fill_null(member, False)))
-
+    cust = _pq(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["user_id"]), batch_format="pyarrow"
+    )
+    nulls = ds.map_batches(
+        lambda t: t.filter(pc.is_null(t["user_id"])), batch_format="pyarrow"
+    )
+    nonnull = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["user_id"])), batch_format="pyarrow"
+    )
+    anti = hash_anti_join(nonnull, cust, "user_id")
     out = _collect(
-        ds.map_batches(anti, batch_format="pyarrow"),
+        anti.union(nulls),
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64())]),
     )
     return collect_sorted(out, ["event_id"])
@@ -762,12 +768,12 @@ def q_nation_revenue(sf_dir: str):
 
     from pynomaly_ray.functions.exchange import hash_join
 
+    from pynomaly_ray.functions.exchange import dim_lookup
+
     nation = papq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
-    name_of_nation = dict(
-        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
-    )
+    name_of_nation = dim_lookup(nation, "n_nationkey", "n_name")
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -931,19 +937,31 @@ ORDER BY vec_a, vec_b
 # schema).  Returns per-user violation counts to keep the result small.
 # ---------------------------------------------------------------------------
 def q_ref_membership_subset(sf_dir: str):
-    import pyarrow.parquet as pq
+    from pynomaly_ray.functions.exchange import hash_anti_join
 
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
-    )["c_custkey"]
-    keys = cust.to_numpy(zero_copy_only=False)
-    valid = pa.array(keys[keys % 2 == 0], pa.int64())
+    # the valid-key set is HALF of the fact-scaled customer table, so it
+    # flows through the partitioned anti-join like q_ref_membership
+    valid = _pq(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.filter(
+                    pc.equal(pc.bit_wise_and(t["c_custkey"], 1), 0)
+                )["c_custkey"]
+            }
+        ),
+        batch_format="pyarrow",
+    )
     ds = _pq(sf_dir, "events", ["event_id", "user_id"])
+    nulls = ds.map_batches(
+        lambda t: t.filter(pc.is_null(t["user_id"])), batch_format="pyarrow"
+    )
+    nonnull = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["user_id"])), batch_format="pyarrow"
+    )
+    bad = hash_anti_join(nonnull, valid, "user_id").union(nulls)
 
-    def anti_partial(batch: pa.Table) -> pa.Table:
-        member = pc.is_in(batch["user_id"], value_set=valid)
-        sel = batch.filter(pc.invert(pc.fill_null(member, False)))
-        df = sel.to_pandas()
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
         g = (
             df.groupby("user_id", sort=False, dropna=False)
             .size()
@@ -951,7 +969,7 @@ def q_ref_membership_subset(sf_dir: str):
         )
         return _from_pandas(g)
 
-    partials = ds.map_batches(anti_partial, batch_format="pyarrow")
+    partials = bad.map_batches(count_partial, batch_format="pyarrow")
     out = hash_aggregate(
         partials,
         ["user_id"],
@@ -1387,18 +1405,16 @@ ORDER BY p_brand
 def q_region_supplier_balance(sf_dir: str):
     import pyarrow.parquet as papq
 
+    from pynomaly_ray.functions.exchange import dim_lookup
+
     nation = papq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
     )
     region = papq.read_table(
         os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
     )
-    region_of_nation = dict(
-        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
-    )
-    name_of_region = dict(
-        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
-    )
+    region_of_nation = dim_lookup(nation, "n_nationkey", "n_regionkey")
+    name_of_region = dim_lookup(region, "r_regionkey", "r_name")
 
     ds = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
 

@@ -310,3 +310,13 @@ def test_hash_aggregate_hot_key_bounded_by_partials(ray_session):
     assert int(hot["cnt"]) == int((df["k"] == 0).sum())
     assert int(hot["n_partials"]) <= n_blocks  # the skew bound
     assert int(out["cnt"].sum()) == n
+
+
+def test_dim_lookup_guards_fact_tables():
+    from pynomaly_ray.functions.exchange import dim_lookup
+
+    small = pa.table({"k": [1, 2], "v": ["a", "b"]})
+    assert dim_lookup(small, "k", "v") == {1: "a", 2: "b"}
+    big = pa.table({"k": np.arange(200_000), "v": np.arange(200_000)})
+    with pytest.raises(ValueError, match="broadcast-dimension limit"):
+        dim_lookup(big, "k", "v")
