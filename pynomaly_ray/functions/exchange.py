@@ -289,10 +289,14 @@ def asof_join(
     left_on: str,
     right_on: str,
     num_partitions: int | None = None,
+    direction: str = "backward",
 ):
     """Distributed as-of join: for each left row, the latest right row of
     the same ``by`` key with ``right_on <= left_on`` (backward, exact
     matches allowed — DuckDB ``ASOF JOIN`` semantics, inner).
+    ``direction="forward"`` instead matches the EARLIEST right row with
+    ``right_on >= left_on``; ``"nearest"`` the closest in either
+    direction (ties to the earlier row, pandas merge_asof semantics).
 
     Both sides hash-partition on ``by``; each bucket sorts its slices by
     time and runs ``pd.merge_asof`` (the guide's range-join pattern).
@@ -344,7 +348,7 @@ def asof_join(
             right_on=right_on,
             left_by=by,
             right_by=by,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
             suffixes=("", "__probe__"),
         )

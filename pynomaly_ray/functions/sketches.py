@@ -1,8 +1,9 @@
 """Mergeable sketches for approximate wide aggregations.
 
-Two sketches: HyperLogLog (approximate COUNT(DISTINCT)) and a
+Three sketches: HyperLogLog (approximate COUNT(DISTINCT)), a
 deterministic KLL quantile sketch (approximate quantiles of continuous
-columns).  HyperLogLog is the engine's approximate-COUNT(DISTINCT) path: the
+columns), and a Bloom filter (constant-size set membership for
+cross-run novelty checks).  HyperLogLog is the engine's approximate-COUNT(DISTINCT) path: the
 exact path (q_distinct_users) must ship every distinct (group, key) pair
 through the exchange — O(distinct) bytes — while a register vector is a
 CONSTANT 2^p bytes per group regardless of cardinality, which is the
@@ -168,6 +169,57 @@ class KLLSketch:
             sk.levels = [np.empty(0, dtype=np.float64)]
         sk._compress()
         return sk
+
+
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_indices(values, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit indices via double hashing idx_j = h1 + j*h2 (mod m)."""
+    h1 = hash_strings(values)
+    h2 = (h1 ^ (h1 >> np.uint64(29))) * _BLOOM_MIX | np.uint64(1)  # odd
+    j = np.arange(k, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        return ((h1[None, :] + j * h2[None, :]) % np.uint64(m_bits)).astype(
+            np.int64
+        )
+
+
+def bloom_partial(values, m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Bloom-filter bit vector (packed uint64, length m_bits/64) for one
+    batch of keys — the constant-size membership partial for cross-run
+    "have we seen this doc before" checks: per-run docpart checkpoints
+    give the EXACT answer at O(ids) storage; a Bloom filter answers the
+    same question in m_bits regardless of corpus size (one-sided error:
+    false positives only, rate ~(1-e^{-kn/m})^k).  Partials merge by OR
+    — associative, commutative, idempotent, retry-safe."""
+    bits = np.zeros(m_bits >> 6, dtype=np.uint64)
+    if len(values) == 0:
+        return bits
+    idx = _bloom_indices(values, m_bits, k).ravel()
+    np.bitwise_or.at(bits, idx >> 6, np.uint64(1) << (idx & np.int64(63)).astype(np.uint64))
+    return bits
+
+
+def bloom_merge(parts) -> np.ndarray:
+    """Element-wise OR of bit vectors (associative/idempotent)."""
+    out = None
+    for pvec in parts:
+        arr = np.asarray(pvec, dtype=np.uint64)
+        out = arr.copy() if out is None else (out | arr)
+    return out
+
+
+def bloom_contains(bits: np.ndarray, values, k: int = 4) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k bits are set (may
+    include false positives, never false negatives)."""
+    bits = np.asarray(bits, dtype=np.uint64)
+    m_bits = len(bits) << 6
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    idx = _bloom_indices(values, m_bits, k)
+    probe = (bits[idx >> 6] >> (idx & np.int64(63)).astype(np.uint64)) & np.uint64(1)
+    return probe.all(axis=0)
 
 
 def hll_estimate(regs: np.ndarray) -> float:

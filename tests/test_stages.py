@@ -674,3 +674,61 @@ def test_approx_quantiles_query_near_exact(ray_session):
                 row["event_type"],
                 q,
             )
+
+
+def test_bloom_filter_membership_and_merge():
+    from pynomaly_ray.functions.sketches import (
+        bloom_contains,
+        bloom_merge,
+        bloom_partial,
+    )
+
+    seen = [f"doc{i:06d}" for i in range(20_000)]
+    novel = [f"new{i:06d}" for i in range(20_000)]
+    # distributed build: per-chunk partials OR-merged
+    parts = [
+        bloom_partial(seen[i : i + 3000]) for i in range(0, len(seen), 3000)
+    ]
+    bits = bloom_merge(parts)
+    # no false negatives, ever
+    assert bloom_contains(bits, seen).all()
+    # false-positive rate near theory: (1-e^{-kn/m})^k ~ 0.24% here
+    fp = bloom_contains(bits, novel).mean()
+    assert fp < 0.01, fp
+    # merge == single-shot build (idempotent OR)
+    assert (bits == bloom_partial(seen)).all()
+    # empty probes/builds behave
+    assert bloom_contains(bits, []).shape == (0,)
+    assert not bloom_contains(bloom_partial([]), seen).any()
+
+
+def test_asof_join_directions(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 1], "ts": [10, 55, 300], "lv": [1, 2, 3]})
+    right = pd.DataFrame({"k": [1, 1, 1], "ts": [40, 60, 200], "val": [7, 8, 9]})
+
+    def run(direction):
+        return (
+            asof_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                by="k",
+                left_on="ts",
+                right_on="ts",
+                num_partitions=2,
+                direction=direction,
+            )
+            .to_pandas()
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+
+    back = run("backward")
+    assert list(back.ts) == [55, 300] and list(back.val) == [7, 9]
+    fwd = run("forward")
+    assert list(fwd.ts) == [10, 55] and list(fwd.val) == [7, 8]
+    near = run("nearest")
+    assert list(near.ts) == [10, 55, 300] and list(near.val) == [7, 8, 9]
