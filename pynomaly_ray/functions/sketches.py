@@ -201,13 +201,16 @@ def bloom_partial(values, m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
     return bits
 
 
-def bloom_merge(parts) -> np.ndarray:
-    """Element-wise OR of bit vectors (associative/idempotent)."""
+def bloom_merge(parts, m_bits: int = 1 << 20) -> np.ndarray:
+    """Element-wise OR of bit vectors (associative/idempotent).  An empty
+    partials iterable (zero input batches) merges to the empty filter of
+    ``m_bits`` bits, so downstream probes report "nothing seen" instead
+    of crashing on None."""
     out = None
     for pvec in parts:
         arr = np.asarray(pvec, dtype=np.uint64)
         out = arr.copy() if out is None else (out | arr)
-    return out
+    return out if out is not None else np.zeros(m_bits >> 6, dtype=np.uint64)
 
 
 def bloom_contains(bits: np.ndarray, values, k: int = 4) -> np.ndarray:

@@ -388,6 +388,8 @@ def q_approx_quantiles(sf_dir: str):
             sk = KLLSketch()
             for vals, lvls in zip(g["vals"], g["lvls"]):
                 sk.merge(KLLSketch.from_arrays(vals, lvls))
+            if sk.n == 0:  # group had only null values: no quantiles
+                continue
             rows.append(
                 {
                     "event_type": et,

@@ -1467,32 +1467,6 @@ _NGRAM_K = 5
 _ASCII_TOKEN_RE = r"[^ \t\n\r\f\v]+"
 
 
-def _shingle_hash_rows(token_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
-    """Flat uint64 poly-fold hashes of every k-word shingle plus per-doc
-    offsets; every doc must have >= _NGRAM_K tokens (caller filters).
-    Vectorized: one SipHash pass over the flat word list, k shifted
-    multiply-adds for the fold (same construction as stages/dedup)."""
-    from pynomaly_ray.functions.hashing import hash_strings
-
-    k = _NGRAM_K
-    lengths = np.fromiter(
-        (len(t) for t in token_lists), dtype=np.int64, count=len(token_lists)
-    )
-    flat = [w for lst in token_lists for w in lst]
-    wh = hash_strings(flat)
-    woff = np.concatenate([[0], np.cumsum(lengths)])
-    soff = np.concatenate([[0], np.cumsum(lengths - k + 1)])
-    m = len(wh) - k + 1
-    B = np.uint64(0x100000001B3)
-    with np.errstate(over="ignore"):
-        acc = wh[:m].copy()
-        for j in range(1, k):
-            acc = acc * B + wh[j : j + m]
-    doc_of = np.repeat(np.arange(len(lengths)), lengths)[:m]
-    valid = (np.arange(m) + k) <= woff[doc_of + 1]
-    return acc[valid], soff
-
-
 def q_ngram_jaccard_exact(sf_dir: str):
     from pynomaly_ray.functions.exchange import hash_join
     from pynomaly_ray.stages.dedup import _emit_group_pairs
@@ -1510,7 +1484,9 @@ def q_ngram_jaccard_exact(sf_dir: str):
             return pa.table(
                 {"sh": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
             )
-        sh, soff = _shingle_hash_rows(lists)
+        from pynomaly_ray.stages.dedup import shingles_from_token_lists
+
+        sh, soff = shingles_from_token_lists(lists, _NGRAM_K)
         df = pd.DataFrame(
             {
                 "sh": sh.astype(np.int64),
@@ -1842,9 +1818,16 @@ def q_hash_sample(sf_dir: str):
 
     def prio(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        # reduce mod 2^32 BEFORE multiplying: the product then fits both
+        # numpy uint64 and DuckDB HUGEINT exactly, so the formula stays
+        # engine/SQL-identical at any doc_id magnitude (a bare
+        # doc_id * K wraps silently in int64 past ~3.5e9 while the SQL
+        # side overflows BIGINT)
+        ids = df["doc_id"].to_numpy(dtype=np.uint64)
+        m32 = np.uint64(4294967296)
         df["priority"] = (
-            df["doc_id"].to_numpy(dtype=np.int64) * _KNUTH
-        ) % 4294967296
+            ((ids % m32) * np.uint64(_KNUTH)) % m32
+        ).astype(np.int64)
         return _from_pandas(df)
 
     scored = ds.map_batches(prio, batch_format="pyarrow")
@@ -1852,7 +1835,9 @@ def q_hash_sample(sf_dir: str):
 
 
 SQL_HASH_SAMPLE = """
-SELECT doc_id, source, (doc_id * 2654435761) % 4294967296 AS priority
+SELECT doc_id, source,
+       CAST(((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296 AS BIGINT)
+           AS priority
 FROM documents
 ORDER BY priority, doc_id
 LIMIT 20

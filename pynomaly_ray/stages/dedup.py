@@ -52,16 +52,25 @@ def _fold_short(wh: np.ndarray) -> np.uint64:
 
 
 def _batch_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-split wrapper over :func:`shingles_from_token_lists`."""
+    return shingles_from_token_lists([t.split() for t in texts], k)
+
+
+def shingles_from_token_lists(
+    split: list[list[str]], k: int
+) -> tuple[np.ndarray, np.ndarray]:
     """All docs' k-word shingle hashes as one flat uint64 array plus the
     per-doc offsets (doc-major, position-minor order).  Docs shorter than
     ``k`` words contribute one fold-of-all-words shingle (empty docs a
     constant), so every doc owns at least one slot — a requirement of the
     reduceat consumers downstream.  Word hashing is pandas' C SipHash
     over the flat word list (vectorized; a Python dict cache measured
-    slower at realistic vocabulary sizes)."""
+    slower at realistic vocabulary sizes).  This is the ONE shingle
+    kernel in the engine: MinHash-LSH, the Jaccard verifier, and the
+    exact n-gram oracle query all hash through it, so they stay
+    bit-identical by construction."""
     from pynomaly_ray.functions.hashing import hash_strings
 
-    split = [t.split() for t in texts]
     n_docs = len(split)
     lengths = np.fromiter((len(s) for s in split), dtype=np.int64, count=n_docs)
     flat = list(chain.from_iterable(split))
@@ -336,7 +345,6 @@ def minhash_lsh_duplicates(
         bands,
         ["band_id", "band_hash"],
         bucket_candidate_pairs,
-        
     )
     def _rename(col_id: str, col_text: str):
         def _f(t: pa.Table) -> pa.Table:
@@ -354,7 +362,6 @@ def minhash_lsh_duplicates(
         texts_a,
         ["doc_a"],
         merge_fn=lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-        
     )
     with_b = hash_join(with_a, texts_b, ["doc_b"])
     verified = with_b.map_batches(

@@ -78,6 +78,10 @@ def detect_image_decoder():
             arr = cv2.imdecode(
                 np.frombuffer(payload or b"", np.uint8), cv2.IMREAD_COLOR
             )
+            if arr is None:  # cv2 returns None (no raise) on bad payloads
+                raise ValueError(
+                    f"cv2.imdecode could not decode a {len(payload or b'')}-byte payload"
+                )
             return arr[..., ::-1].astype(np.uint8)  # BGR -> RGB
 
         return _cv2_decode
@@ -234,8 +238,13 @@ class ImageResize:
             w = (m or {}).get("width") or 8
             h = (m or {}).get("height") or 8
             px = self.decode(payload, width=w, height=h)
-            iy = (np.arange(self.oh) * h) // self.oh
-            ix = (np.arange(self.ow) * w) // self.ow
+            # index by the DECODED dimensions, not the metadata's: a real
+            # decoder (PIL/cv2) returns the payload's intrinsic size, and
+            # stale/absent metadata must not cause out-of-range gathers
+            # or corner-only sampling
+            dh, dw = px.shape[0], px.shape[1]
+            iy = (np.arange(self.oh) * dh) // self.oh
+            ix = (np.arange(self.ow) * dw) // self.ow
             resized = px[iy][:, ix]
             ids.append(mid)
             payloads.append(resized.tobytes())

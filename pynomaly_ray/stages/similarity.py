@@ -380,7 +380,6 @@ def near_dup_pairs_embedding(
         emb_a,
         ["vec_a"],
         merge_fn=lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
-        
     )
     with_b = hash_join(with_a, emb_b, ["vec_b"])
 

@@ -65,11 +65,25 @@ def _snapshots(d: str) -> list[tuple[int, str, str]]:
 
 
 def committed_run_ids(out_dir: str) -> frozenset[str]:
-    """run_ids with at least one committed manifest snapshot."""
+    """run_ids with at least one committed manifest snapshot.
+
+    Legacy files written before the ``seq-`` prefix were named
+    ``NNNNNN-<run>.parquet``; their stem is ambiguous between "sequence
+    prefix + run" and "run_id that starts with digits-dash", so BOTH
+    readings count as committed — the reuse guard stays conservative
+    across the format change.
+    """
     d = manifest_dir(out_dir)
     if not os.path.isdir(d):
         return frozenset()
-    return frozenset(run for _seq, run, _name in _snapshots(d))
+    runs: set[str] = set()
+    for seq, run, _name in _snapshots(d):
+        runs.add(run)
+        if seq == -1:
+            m = re.match(r"^\d{6}-(.+)$", run)
+            if m:
+                runs.add(m.group(1))
+    return frozenset(runs)
 
 
 def write_manifest_snapshot(

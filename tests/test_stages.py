@@ -732,3 +732,47 @@ def test_asof_join_directions(ray_session):
     assert list(fwd.ts) == [10, 55] and list(fwd.val) == [7, 8]
     near = run("nearest")
     assert list(near.ts) == [10, 55, 300] and list(near.val) == [7, 8, 9]
+
+
+def test_review_regressions_r3():
+    """Pins for round-3 review findings: empty bloom merge, resize by
+    decoded (not metadata) dimensions, legacy manifest run_id reuse."""
+    import numpy as np
+
+    from pynomaly_ray.functions.sketches import bloom_contains, bloom_merge
+    from pynomaly_ray.stages.multimodal import ImageResize, make_fake_media_table
+
+    # bloom_merge of zero partials is the empty filter, not None
+    empty = bloom_merge([])
+    assert empty.dtype == np.uint64 and empty.any() == False  # noqa: E712
+    assert not bloom_contains(empty, ["x", "y"]).any()
+
+    # a decoder returning dimensions different from the metadata (the
+    # real-PIL case) must resize by the DECODED shape
+    def decode_16x12(payload, width=8, height=8):
+        return np.arange(16 * 12 * 3, dtype=np.uint8).reshape(16, 12, 3)
+
+    out = ImageResize(out_width=4, out_height=4, decoder=decode_16x12)(
+        make_fake_media_table(2)  # meta says 8x8; decoder returns 16x12
+    )
+    assert out.num_rows == 2
+    assert len(out["payload"][0].as_py()) == 4 * 4 * 3
+
+
+def test_manifest_legacy_run_id_reuse_guard(tmp_path):
+    """An out_dir written by the pre-'seq-' code (NNNNNN-<run>.parquet)
+    must still fail fast on run_id reuse after the format change."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pynomaly_ray.state.manifest import committed_run_ids
+
+    d = tmp_path / "out" / "manifest"
+    os.makedirs(d)
+    snap = pa.table({"partition_id": ["p0"]})
+    pq.write_table(snap, str(d / "000000-night.parquet"))  # legacy format
+    runs = committed_run_ids(str(tmp_path / "out"))
+    assert "night" in runs  # the reuse guard still sees the old run
+    assert "000000-night" in runs  # and the conservative reading
