@@ -221,3 +221,44 @@ def test_trailing_window_offset_searchsorted_property(n, n_users, span, seed):
         {"event_id": df["event_id"], "n_trailing_1h": naive}
     ).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, expect)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(10, 400),
+    n_keys=st.integers(1, 30),
+    n_blocks=st.integers(1, 6),
+    p=st.sampled_from([1, 2, 5]),
+    seed=st.integers(0, 1000),
+)
+def test_hash_aggregate_split_and_fanout_invariance(
+    n, n_keys, n_blocks, p, seed, ray_session
+):
+    """hash_aggregate results are independent of how the input is split
+    into blocks AND of the exchange fan-out P — the invariant every
+    adaptive-P decision relies on."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, n_keys, n).astype(np.int64),
+            "v": rng.randint(-100, 100, n).astype(np.int64),
+        }
+    )
+
+    def merge(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("k", sort=False)["v"].sum().reset_index()
+
+    out = (
+        hash_aggregate(
+            rd.from_pandas(df).repartition(n_blocks), ["k"], merge, num_partitions=p
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = df.groupby("k", sort=True)["v"].sum().reset_index()
+    pd.testing.assert_frame_equal(out, expect)
