@@ -65,7 +65,11 @@ def cmd_validate(args) -> int:
 
         write_validated_output(
             sequence_dataset_from_dir(args.input),
-            res.violations.to_pandas(),
+            # above the driver violation cap, rows live only in the
+            # distributed parquet dir — the anti-join reads them there
+            res.violations_dir
+            if res.violations_dir
+            else res.violations.to_pandas(),
             args.out,
             cfg.run_id,
         )

@@ -26,6 +26,7 @@ paths produce byte-identical outputs; tests force each.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 from typing import Optional
 
@@ -85,6 +86,10 @@ class ValidationResult:
     out_dir: Optional[str]
     n_sequences: int
     skipped_partitions: int
+    # When Stage B wrote violation rows distributed (volume above the
+    # driver cap), the parquet directory holding ALL of them — the
+    # authoritative source when ``violations`` was truncated to empty.
+    violations_dir: Optional[str] = None
 
 
 def _filter_completed(ds, done: frozenset):
@@ -246,7 +251,13 @@ def _post_scan_distributed(tagged, cfg, out_dir, resume):
     prior_docparts = None
     if out_dir:
         prior_dirs = _prior_docpart_dirs(out_dir, cfg.run_id, resume)
-        docparts_ds.write_parquet(os.path.join(out_dir, "docparts", cfg.run_id))
+        # a crashed attempt with this (uncommitted) run_id may have left
+        # files behind; write_parquet APPENDS uuid-named files, so clear
+        # the run's dir first or a committed retry double-counts every
+        # doc occurrence in later cross-run duplicate detection
+        dp_dir = os.path.join(out_dir, "docparts", cfg.run_id)
+        shutil.rmtree(dp_dir, ignore_errors=True)
+        docparts_ds.write_parquet(dp_dir)
         if prior_dirs:
             from pynomaly_ray.sources.parquet import read_parquet_clean
 
@@ -390,6 +401,11 @@ def run_validation(
         "partition_id", kind="mergesort"
     ).reset_index(drop=True)
 
+    violations_dir = (
+        os.path.join(out_dir, "violations", cfg.run_id)
+        if (out_dir and wrote_viol)
+        else None
+    )
     if out_dir and not wrote_viol:
         os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)
         vt = pa.Table.from_pandas(
@@ -437,10 +453,11 @@ def run_validation(
                 viol_df, schema=VIOLATION_SCHEMA, preserve_index=False
             )
             if collect_violations
-            else None,
+            else VIOLATION_SCHEMA.empty_table(),
             out_dir,
             0,
             skipped,
+            violations_dir=violations_dir,
         )
 
     if len(stats_df) == 0:
@@ -466,7 +483,8 @@ def run_validation(
             _amend_completed(out_dir, vcounts, done, cfg.run_id)
             final = read_full_manifest(out_dir)
             return ValidationResult(
-                final, violations_out, out_dir, n_sequences, skipped
+                final, violations_out, out_dir, n_sequences, skipped,
+                violations_dir=violations_dir,
             )
         return ValidationResult(
             report, violations_out, out_dir, n_sequences, skipped
@@ -571,7 +589,8 @@ def run_validation(
         # this out_dir (this run's + resumed-over ones) for the
         # identical-manifest guarantee.
         return ValidationResult(
-            final, violations_out, out_dir, n_sequences, skipped
+            final, violations_out, out_dir, n_sequences, skipped,
+            violations_dir=violations_dir,
         )
 
     return ValidationResult(report, violations_out, out_dir, n_sequences, skipped)
@@ -640,18 +659,25 @@ _BAD_IDS_BROADCAST_CAP = 1_000_000
 
 
 def write_validated_output(
-    ds, viol_df: pd.DataFrame, out_dir: str, run_id: str = "r0"
+    ds, viol_source, out_dir: str, run_id: str = "r0"
 ) -> str:
     """Write the validated (violation-free) sequence rows as partitioned
     Parquet — the engine's data sink, preserving per-row token arrays
     exactly (a pure filter; BASELINE.json's token-array-equality
     invariant).
 
-    Layout: ``out_dir/validated/<run_id>/partition_id=<pid>/*.parquet``
-    (one directory per partition -> a failed run skips finished
-    partitions on retry; never one giant file).  Requires a second scan
-    of the input: validation-only runs scan once, check+write runs scan
-    twice.
+    ``viol_source``: the violation rows as a pandas DataFrame (driver
+    path) OR a parquet directory path — the distributed path for runs
+    whose violation volume exceeded the driver cap (use
+    ``ValidationResult.violations_dir``; the rows never reach the
+    driver, only their id column flows through the anti-join exchange).
+
+    Layout: ``out_dir/validated/<run_id>/partition_id=<pid>/*.parquet``.
+    Idempotent per run: the run's dest dir is cleared before writing, so
+    a crashed attempt's partial files never mix with the retry's
+    (parquet writes append uuid-named files, they don't overwrite).
+    Requires a second scan of the input: validation-only runs scan once,
+    check+write runs scan twice.
 
     Size-adaptive like Stage B: below ``_BAD_IDS_BROADCAST_CAP``
     violating ids, the id set is broadcast into every filter task
@@ -660,10 +686,12 @@ def write_validated_output(
     to a hash-partitioned anti-join (each task sees 1/P of the id set,
     token arrays stay zero-copy Arrow).  Both paths are byte-identical
     (asserted by test).
+
+    Conservative exclusion note: null doc_ids surface in violation rows
+    as the sentinel string ``"<null>"``, so a document literally named
+    ``"<null>"`` is excluded whenever any null-id violation exists —
+    over-exclusion is the safe direction for a training-data sink.
     """
-    bad_id_list = (
-        sorted(set(viol_df["doc_id"].dropna())) if len(viol_df) else []
-    )
 
     def drop_null_rows(t: pa.Table) -> pa.Table:
         # null doc_id rows can't be matched by id; null tokens are not
@@ -674,25 +702,39 @@ def write_validated_output(
     clean = ds.map_batches(
         drop_null_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    if len(bad_id_list) <= _BAD_IDS_BROADCAST_CAP:
-        bad_ids = pa.array(bad_id_list, pa.string())
 
-        def keep_valid(t: pa.Table) -> pa.Table:
-            ok = pc.invert(
-                pc.fill_null(pc.is_in(t["doc_id"], value_set=bad_ids), True)
-            )
-            return t.filter(ok)
+    from pynomaly_ray.functions.exchange import hash_anti_join
 
-        valid = clean.map_batches(keep_valid, batch_format="pyarrow")
-    else:
-        from pynomaly_ray.functions.exchange import hash_anti_join
+    if isinstance(viol_source, str):
+        # distributed violations: their ids flow straight into the
+        # anti-join exchange, never onto the driver
+        from pynomaly_ray.sources.parquet import read_parquet_clean
 
-        bad_ds = rd.from_arrow(
-            pa.table({"doc_id": pa.array(bad_id_list, pa.string())})
-        )
+        bad_ds = read_parquet_clean(viol_source, columns=["doc_id"])
         valid = hash_anti_join(clean, bad_ds, "doc_id")
+    else:
+        viol_df = viol_source
+        bad_id_list = (
+            sorted(set(viol_df["doc_id"].dropna())) if len(viol_df) else []
+        )
+        if len(bad_id_list) <= _BAD_IDS_BROADCAST_CAP:
+            bad_ids = pa.array(bad_id_list, pa.string())
+
+            def keep_valid(t: pa.Table) -> pa.Table:
+                ok = pc.invert(
+                    pc.fill_null(pc.is_in(t["doc_id"], value_set=bad_ids), True)
+                )
+                return t.filter(ok)
+
+            valid = clean.map_batches(keep_valid, batch_format="pyarrow")
+        else:
+            bad_ds = rd.from_arrow(
+                pa.table({"doc_id": pa.array(bad_id_list, pa.string())})
+            )
+            valid = hash_anti_join(clean, bad_ds, "doc_id")
 
     dest = os.path.join(out_dir, "validated", run_id)
+    shutil.rmtree(dest, ignore_errors=True)  # idempotent retry
     valid.write_parquet(dest, partition_cols=["partition_id"])
     return dest
 

@@ -38,7 +38,6 @@ import pyarrow as pa
 
 import ray
 
-from pynomaly_ray.functions.exchange import _split_block
 
 
 def _fit_group(X: np.ndarray, n_neighbors: int, extent: int) -> np.ndarray:
@@ -132,13 +131,10 @@ def distributed_loop_scores(
     else:
         key, label_col = [id_col], None
 
-    refs = ds.to_arrow_refs()
+    from pynomaly_ray.functions.exchange import _partitioned_refs
+
     p = num_buckets
-    split = [
-        _split_block.options(num_returns=p if p > 1 else 1).remote(r, key, p)
-        for r in refs
-    ]
-    cols = [[r] for r in split] if p == 1 else [list(r) for r in split]
+    cols = _partitioned_refs(ds.to_arrow_refs(), key, p)
     out = [
         _loop_bucket.remote(
             id_col,

@@ -39,7 +39,10 @@ def partial_stats_batch(
     # the all-valid batch is the common case: skip the (token-payload
     # copying) filter entirely
     sub = batch if valid_mask.all() else batch.filter(pa.array(valid_mask))
-    part = sub["partition_id"].to_pandas().to_numpy(dtype=object)
+    # null partition_id rows must not raise (factorize codes them -1,
+    # which np.bincount rejects): bucket them under the same sentinel
+    # the violation rows use
+    part = sub["partition_id"].to_pandas().fillna("<null>").to_numpy(dtype=object)
     source = sub["source"].to_pandas().to_numpy(dtype=object)
     codes, uniques = pd.factorize(pd.Series(part), sort=False)
     n_parts = len(uniques)

@@ -65,7 +65,7 @@ def project_doc_partition(batch: pa.Table, salt_buckets: int = 16) -> pa.Table:
         )
     df = pd.DataFrame({"doc_id": ser, "partition_id": part_id.to_pandas()})
     agg = (
-        df.groupby(["doc_id", "partition_id"], sort=False)
+        df.groupby(["doc_id", "partition_id"], sort=False, dropna=False)
         .size()
         .reset_index(name="cnt")
     )

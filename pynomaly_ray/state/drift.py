@@ -74,6 +74,25 @@ def fit_drift_scores(
     mat = np.stack(stats_df["stat_vector"].to_numpy()).astype(np.float64)
     normed, mean, scale = normalize_features(mat)
 
+    # Tiny stat tables: loop_core clamps k to n_obs-1, and at n_obs == 1
+    # that is k=0 -> sqrt(0/0) NaN scores silently reported as "pass"
+    # (the clamp warning is suppressed by run_validation).  Mirror
+    # loop_distributed._fit_group: with no neighbor to compare against,
+    # every partition is definitionally non-outlying (score 0), and the
+    # frozen model keeps the REQUESTED k so later incremental runs
+    # against a larger population score normally.
+    if len(normed) <= 1:
+        frozen = FrozenLoopModel(
+            points=normed,
+            feat_mean=mean,
+            feat_scale=scale,
+            prob_distances_ev_mean=0.0,
+            norm_plof=0.0,
+            n_neighbors=max(n_neighbors, 1),
+            extent=extent,
+        )
+        return np.zeros(len(normed), dtype=np.float64), frozen
+
     labels = None
     if cluster_by_source:
         labels = pd.factorize(stats_df["source"])[0].tolist()
@@ -203,6 +222,10 @@ class StreamDriftScorer:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         m = self.m
+        if not len(batch):  # Ray Data may deliver an empty block
+            out = batch.copy()
+            out["loop_score"] = pd.Series(dtype=np.float64)
+            return out
         X = np.stack(batch["stat_vector"].to_numpy()).astype(np.float64)
         X = (X - m.feat_mean) / m.feat_scale
         # pairwise distances (B, n_train) via the GEMM expansion —

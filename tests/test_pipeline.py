@@ -382,6 +382,89 @@ def test_distributed_violation_cap(seq_dir, ray_session, monkeypatch, tmp_path):
     assert os.path.isdir(vdir)
     vrows = pq.ParquetDataset(vdir).read()
     assert vrows.num_rows == 9
+    # the result points at the authoritative distributed rows, and the
+    # validated sink can filter straight from that directory (its ids
+    # never touch the driver) — the review-r3 fix for the silent empty
+    # violations table feeding an unfiltered "validated" output
+    assert res.violations_dir == vdir
+    dest = V.write_validated_output(
+        rd.read_parquet(
+            sorted(
+                os.path.join(seq_dir, f)
+                for f in os.listdir(seq_dir)
+                if f.endswith(".parquet")
+            )
+        ),
+        res.violations_dir,
+        out,
+        "capped",
+    )
+    wrote = pq.ParquetDataset(dest).read()
+    bad_ids = set(vrows["doc_id"].to_pylist())
+    assert bad_ids  # non-vacuous
+    assert not (set(wrote["doc_id"].to_pylist()) & bad_ids)
+
+
+def test_single_partition_fit_scores_zero_not_nan(ray_session):
+    """A 1-partition stat table must not produce NaN loop scores
+    silently reported as 'pass' (review r3: k clamps to 0 there)."""
+    import numpy as np
+    import pandas as pd
+
+    from pynomaly_ray.state.drift import fit_drift_scores
+
+    stats_df = pd.DataFrame(
+        {
+            "partition_id": ["p0"],
+            "source": ["web"],
+            "stat_vector": [np.arange(8, dtype=np.float64)],
+        }
+    )
+    scores, frozen = fit_drift_scores(stats_df, n_neighbors=10, extent=3)
+    assert scores.shape == (1,) and scores[0] == 0.0
+    assert np.isfinite(frozen.norm_plof) and frozen.n_neighbors >= 1
+
+
+def test_stream_scorer_empty_batch(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from pynomaly_ray.state.drift import StreamDriftScorer, fit_drift_scores
+
+    stats_df = pd.DataFrame(
+        {
+            "partition_id": [f"p{i}" for i in range(12)],
+            "source": ["web"] * 12,
+            "stat_vector": [
+                np.random.RandomState(i).rand(8) for i in range(12)
+            ],
+        }
+    )
+    _scores, frozen = fit_drift_scores(stats_df, n_neighbors=5, extent=3)
+    out = StreamDriftScorer(frozen)(stats_df.iloc[:0].copy())
+    assert len(out) == 0 and "loop_score" in out.columns
+
+
+def test_stats_null_partition_id_never_raises(ray_session):
+    """A valid row with NULL partition_id must flow into stats under the
+    sentinel bucket, not crash stage A (factorize codes null as -1,
+    which bincount rejects)."""
+    import pyarrow as pa
+
+    from pynomaly_ray.stages.validate import SequenceValidator
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            "tokens": pa.array([[1, 2], [3, 4]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 2], pa.int32()),
+            "source": pa.array(["web", "web"], pa.string()),
+            "partition_id": pa.array(["p0", None], pa.string()),
+        }
+    )
+    v = SequenceValidator(valid_sources=["web"], vocab_size=1024)
+    out = v(t)  # must not raise
+    assert out.num_rows > 0
 
 
 def test_all_invalid_partition_reported_and_committed(ray_session, tmp_path):
