@@ -177,11 +177,9 @@ def cmd_loop(args) -> int:
     ds = read_parquet_clean(args.input, columns=[args.id_col, args.vec_col])
     bucketer = None
     if args.lsh_planes > 0:
-        import pyarrow.parquet as pq
+        from pynomaly_ray.pipelines.engine_queries import _embedding_dim
 
-        dim = len(
-            pq.read_table(args.input, columns=[args.vec_col])[args.vec_col][0]
-        )
+        dim = _embedding_dim(args.input, col=args.vec_col)
         bucketer = HyperplaneLSH(dim=dim, n_planes=args.lsh_planes)
     scored = distributed_loop_scores(
         ds,

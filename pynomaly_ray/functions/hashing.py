@@ -44,30 +44,6 @@ def salt_of(values, buckets: int) -> np.ndarray:
     return (mixed % np.uint64(buckets)).astype(np.int64)
 
 
-def hash_int_lists(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Order-sensitive 64-bit fingerprint of each int list in a flattened
-    Arrow list column (``flat`` values + ``offsets``), vectorized.
-
-    Polynomial rolling hash with FNV-ish constants computed via
-    cumulative products per segment — no Python loop over rows.
-    """
-    n = len(offsets) - 1
-    if len(flat) == 0:
-        return np.full(n, int(_FNV_OFFSET), dtype=np.uint64)
-    v = flat.astype(np.uint64)
-    with np.errstate(over="ignore"):
-        # prefix[i] = sum_{j<i} v[j] * P^(i-1-j)  via scan:
-        # h_{i+1} = h_i * P + v_i ; computed per segment below.
-        out = np.empty(n, dtype=np.uint64)
-        for i in range(n):  # rows of a *partition stat* table only — small
-            seg = v[offsets[i] : offsets[i + 1]]
-            h = _FNV_OFFSET
-            for x in seg:
-                h = (h * _FNV_PRIME) ^ x
-            out[i] = h
-    return out
-
-
 def digest_floats(arr: np.ndarray) -> str:
     """Short stable hex digest of a float64 vector (for lineage records)."""
     import hashlib

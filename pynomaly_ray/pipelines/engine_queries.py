@@ -18,6 +18,17 @@ import ray.data as rd
 from pynomaly_ray.pipelines.queries import _pq, collect_sorted
 
 
+def _embedding_dim(path: str, col: str = "embedding") -> int:
+    """Vector dimensionality probed from ONE row (a full-column driver
+    read just to take len() of the first element does not survive real
+    table sizes)."""
+    import pyarrow.parquet as papq
+
+    pf = papq.ParquetFile(path)
+    batch = next(pf.iter_batches(batch_size=1, columns=[col]))
+    return len(batch[col][0])
+
+
 def q_loop_embeddings(sf_dir: str):
     """LoOP outlier scores over the embeddings table: the reference's
     core capability exposed as a query (vec_id, loop score scaled 1e6).
@@ -147,13 +158,7 @@ def q_embedding_neardup(sf_dir: str):
     from pynomaly_ray.stages.similarity import near_dup_pairs_embedding
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    import pyarrow.parquet as papq
-
-    dim = len(
-        papq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-        )["embedding"][0]
-    )
+    dim = _embedding_dim(os.path.join(sf_dir, "embeddings.parquet"))
     pairs = near_dup_pairs_embedding(
         ds, dim=dim, threshold=0.4, n_planes=4, n_tables=8
     )
@@ -202,13 +207,7 @@ def q_loop_distributed(sf_dir: str):
     from pynomaly_ray.stages.loop_distributed import distributed_loop_scores
     from pynomaly_ray.stages.similarity import HyperplaneLSH
 
-    import pyarrow.parquet as papq
-
-    dim = len(
-        papq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-        )["embedding"][0]
-    )
+    dim = _embedding_dim(os.path.join(sf_dir, "embeddings.parquet"))
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
     scored = distributed_loop_scores(
         ds,
@@ -264,9 +263,17 @@ def q_loop_matrix_mode(sf_dir: str):
         M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         order = np.argsort(vec_ids, kind="stable")[:_MATRIX_MODE_CAP]
         vec_ids, M = vec_ids[order], M[order]
-        # Manhattan distances (a metric loop_core's internal kNN lacks)
+        # Manhattan distances (a metric loop_core's internal kNN lacks),
+        # computed in row chunks: the one-shot (n, n, d) broadcast would
+        # be n^2*d*8 bytes transient (8.6 GB at the 4096-row cap with
+        # d=64) — chunking keeps the temporary at chunk*n*d
         k = 10
-        D = np.abs(M[:, None, :] - M[None, :, :]).sum(axis=2)
+        n = len(M)
+        D = np.empty((n, n), dtype=np.float64)
+        step = max(1, (1 << 24) // max(n * M.shape[1], 1))  # ~128MB temp
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            D[s:e] = np.abs(M[s:e, None, :] - M[None, :, :]).sum(axis=2)
         np.fill_diagonal(D, np.inf)
         idx = np.argpartition(D, k, axis=1)[:, :k]
         dist = np.take_along_axis(D, idx, axis=1)

@@ -179,6 +179,16 @@ def generate_dataset_dir(
     if os.path.exists(marker) and not force:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    # regenerating under a DIFFERENT spec: clear the previous spec's
+    # part files and markers first — otherwise a shrunken spec leaves
+    # extra partitions on disk for glob readers, and a later call with
+    # the OLD spec would find its stale marker and silently return the
+    # new spec's data
+    for name in os.listdir(out_dir):
+        if name.startswith("_DONE_") or (
+            name.startswith("part-") and name.endswith(".parquet")
+        ):
+            os.unlink(os.path.join(out_dir, name))
     keys = [
         (source, p)
         for source in spec.sources

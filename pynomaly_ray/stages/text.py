@@ -37,7 +37,11 @@ class LangId:
 
     def __init__(self):
         self.word_re = re.compile(r"[a-zA-ZÀ-ÿ]+")
-        self.cjk_re = re.compile(r"[一-鿿぀-ヿ가-힯]")
+        # disjoint script blocks: han -> zh, kana -> ja, hangul -> ko
+        # (kana presence dominates han: Japanese text mixes both scripts)
+        self.han_re = re.compile(r"[一-鿿]")
+        self.kana_re = re.compile(r"[぀-ヿ]")
+        self.hangul_re = re.compile(r"[가-힯]")
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -47,9 +51,17 @@ class LangId:
                 preds.append("und")
                 confs.append(0.0)
                 continue
-            cjk = len(self.cjk_re.findall(text))
+            han = len(self.han_re.findall(text))
+            kana = len(self.kana_re.findall(text))
+            hangul = len(self.hangul_re.findall(text))
+            cjk = han + kana + hangul
             if cjk > 0 and cjk >= 0.2 * len(text):
-                preds.append("zh")
+                if hangul >= max(han, kana):
+                    preds.append("ko")
+                elif kana > 0:  # any kana marks Japanese even among han
+                    preds.append("ja")
+                else:
+                    preds.append("zh")
                 confs.append(min(1.0, cjk / len(text) * 2))
                 continue
             words = [w.lower() for w in self.word_re.findall(text)]

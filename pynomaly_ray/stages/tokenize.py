@@ -45,12 +45,13 @@ class Tokenizer:
     def _ids(self, words: list[str]) -> np.ndarray:
         cache = self.cache
         v = self.vocab_size
+        tid_of = token_id  # ONE canonical token->id mapping (tested)
         room = len(cache) < self._CACHE_CAP
         out = np.empty(len(words), dtype=np.int32)
         for i, w in enumerate(words):
             tid = cache.get(w)
             if tid is None:
-                tid = zlib.crc32(w.encode("utf-8")) % v
+                tid = tid_of(w, v)
                 if room:
                     cache[w] = tid
                     room = len(cache) < self._CACHE_CAP
@@ -66,6 +67,12 @@ class Tokenizer:
             if lst:
                 flat.extend(lst)
         ids = self._ids(flat)
+        total = int(lengths.sum())
+        if total >= 2**31:  # int32 list offsets would wrap silently
+            raise ValueError(
+                f"batch holds {total} tokens, beyond int32 list offsets; "
+                "lower batch_size (or switch the schema to large_list)"
+            )
         offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
         tokens = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()), pa.array(ids, pa.int32())

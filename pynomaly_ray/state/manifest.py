@@ -6,8 +6,10 @@ Layout (north_rule "resumable from checkpoint"):
       violations/            parquet part files (violation rows)
       partitions/            parquet part files (per-partition reports)
       manifest/seq-<seq>-<run>.parquet  snapshots: one row per
-                             partition (partition_id, status, n_rows,
-                             n_violations, loop_score, stats_digest);
+                             partition (partition_id, source, n_rows,
+                             n_violations, loop_score, status; FULL
+                             records incl. stat_vector/lineage live in
+                             partitions/<run>.parquet);
                              the zero-padded sequence prefix gives
                              snapshots an explicit monotonic order —
                              last-wins merges never depend on run_id
@@ -41,7 +43,7 @@ import pyarrow.parquet as pq
 # happens to START with digits-dash (e.g. "202608-night") can never be
 # misparsed as a sequenced file and win last-per-partition merges with a
 # fake sequence number; anything not matching is treated as legacy.
-_SNAP_RE = re.compile(r"^seq-(\d{6})-(.+)\.parquet$")
+_SNAP_RE = re.compile(r"^seq-(\d{6,})-(.+)\.parquet$")  # 6+ digits: seq 10^6 must still parse
 
 
 def manifest_dir(out_dir: str) -> str:
@@ -91,23 +93,38 @@ def write_manifest_snapshot(
 ) -> str:
     """Write one atomic manifest snapshot (tmp + rename) for this run,
     under the next sequence number — later snapshots always win the
-    last-per-partition merge regardless of run_id naming."""
+    last-per-partition merge regardless of run_id naming.  The
+    read-assign-write of the sequence number is serialized by a lock
+    file so two concurrent runs sharing an out_dir cannot claim the same
+    sequence (flock semantics hold on local filesystems; on network
+    filesystems without flock, keep one writer per out_dir)."""
     d = manifest_dir(out_dir)
     os.makedirs(d, exist_ok=True)
-    existing = _snapshots(d)
-    seq = (existing[-1][0] + 1) if existing else 0
-    final = os.path.join(d, f"seq-{max(seq, 0):06d}-{run_id}.parquet")
-    tmp = final + ".tmp"
-    cols = [
-        "partition_id",
-        "source",
-        "n_rows",
-        "n_violations",
-        "loop_score",
-        "status",
-    ]
-    pq.write_table(report.select(cols), tmp)
-    os.replace(tmp, final)
+    lock_path = os.path.join(d, ".seq.lock")
+    lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: single-writer assumption stands
+            pass
+        existing = _snapshots(d)
+        seq = (existing[-1][0] + 1) if existing else 0
+        final = os.path.join(d, f"seq-{max(seq, 0):06d}-{run_id}.parquet")
+        tmp = final + ".tmp"
+        cols = [
+            "partition_id",
+            "source",
+            "n_rows",
+            "n_violations",
+            "loop_score",
+            "status",
+        ]
+        pq.write_table(report.select(cols), tmp)
+        os.replace(tmp, final)
+    finally:
+        os.close(lock_fd)
     return final
 
 

@@ -776,3 +776,52 @@ def test_manifest_legacy_run_id_reuse_guard(tmp_path):
     runs = committed_run_ids(str(tmp_path / "out"))
     assert "night" in runs  # the reuse guard still sees the old run
     assert "000000-night" in runs  # and the conservative reading
+
+
+def test_review_regressions_r3b(tmp_path):
+    """Pins for the second review batch: stale datagen markers, 7-digit
+    manifest sequences, ja/ko language ID."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # datagen: regenerating with a different spec clears old files and
+    # markers, so a later call with the OLD spec regenerates correctly
+    from pynomaly_ray.sources.datagen import GenSpec, generate_dataset_dir
+
+    d = str(tmp_path / "gen")
+    generate_dataset_dir(d, GenSpec(seed=1, parts_per_source=4, rows_per_part=16))
+    generate_dataset_dir(d, GenSpec(seed=2, parts_per_source=2, rows_per_part=16))
+    parts = [f for f in os.listdir(d) if f.startswith("part-")]
+    assert len(parts) == 2 * 4  # 4 sources x 2 parts — no stale files
+    generate_dataset_dir(d, GenSpec(seed=1, parts_per_source=4, rows_per_part=16))
+    parts = [f for f in os.listdir(d) if f.startswith("part-")]
+    assert len(parts) == 4 * 4  # regenerated, not served from stale marker
+
+    # manifest: sequence 10^6 still parses as sequenced and wins merges
+    from pynomaly_ray.state.manifest import _snapshots
+
+    md = tmp_path / "out" / "manifest"
+    os.makedirs(md)
+    snap = pa.table({"partition_id": ["p0"]})
+    pq.write_table(snap, str(md / "seq-999999-old.parquet"))
+    pq.write_table(snap, str(md / "seq-1000000-new.parquet"))
+    snaps = _snapshots(str(md))
+    assert [s[0] for s in snaps] == [999999, 1000000]
+    assert snaps[-1][1] == "new"
+
+    # language ID distinguishes the three CJK scripts
+    from pynomaly_ray.stages.text import LangId
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "你好世界这是一个测试文档",      # han only -> zh
+                "これはテストですありがとう",    # kana -> ja
+                "안녕하세요 이것은 테스트입니다",  # hangul -> ko
+            ]
+        }
+    )
+    out = LangId()(df)
+    assert list(out["lang_pred"]) == ["zh", "ja", "ko"]
