@@ -381,6 +381,8 @@ def run_validation(
         batch_size=cfg.batch_size,
     ).materialize()
     _mark("stage_a")
+    if os.environ.get("PNR_STATS"):  # Ray Data per-operator stats dump
+        print(tagged.stats(), file=_sys.stderr)
 
     # ---- Stage B: size-adaptive reduction of the tagged stream ----
     small = (tagged.size_bytes() or 0) <= cfg.driver_collect_bytes
