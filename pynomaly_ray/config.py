@@ -100,7 +100,8 @@ class ValidationConfig:
     # driver-locally (vectorized pandas, zero extra Ray executions);
     # larger streams take the distributed hash_aggregate path.
     driver_collect_bytes: int = 256 * 1024 * 1024
-    # Source-membership universe; None derives it from a side table.
+    # Source-membership universe; None DISABLES the unknown_source
+    # check (pass the side table's distinct sources to enable it).
     valid_sources: Optional[Sequence[str]] = None
     # Output
     run_id: str = "r0"

@@ -63,13 +63,15 @@ def hll_partial(values, p: int = 12) -> np.ndarray:
     return regs
 
 
-def hll_merge(parts) -> np.ndarray:
-    """Element-wise max of register vectors (associative/idempotent)."""
+def hll_merge(parts, p: int = 12) -> np.ndarray:
+    """Element-wise max of register vectors (associative/idempotent).
+    Zero partials merge to the empty register vector of ``2^p`` (the
+    estimate is then 0 instead of a crash)."""
     out = None
     for pvec in parts:
         arr = np.asarray(pvec, dtype=np.uint8)
         out = arr.copy() if out is None else np.maximum(out, arr)
-    return out
+    return out if out is not None else np.zeros(1 << p, dtype=np.uint8)
 
 
 class KLLSketch:
@@ -193,6 +195,7 @@ def bloom_partial(values, m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
     same question in m_bits regardless of corpus size (one-sided error:
     false positives only, rate ~(1-e^{-kn/m})^k).  Partials merge by OR
     — associative, commutative, idempotent, retry-safe."""
+    m_bits = (m_bits + 63) & ~63  # packed uint64 words need 64-bit multiples
     bits = np.zeros(m_bits >> 6, dtype=np.uint64)
     if len(values) == 0:
         return bits
@@ -210,7 +213,11 @@ def bloom_merge(parts, m_bits: int = 1 << 20) -> np.ndarray:
     for pvec in parts:
         arr = np.asarray(pvec, dtype=np.uint64)
         out = arr.copy() if out is None else (out | arr)
-    return out if out is not None else np.zeros(m_bits >> 6, dtype=np.uint64)
+    return (
+        out
+        if out is not None
+        else np.zeros(((m_bits + 63) & ~63) >> 6, dtype=np.uint64)
+    )
 
 
 def bloom_contains(bits: np.ndarray, values, k: int = 4) -> np.ndarray:

@@ -42,6 +42,7 @@ import ray.data as rd
 from pynomaly_ray.config import (
     PARTIAL_STATS_SCHEMA,
     PARTITION_REPORT_SCHEMA,
+    SEQUENCE_SCHEMA,
     VIOLATION_SCHEMA,
     ValidationConfig,
 )
@@ -363,6 +364,27 @@ def run_validation(
         done = completed_partitions(out_dir)
         skipped = len(done)
         ds = _filter_completed(ds, done)
+
+    # ---- Pre-flight: fail fast on a mistyped input table ----
+    # (schema comes from parquet metadata; when unavailable without
+    # executing — e.g. an in-memory transform chain — the row-level
+    # checks still catch everything, just later)
+    try:
+        rs = ds.schema(fetch_if_missing=False)
+        actual_schema = (
+            pa.schema(zip(rs.names, rs.types)) if rs is not None else None
+        )
+    except Exception:
+        actual_schema = None
+    if actual_schema is not None:
+        from pynomaly_ray.stages.constraints import schema_conformance_violations
+
+        problems = schema_conformance_violations(actual_schema, SEQUENCE_SCHEMA)
+        if problems:
+            raise ValueError(
+                "input table does not conform to the sequence schema: "
+                + "; ".join(problems)
+            )
 
     # ---- Stage A: ONE scan -> tagged violations + partials + docparts ----
     # The validator's state (source set, vocab bound) is cheap, so this

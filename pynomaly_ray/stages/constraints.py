@@ -41,6 +41,7 @@ def check_sequence_batch(
     batch: pa.Table,
     valid_sources: Optional[frozenset] = None,
     vocab_size: Optional[int] = None,
+    valid_sources_arr: Optional[pa.Array] = None,
 ) -> tuple[pa.Table, np.ndarray]:
     """Run all row-level constraint predicates over one Arrow batch.
 
@@ -53,7 +54,13 @@ def check_sequence_batch(
       - ``null_tokens``      tokens IS NULL
       - ``n_tok_mismatch``   n_tok != len(tokens) (or n_tok IS NULL)
       - ``unknown_source``   source NULL or not in the broadcast universe
+      - ``null_token_element`` a NULL inside the token list (would reach
+        the stats kernel as NaN and crash its integer bincount)
       - ``token_out_of_range`` any token id outside [0, vocab_size)
+
+    ``valid_sources_arr``: prebuilt Arrow value set (SequenceValidator
+    builds it once per actor; falls back to building from
+    ``valid_sources`` per call).
     """
     n = batch.num_rows
     doc_id = batch["doc_id"]
@@ -62,8 +69,20 @@ def check_sequence_batch(
     n_tok = batch["n_tok"]
     source = batch["source"]
 
-    doc_np = doc_id.to_pandas().fillna("<null>").to_numpy(dtype=object)
-    part_np = part_id.to_pandas().fillna("<null>").to_numpy(dtype=object)
+    # id columns materialize to Python objects ONLY when a violation
+    # actually needs them — clean batches (the common case) skip the
+    # per-row PyString construction entirely
+    _ids: dict = {}
+
+    def doc_np() -> np.ndarray:
+        if "d" not in _ids:
+            _ids["d"] = doc_id.to_pandas().fillna("<null>").to_numpy(dtype=object)
+        return _ids["d"]
+
+    def part_np() -> np.ndarray:
+        if "p" not in _ids:
+            _ids["p"] = part_id.to_pandas().fillna("<null>").to_numpy(dtype=object)
+        return _ids["p"]
 
     pieces = []
     bad = np.zeros(n, dtype=bool)
@@ -72,7 +91,7 @@ def check_sequence_batch(
     if null_doc.any():
         idx = np.flatnonzero(null_doc)
         pieces.append(
-            _viol(doc_np[idx], part_np[idx], "null_doc_id", ["doc_id is null"] * len(idx))
+            _viol(doc_np()[idx], part_np()[idx], "null_doc_id", ["doc_id is null"] * len(idx))
         )
         bad |= null_doc
 
@@ -80,7 +99,7 @@ def check_sequence_batch(
     if null_tok.any():
         idx = np.flatnonzero(null_tok)
         pieces.append(
-            _viol(doc_np[idx], part_np[idx], "null_tokens", ["tokens is null"] * len(idx))
+            _viol(doc_np()[idx], part_np()[idx], "null_tokens", ["tokens is null"] * len(idx))
         )
         bad |= null_tok
 
@@ -102,41 +121,61 @@ def check_sequence_batch(
             f"n_tok={_fmt(ntok_np[i])} len(tokens)={_fmt(len_np[i])}"
             for i in idx
         ]
-        pieces.append(_viol(doc_np[idx], part_np[idx], "n_tok_mismatch", detail))
+        pieces.append(_viol(doc_np()[idx], part_np()[idx], "n_tok_mismatch", detail))
         bad |= mismatch
 
-    if valid_sources is not None:
-        member = pc.is_in(
-            source, value_set=pa.array(sorted(valid_sources), pa.string())
-        )
+    if valid_sources is not None or valid_sources_arr is not None:
+        if valid_sources_arr is None:
+            valid_sources_arr = pa.array(sorted(valid_sources), pa.string())
+        member = pc.is_in(source, value_set=valid_sources_arr)
         bad_src = ~pc.fill_null(member, False).to_numpy(zero_copy_only=False)
         if bad_src.any():
             idx = np.flatnonzero(bad_src)
             src_np = source.to_pandas().fillna("<null>").to_numpy(dtype=object)
             detail = [f"source={src_np[i]!r} not in source table" for i in idx]
-            pieces.append(_viol(doc_np[idx], part_np[idx], "unknown_source", detail))
+            pieces.append(_viol(doc_np()[idx], part_np()[idx], "unknown_source", detail))
             bad |= bad_src
 
+    comb = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    offsets = comb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _rows_of_flat_positions(flat_mask: np.ndarray) -> np.ndarray:
+        # map flat value positions back to row indices via searchsorted
+        rows = (
+            np.searchsorted(
+                offsets, np.flatnonzero(flat_mask) + offsets[0], side="right"
+            )
+            - 1
+        )
+        rows = np.unique(rows)
+        return rows[~null_tok[rows]]
+
+    # NULL elements INSIDE a token list: they reach numpy as NaN floats
+    # and would crash the integer stats kernel downstream — flag the row
+    # instead of letting one malformed row abort the whole scan
+    if comb.values.null_count:
+        isn = pc.is_null(comb.values).to_numpy(zero_copy_only=False)
+        rows = _rows_of_flat_positions(isn[offsets[0] : offsets[-1]])
+        if len(rows):
+            detail = ["null element inside tokens"] * len(rows)
+            pieces.append(
+                _viol(doc_np()[rows], part_np()[rows], "null_token_element", detail)
+            )
+            bad[rows] = True
+
     if vocab_size is not None:
-        comb = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
-        offsets = comb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         # .values with explicit offset slicing (NOT .flatten(), which skips
-        # null rows and would misalign the position->row mapping below).
+        # null rows and would misalign the position->row mapping).
         flat = comb.values[offsets[0] : offsets[-1]].to_numpy(zero_copy_only=False)
         if len(flat):
-            seg_bad = (flat < 0) | (flat >= vocab_size)
+            with np.errstate(invalid="ignore"):  # NaN from null elements
+                seg_bad = (flat < 0) | (flat >= vocab_size)
             if seg_bad.any():
-                # map flat positions back to row indices via searchsorted
-                rows = (
-                    np.searchsorted(offsets, np.flatnonzero(seg_bad) + offsets[0], side="right")
-                    - 1
-                )
-                rows = np.unique(rows)
-                rows = rows[~null_tok[rows]]
+                rows = _rows_of_flat_positions(seg_bad)
                 if len(rows):
                     detail = ["token id outside [0, vocab)"] * len(rows)
                     pieces.append(
-                        _viol(doc_np[rows], part_np[rows], "token_out_of_range", detail)
+                        _viol(doc_np()[rows], part_np()[rows], "token_out_of_range", detail)
                     )
                     bad[rows] = True
 
@@ -148,20 +187,24 @@ def check_sequence_batch(
 
 
 def schema_conformance_violations(
-    batch: pa.Table, expected: pa.Schema
+    batch, expected: pa.Schema
 ) -> list[str]:
-    """Names of expected columns missing or mistyped in ``batch``.
+    """Names of expected columns missing or mistyped in ``batch`` (an
+    Arrow Table or a bare Schema).
 
-    Column-level (not row-level): used by the pipeline pre-flight to fail
-    fast on a wrong table layout, the engine analogue of the reference's
-    shape validation (loop.py:224-255).
+    Column-level (not row-level): run_validation's pre-flight calls this
+    on the input Dataset's schema to fail fast with a readable report on
+    a wrong table layout — the engine analogue of the reference's shape
+    validation (loop.py:224-255) — instead of opaque Arrow cast errors
+    mid-scan.
     """
+    sch = batch if isinstance(batch, pa.Schema) else batch.schema
     problems = []
     for f in expected:
-        if batch.schema.get_field_index(f.name) < 0:
+        if sch.get_field_index(f.name) < 0:
             problems.append(f"missing column {f.name}:{f.type}")
         else:
-            actual = batch.schema.field(f.name).type
+            actual = sch.field(f.name).type
             if actual != f.type:
                 problems.append(f"column {f.name} has type {actual}, expected {f.type}")
     return problems

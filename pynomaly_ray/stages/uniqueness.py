@@ -101,12 +101,16 @@ def emit_duplicate_violations(group: pd.DataFrame) -> pd.DataFrame:
     the input was split (the resume-identity guarantee).
     """
     doc = group["doc_id"].iloc[0]
-    occ = group.groupby("partition_id", sort=False)["cnt"].sum().reset_index()
+    occ = (
+        group.groupby("partition_id", sort=False, dropna=False)["cnt"]
+        .sum()
+        .reset_index()
+    )
     cum = _extras_per_partition(occ)
     if "is_prior" in group.columns and group["is_prior"].any():
         prior_occ = (
             group[group["is_prior"] == 1]
-            .groupby("partition_id", sort=False)["cnt"]
+            .groupby("partition_id", sort=False, dropna=False)["cnt"]
             .sum()
             .reset_index()
         )

@@ -75,20 +75,29 @@ class SequenceValidator:
     ):
         import ray
 
-        if valid_sources is not None and isinstance(
-            valid_sources, ray.ObjectRef
-        ):
-            valid_sources = ray.get(valid_sources)
+        def _unwrap(x):
+            return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+        valid_sources = _unwrap(valid_sources)
         self.valid_sources = (
             frozenset(valid_sources) if valid_sources is not None else None
         )
-        self.vocab_size = vocab_size
-        self.emit_docparts = emit_docparts
-        self.salt_buckets = salt_buckets
+        # Arrow value set built ONCE per actor, not per batch
+        self.valid_sources_arr = (
+            pa.array(sorted(self.valid_sources), pa.string())
+            if self.valid_sources is not None
+            else None
+        )
+        self.vocab_size = _unwrap(vocab_size)
+        self.emit_docparts = _unwrap(emit_docparts)
+        self.salt_buckets = _unwrap(salt_buckets)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         violations, valid_mask = check_sequence_batch(
-            batch, self.valid_sources, self.vocab_size
+            batch,
+            self.valid_sources,
+            self.vocab_size,
+            valid_sources_arr=self.valid_sources_arr,
         )
         partials = partial_stats_batch(
             batch, valid_mask, self.vocab_size or 1

@@ -612,3 +612,73 @@ def test_validated_output_anti_join_path_identical(seq_dir, ray_session, monkeyp
     for x, y in zip(a.tokens, b.tokens):
         xa, ya = np.asarray(x, dtype=np.int32), np.asarray(y, dtype=np.int32)
         assert np.array_equal(xa, ya) and xa.dtype == ya.dtype
+
+
+def test_review_regressions_r3c(ray_session):
+    """Third review batch: null token elements, null-partition dup
+    accounting, empty-merge sketches, schema pre-flight."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pynomaly_ray.config import ValidationConfig
+    from pynomaly_ray.pipelines.validation import run_validation
+    from pynomaly_ray.stages.validate import SequenceValidator
+
+    # a NULL inside a token list must become a violation row, not a
+    # TypeError that aborts the scan
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            "tokens": pa.array([[1, 2, None], [3, 4]], pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 2], pa.int32()),
+            "source": pa.array(["web", "web"], pa.string()),
+            "partition_id": pa.array(["p0", "p0"], pa.string()),
+        }
+    )
+    out = SequenceValidator(valid_sources=["web"], vocab_size=32768)(t)
+    viol = out.filter(pa.compute.equal(out["kind"], "violation")).to_pandas()
+    assert "null_token_element" in set(viol["check"])
+    assert list(viol.loc[viol["check"] == "null_token_element", "doc_id"]) == ["a"]
+
+    # duplicate doc_id whose occurrences have NULL partition_id must
+    # still emit c-1 violations (groupby dropna was silently eating them)
+    from pynomaly_ray.stages.uniqueness import emit_duplicate_violations
+
+    g = pd.DataFrame(
+        {
+            "doc_id": ["d", "d"],
+            "partition_id": [None, None],
+            "cnt": np.array([1, 1], dtype=np.int64),
+        }
+    )
+    rows = emit_duplicate_violations(g)
+    assert len(rows) == 1 and rows.iloc[0]["check"] == "duplicate_doc_id"
+
+    # empty sketch merges behave
+    from pynomaly_ray.functions.sketches import (
+        bloom_contains,
+        bloom_partial,
+        hll_estimate,
+        hll_merge,
+    )
+
+    assert hll_estimate(hll_merge([])) == 0.0
+    bits = bloom_partial(["x", "y"], m_bits=100)  # rounded up, no crash
+    assert bloom_contains(bits, ["x", "y"]).all()
+
+    # pre-flight: a mistyped table fails fast with a readable message
+    bad = pa.table(
+        {
+            "doc_id": pa.array(["a"], pa.string()),
+            "tokens": pa.array([[1]], pa.list_(pa.int64())),  # wrong item type
+            "n_tok": pa.array([1], pa.int32()),
+            "source": pa.array(["web"], pa.string()),
+            "partition_id": pa.array(["p0"], pa.string()),
+        }
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sequence schema"):
+        run_validation(rd.from_arrow(bad), ValidationConfig(valid_sources=["web"]))
