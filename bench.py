@@ -31,6 +31,11 @@ SF_SPECS = {
 def bench_data_dir(sf_name: str) -> str:
     from pynomaly_ray.sources.datagen import GenSpec, generate_dataset_dir
 
+    if sf_name not in SF_SPECS:
+        print(
+            f"bench: unknown sf '{sf_name}', synthesizing at the sf0.1 spec",
+            file=sys.stderr,
+        )
     parts, rows = SF_SPECS.get(sf_name, SF_SPECS["sf0.1"])
     d = f"/tmp/pnr_bench/{sf_name}"
     generate_dataset_dir(d, GenSpec(parts_per_source=parts, rows_per_part=rows))
@@ -72,13 +77,6 @@ def run_headline(sf_name: str) -> dict:
         )
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
-    import pyarrow.parquet as papq
-
-    n_tokens = sum(
-        papq.read_metadata(os.path.join(data_dir, f)).num_rows
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    )  # rows; token count comes from the report's stat totals below
     tok_total = None
     try:
         rep = res.report.to_pandas()
@@ -144,22 +142,11 @@ def single_run(emit=None) -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(os.path.normpath(sf_dir))
 
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
     import logging
 
-    from ray.data import DataContext
+    from pynomaly_ray.cli import _ensure_ray
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    ray = _ensure_ray(num_cpus)
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     out = {
@@ -192,7 +179,10 @@ def single_run(emit=None) -> dict:
         if emit is not None:
             emit(out)
 
-    out["queries"] = run_queries(sf_dir, emit=lambda t: emit_queries(t))
+    if os.environ.get("PNR_SKIP_QUERIES"):
+        out["queries"] = {}
+    else:
+        out["queries"] = run_queries(sf_dir, emit=lambda t: emit_queries(t))
     ray.shutdown()
     return out
 
@@ -273,7 +263,9 @@ def scaling_run() -> dict:
     host's raw-task calibration ceiling measured the same way."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # children only need the headline; the full query suite would
+        # double each child's wall time for numbers nobody reads
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PNR_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -295,6 +287,15 @@ def scaling_run() -> dict:
     n_lo = int(os.environ.get("PNR_SCALE_LO", "8"))
     n_hi = int(os.environ.get("PNR_SCALE_HI", str(4 * n_lo)))
     lo, hi = run(n_lo), run(n_hi)
+    if not (lo.get("sequences_per_sec") and hi.get("sequences_per_sec")):
+        # a child crashed before its first milestone in both attempts:
+        # still emit a parseable record instead of a KeyError traceback
+        return {
+            "metric": f"scaling efficiency ({n_lo} -> {n_hi} cpus, fresh processes)",
+            "value": None,
+            "unit": "efficiency",
+            "error": lo.get("error") or hi.get("error") or "child produced no headline",
+        }
     cal_lo, cal_hi = run_cal(n_lo), run_cal(n_hi)
     thr_lo = lo["sequences_per_sec"]
     thr_hi = hi["sequences_per_sec"]

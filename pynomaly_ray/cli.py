@@ -113,25 +113,22 @@ def cmd_dedup(args) -> int:
     from pynomaly_ray.sources.parquet import read_parquet_clean
 
     ds = read_parquet_clean(args.input, columns=[args.id_col, args.text_col])
-    if (args.id_col, args.text_col) != ("doc_id", "text"):
-        ds = ds.map_batches(
-            lambda t: t.rename_columns(["doc_id", "text"]),
-            batch_format="pyarrow",
+
+    def normalize(t: pa.Table) -> pa.Table:
+        # one branch for all column layouts: rename AND cast the id to
+        # string (the dedup kernels emit string-typed empty frames, so a
+        # non-string id would fail schema unification mid-pipeline)
+        t = t.rename_columns(["doc_id", "text"])
+        return t.set_column(
+            0, "doc_id", pc.cast(t["doc_id"], pa.string())
         )
-    else:
-        ds = ds.map_batches(
-            lambda t: t.set_column(
-                t.schema.get_field_index("doc_id"),
-                "doc_id",
-                pc.cast(t["doc_id"], pa.string()),
-            ),
-            batch_format="pyarrow",
-        )
+
+    ds = ds.map_batches(normalize, batch_format="pyarrow")
     os.makedirs(args.out, exist_ok=True)
     if args.method == "exact":
         from pynomaly_ray.stages.dedup import exact_duplicates_by_content
 
-        groups = exact_duplicates_by_content(ds)
+        groups = exact_duplicates_by_content(ds).materialize()
         groups.write_parquet(os.path.join(args.out, "groups"))
         df = groups.to_pandas()
         summary = {
@@ -158,7 +155,7 @@ def cmd_dedup(args) -> int:
     else:  # simhash
         from pynomaly_ray.stages.dedup import SimHasher
 
-        hashed = ds.map_batches(SimHasher(), batch_format="pandas")
+        hashed = ds.map_batches(SimHasher(), batch_format="pandas").materialize()
         hashed.write_parquet(os.path.join(args.out, "simhash"))
         summary = {"method": "simhash", "rows": int(hashed.count())}
     print(json.dumps(summary))
@@ -180,7 +177,9 @@ def cmd_loop(args) -> int:
         from pynomaly_ray.pipelines.engine_queries import _embedding_dim
 
         dim = _embedding_dim(args.input, col=args.vec_col)
-        bucketer = HyperplaneLSH(dim=dim, n_planes=args.lsh_planes)
+        bucketer = HyperplaneLSH(
+            dim=dim, n_planes=args.lsh_planes, col=args.vec_col
+        )
     scored = distributed_loop_scores(
         ds,
         id_col=args.id_col,
@@ -189,7 +188,7 @@ def cmd_loop(args) -> int:
         extent=args.extent,
         num_buckets=args.buckets,
         bucketer=bucketer,
-    )
+    ).materialize()  # write + summary share one execution
     os.makedirs(args.out, exist_ok=True)
     scored.write_parquet(args.out)
     df = scored.to_pandas()

@@ -24,6 +24,11 @@ def _embedding_dim(path: str, col: str = "embedding") -> int:
     table sizes)."""
     import pyarrow.parquet as papq
 
+    if os.path.isdir(path):  # partitioned layout: probe the first file
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        path = os.path.join(path, files[0])
     pf = papq.ParquetFile(path)
     batch = next(pf.iter_batches(batch_size=1, columns=[col]))
     return len(batch[col][0])

@@ -237,14 +237,15 @@ class HyperplaneLSH:
     groupby("bucket") co-locates probable neighbors (IVF/LSH scale path
     for similarity search and embedding near-dup)."""
 
-    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11, col: str = "embedding"):
         rng = np.random.RandomState(seed)
         self.planes = rng.randn(dim, n_planes)
+        self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("bucket", pa.array([], pa.int64()))
-        M = _embedding_matrix(batch)
+        M = _embedding_matrix(batch, self.col)
         signs = (M @ self.planes) > 0
         bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
         return batch.append_column(

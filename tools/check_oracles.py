@@ -78,20 +78,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=8,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pynomaly_ray.cli import _ensure_ray
+
+    ray = _ensure_ray(8)
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
