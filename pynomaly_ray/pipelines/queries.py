@@ -1844,8 +1844,65 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: id_sets — distributed set operations (UNION / INTERSECT cardinality
+# across two tables' key columns): per-batch distinct partials with a
+# side flag, Dataset.union of both streams, one id-keyed exchange whose
+# buckets hold disjoint ids — per-bucket union/intersection counts sum
+# exactly to the global answer, so only P count rows reach the driver.
+# ---------------------------------------------------------------------------
+def q_id_sets(sf_dir: str):
+    ev = _pq(sf_dir, "events", ["user_id"])
+    od = _pq(sf_dir, "orders", ["o_custkey"])
+
+    def side_partial(col: str, flag: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            ids = batch[col].to_pandas().dropna().unique()
+            df = pd.DataFrame({"id": ids.astype(np.int64)})
+            df["in_ev"] = np.int64(1 if flag == "ev" else 0)
+            df["in_od"] = np.int64(1 if flag == "od" else 0)
+            return _from_pandas(df)
+
+        return _f
+
+    partials = ev.map_batches(
+        side_partial("user_id", "ev"), batch_format="pyarrow"
+    ).union(od.map_batches(side_partial("o_custkey", "od"), batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("id", sort=False).agg(
+            in_ev=("in_ev", "max"), in_od=("in_od", "max")
+        )
+        return pd.DataFrame(
+            {
+                "n_union": pd.array([len(g)], dtype=np.int64),
+                "n_inter": pd.array(
+                    [int((g["in_ev"] & g["in_od"]).sum())], dtype=np.int64
+                ),
+            }
+        )
+
+    per_bucket = hash_aggregate(partials, ["id"], merge).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_union": pd.array([per_bucket["n_union"].sum()], dtype=np.int64),
+            "n_inter": pd.array([per_bucket["n_inter"].sum()], dtype=np.int64),
+        }
+    )
+
+
+SQL_ID_SETS = """
+WITH ev AS (SELECT DISTINCT user_id  AS id FROM events WHERE user_id  IS NOT NULL),
+     od AS (SELECT DISTINCT o_custkey AS id FROM orders WHERE o_custkey IS NOT NULL)
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT id FROM ev UNION     SELECT id FROM od)) AS BIGINT) AS n_union,
+  CAST((SELECT COUNT(*) FROM (SELECT id FROM ev INTERSECT SELECT id FROM od)) AS BIGINT) AS n_inter
+"""
+
+
 ORACLE_QUERIES.update(
     {
+        "id_sets": (q_id_sets, SQL_ID_SETS),
         "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
         "inactive_customers": (q_inactive_customers, SQL_INACTIVE_CUSTOMERS),
         "customer_order_counts": (
