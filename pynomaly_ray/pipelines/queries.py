@@ -1900,8 +1900,54 @@ SELECT
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: lang_pivot — pivot/reshape: one row per source with one count
+# column per language (the wide feature-matrix shape).  Engine: a
+# single grouped conditional aggregate (vectorized crosstab per batch,
+# summed through the exchange) — a pivot is just a grouped agg with a
+# fixed output column set, no extra shuffle.
+# ---------------------------------------------------------------------------
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_lang_pivot(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["source", "lang"])
+    cols = [f"n_{l}" for l in _PIVOT_LANGS]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ct = pd.crosstab(df["source"], df["lang"]).reindex(
+            columns=list(_PIVOT_LANGS), fill_value=0
+        )
+        out = pd.DataFrame({"source": ct.index})
+        for l, c in zip(_PIVOT_LANGS, cols):
+            out[c] = ct[l].to_numpy().astype(np.int64)
+        return _from_pandas(out)
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        lambda df: df.groupby("source", sort=False).sum().reset_index(),
+    )
+    return collect_sorted(out, ["source"])
+
+
+SQL_LANG_PIVOT = """
+SELECT source,
+       COUNT(*) FILTER (lang = 'de') AS n_de,
+       COUNT(*) FILTER (lang = 'en') AS n_en,
+       COUNT(*) FILTER (lang = 'es') AS n_es,
+       COUNT(*) FILTER (lang = 'fr') AS n_fr,
+       COUNT(*) FILTER (lang = 'zh') AS n_zh
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 ORACLE_QUERIES.update(
     {
+        "lang_pivot": (q_lang_pivot, SQL_LANG_PIVOT),
         "id_sets": (q_id_sets, SQL_ID_SETS),
         "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
         "inactive_customers": (q_inactive_customers, SQL_INACTIVE_CUSTOMERS),
