@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shutil
 import sys
 
 
@@ -125,11 +126,20 @@ def cmd_dedup(args) -> int:
 
     ds = ds.map_batches(normalize, batch_format="pyarrow")
     os.makedirs(args.out, exist_ok=True)
+
+    def _fresh(subdir: str) -> str:
+        # write_parquet APPENDS uuid-named part files: clear the target
+        # so re-running dedup with the same --out stays idempotent
+        # (same class of fix as the validation docparts/violations dirs)
+        path = os.path.join(args.out, subdir)
+        shutil.rmtree(path, ignore_errors=True)
+        return path
+
     if args.method == "exact":
         from pynomaly_ray.stages.dedup import exact_duplicates_by_content
 
         groups = exact_duplicates_by_content(ds).materialize()
-        groups.write_parquet(os.path.join(args.out, "groups"))
+        groups.write_parquet(_fresh("groups"))
         df = groups.to_pandas()
         summary = {
             "method": "exact",
@@ -150,13 +160,13 @@ def cmd_dedup(args) -> int:
             jaccard_threshold=args.threshold,
             as_dataset=True,
         ).materialize()
-        pairs_ds.write_parquet(os.path.join(args.out, "pairs"))
+        pairs_ds.write_parquet(_fresh("pairs"))
         summary = {"method": "minhash", "near_dup_pairs": int(pairs_ds.count())}
     else:  # simhash
         from pynomaly_ray.stages.dedup import SimHasher
 
         hashed = ds.map_batches(SimHasher(), batch_format="pandas").materialize()
-        hashed.write_parquet(os.path.join(args.out, "simhash"))
+        hashed.write_parquet(_fresh("simhash"))
         summary = {"method": "simhash", "rows": int(hashed.count())}
     print(json.dumps(summary))
     return 0

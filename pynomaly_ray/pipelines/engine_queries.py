@@ -25,10 +25,21 @@ def _embedding_dim(path: str, col: str = "embedding") -> int:
     import pyarrow.parquet as papq
 
     if os.path.isdir(path):  # partitioned layout: probe the first file
+        # walk recursively so hive-partitioned output (e.g. the
+        # validated/<run>/partition_id=*/ layout) resolves too, and fail
+        # readably on an empty directory instead of IndexError
         files = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(path)
+            for f in names
+            if f.endswith(".parquet")
         )
-        path = os.path.join(path, files[0])
+        if not files:
+            raise ValueError(
+                f"no .parquet files found under {path!r}; expected a "
+                "flat or hive-partitioned parquet directory"
+            )
+        path = files[0]
     pf = papq.ParquetFile(path)
     batch = next(pf.iter_batches(batch_size=1, columns=[col]))
     return len(batch[col][0])

@@ -1916,7 +1916,12 @@ def q_lang_pivot(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        ct = pd.crosstab(df["source"], df["lang"]).reindex(
+        # crosstab drops NaN keys by default: a source whose rows all
+        # have null lang would vanish while the SQL oracle (GROUP BY
+        # source) still emits it with zero counts — sentinel-fill so
+        # every source present in the batch yields a row
+        lang = df["lang"].fillna("\x00null")
+        ct = pd.crosstab(df["source"], lang).reindex(
             columns=list(_PIVOT_LANGS), fill_value=0
         )
         out = pd.DataFrame({"source": ct.index})

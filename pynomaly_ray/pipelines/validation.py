@@ -280,9 +280,13 @@ def _post_scan_distributed(tagged, cfg, out_dir, resume):
     all_viol = viol_ds.union(dup_ds).materialize()
     wrote_distributed = False
     if out_dir:
-        all_viol.write_parquet(
-            os.path.join(out_dir, "violations", cfg.run_id)
-        )
+        # mirror the docparts fix above: a crashed attempt's part files
+        # survive into the retry (write_parquet appends uuid-named
+        # files) and this dir is the authoritative violation source fed
+        # into write_validated_output's anti-join — clear it first
+        viol_dir = os.path.join(out_dir, "violations", cfg.run_id)
+        shutil.rmtree(viol_dir, ignore_errors=True)
+        all_viol.write_parquet(viol_dir)
         wrote_distributed = True
     vcounts = None
     if all_viol.count() <= _MAX_DRIVER_VIOLATIONS:

@@ -137,6 +137,92 @@ _EMPTY_VIOL = {
     "check": pa.array([], pa.string()),
     "detail": pa.array([], pa.string()),
 }
+_VIOL_COL_NAMES = ("doc_id", "partition_id", "check", "detail")
+
+
+def bulk_emit_violations(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized ALL-groups duplicate-violation emission for one
+    key-co-located bucket of docpart occurrence rows — the distributed
+    analogue of :func:`emit_duplicate_violations` (which stays as the
+    per-group reference the parity tests compare against).
+
+    Fast pre-filter: an int64 ``doc_hash`` bincount (C speed) discards
+    the all-unique bulk of the bucket before any string work.  Extras
+    for the surviving groups are then computed in one pass — per
+    (doc_id, partition_id) count minus one for each doc's lowest
+    partition_id (the deterministically tolerated occurrence), minus the
+    extras already attributed to prior runs (``is_prior`` rows, the
+    resume-identity rule) — and emitted via ``np.repeat``.  No per-doc
+    Python loop anywhere, so a 30%-duplicated corpus costs the reducer
+    O(bucket) vectorized work, not O(duplicates) Python.
+    """
+    empty = pd.DataFrame(
+        {c: pd.Series(dtype="string") for c in _VIOL_COL_NAMES}
+    )
+    if df.empty:
+        return empty
+    hashes = df["doc_hash"].to_numpy()
+    cnts = df["cnt"].to_numpy().astype(np.int64)
+    _, inv = np.unique(hashes, return_inverse=True)
+    totals = np.bincount(inv, weights=cnts).astype(np.int64)
+    cand = totals[inv] > 1
+    if not cand.any():
+        return empty
+    keep_cols = [
+        c for c in ("doc_id", "partition_id", "cnt", "is_prior") if c in df.columns
+    ]
+    sub = df.loc[cand, keep_cols]
+    occ = (
+        sub.groupby(["doc_id", "partition_id"], sort=False, dropna=False)["cnt"]
+        .sum()
+        .reset_index()
+    )
+    # hash-level candidates -> exact doc_id totals (collision guard)
+    doc_tot = occ.groupby("doc_id", sort=False)["cnt"].transform("sum")
+    occ = occ[doc_tot > 1]
+    if occ.empty:
+        return empty
+    occ = occ.sort_values(
+        ["doc_id", "partition_id"], kind="mergesort"
+    ).reset_index(drop=True)
+    first = ~occ["doc_id"].duplicated().to_numpy()
+    new = occ["cnt"].to_numpy(dtype=np.int64) - first.astype(np.int64)
+    if "is_prior" in sub.columns and (sub["is_prior"] == 1).any():
+        pocc = (
+            sub[sub["is_prior"] == 1]
+            .groupby(["doc_id", "partition_id"], sort=False, dropna=False)["cnt"]
+            .sum()
+            .reset_index()
+            .sort_values(["doc_id", "partition_id"], kind="mergesort")
+        )
+        pfirst = ~pocc["doc_id"].duplicated().to_numpy()
+        # extras already emitted by committed prior runs; a prior total
+        # of 1 yields cnt - 1 == 0, matching _extras_per_partition's
+        # empty-map early return
+        pocc["__prior_extra__"] = pocc["cnt"].to_numpy(
+            dtype=np.int64
+        ) - pfirst.astype(np.int64)
+        m = occ.merge(
+            pocc[["doc_id", "partition_id", "__prior_extra__"]],
+            on=["doc_id", "partition_id"],
+            how="left",
+        )
+        new = np.maximum(
+            new - m["__prior_extra__"].fillna(0).to_numpy(dtype=np.int64), 0
+        )
+    mask = new > 0
+    if not mask.any():
+        return empty
+    reps = new[mask]
+    src = occ[mask]
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(src["doc_id"].to_numpy(), reps),
+            "partition_id": np.repeat(src["partition_id"].to_numpy(), reps),
+            "check": "duplicate_doc_id",
+            "detail": "duplicate doc_id occurrence",
+        }
+    )
 
 
 def duplicates_from_docparts(docparts_ds, prior_docparts_ds=None):
@@ -146,9 +232,19 @@ def duplicates_from_docparts(docparts_ds, prior_docparts_ds=None):
     runs (see pipelines/validation.py) — duplicates spanning a completed
     and a resumed partition are still detected, attributed exactly as a
     single full run would.  Returns a Dataset of violation rows.
-    """
-    import ray
 
+    ONE keyed exchange end-to-end: docpart rows hash-partition on the
+    int64 ``doc_hash`` (all occurrences of a doc_id co-locate; a hash
+    collision merely co-locates extra rows — exactness comes from the
+    in-bucket doc_id groupby), and every bucket emits its violation rows
+    directly through the vectorized :func:`bulk_emit_violations`
+    reducer.  No duplicate-id broadcast, no driver-side occurrence
+    materialization: a heavily duplicated crawl corpus (30% dups at
+    10^12 rows) streams through P reducers instead of landing ~10^11
+    occurrence rows on the driver.  The exchange volume is identical to
+    the old count-then-filter design (the totals pass already moved
+    every docpart row), so the single pass is strictly cheaper.
+    """
     from pynomaly_ray.functions.exchange import hash_aggregate
 
     def tag(val: int):
@@ -164,35 +260,7 @@ def duplicates_from_docparts(docparts_ds, prior_docparts_ds=None):
         union_ds = union_ds.union(
             prior_docparts_ds.map_batches(tag(1), batch_format="pyarrow")
         )
-    union_ds = union_ds.materialize()  # consumed twice below; small columns
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("doc_id", sort=False)["cnt"].sum().reset_index(name="total")
-        return g[g["total"] > 1]
-
-    dup_totals = hash_aggregate(union_ds, ["doc_id"], merge).to_pandas()
-    dup_ids = dup_totals["doc_id"].tolist() if len(dup_totals) else []
-    if not dup_ids:
-        return ray.data.from_arrow(pa.table(_EMPTY_VIOL))
-    dup_set = pa.array(sorted(dup_ids), pa.string())
-
-    def only_dups(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"], value_set=dup_set))
-
-    # confirmed duplicates are sparse by contract -> driver-side emit
-    dups_df = union_ds.map_batches(
-        only_dups, batch_format="pyarrow"
-    ).to_pandas()
-    frames = [
-        emit_duplicate_violations(g)
-        for _, g in dups_df.groupby("doc_id", sort=True)
-    ]
-    out = pd.concat(frames, ignore_index=True)
-    return ray.data.from_arrow(
-        pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
-        if len(out)
-        else pa.table(_EMPTY_VIOL)
-    )
+    return hash_aggregate(union_ds, ["doc_hash"], bulk_emit_violations)
 
 
 def duplicate_violations(ds, *, batch_size: int = 8192, salt_buckets: int = 16):

@@ -107,7 +107,10 @@ def write_manifest_snapshot(
             import fcntl
 
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
-        except ImportError:  # non-POSIX: single-writer assumption stands
+        except (ImportError, OSError):
+            # non-POSIX (no fcntl) or a filesystem where flock itself
+            # fails (NFS): degrade to the documented single-writer
+            # assumption instead of aborting the commit
             pass
         existing = _snapshots(d)
         seq = (existing[-1][0] + 1) if existing else 0

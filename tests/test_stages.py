@@ -825,3 +825,71 @@ def test_review_regressions_r3b(tmp_path):
     )
     out = LangId()(df)
     assert list(out["lang_pred"]) == ["zh", "ja", "ko"]
+
+
+# ---------------------------------------------------------------------------
+# uniqueness: distributed dup-heavy emission
+# ---------------------------------------------------------------------------
+def test_dup_heavy_distributed_emit_matches_reference(ray_session, monkeypatch):
+    """The in-bucket vectorized emitter (bulk_emit_violations) matches
+    the per-group reference emit_duplicate_violations on a dup-heavy
+    corpus (~35% duplicated rows, one hot key), through the REAL
+    multi-bucket exchange, and preserves the resume-identity guarantee
+    with prior-run docparts."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.uniqueness import (
+        duplicates_from_docparts,
+        emit_duplicate_violations,
+        project_doc_partition,
+    )
+
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "4096")  # force P > 1
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    dup_pool = [f"dup-{i}" for i in range(40)] + ["hot"] * 4
+    doc_ids = [
+        str(rng.choice(dup_pool)) if rng.random() < 0.35 else f"doc-{i}"
+        for i in range(n)
+    ]
+    parts = [f"p{i // 250:02d}" for i in range(n)]
+    t = pa.table({"doc_id": doc_ids, "partition_id": parts})
+
+    def docparts_of(table):
+        return rd.from_arrow(table).map_batches(
+            project_doc_partition, batch_format="pyarrow", batch_size=256
+        )
+
+    ds = docparts_of(t)
+    out = duplicates_from_docparts(ds).to_pandas()
+    assert len(out) > 0.25 * n  # genuinely dup-heavy
+
+    # reference: the per-group driver emitter over the same docparts
+    dp = ds.to_pandas()
+    totals = dp.groupby("doc_id")["cnt"].sum()
+    dups = dp[dp["doc_id"].isin(totals[totals > 1].index)]
+    ref = pd.concat(
+        [
+            emit_duplicate_violations(g)
+            for _, g in dups.groupby("doc_id", sort=True)
+        ],
+        ignore_index=True,
+    )
+    key = ["doc_id", "partition_id"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key, kind="mergesort").reset_index(drop=True),
+        ref.sort_values(key, kind="mergesort").reset_index(drop=True),
+    )
+
+    # resume identity: run1 (first half) + run2 (second half, with run1's
+    # docparts as prior state) together emit exactly the full run's rows
+    half = n // 2
+    t1, t2 = t.slice(0, half), t.slice(half)
+    v1 = duplicates_from_docparts(docparts_of(t1)).to_pandas()
+    v2 = duplicates_from_docparts(docparts_of(t2), docparts_of(t1)).to_pandas()
+    both = pd.concat([v1, v2], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        both.sort_values(key, kind="mergesort").reset_index(drop=True),
+        out.sort_values(key, kind="mergesort").reset_index(drop=True),
+    )
