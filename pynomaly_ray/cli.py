@@ -274,7 +274,12 @@ def main(argv=None) -> int:
     lo.add_argument("--vec-col", default="embedding")
     lo.add_argument("--n-neighbors", type=int, default=10)
     lo.add_argument("--extent", type=int, default=3)
-    lo.add_argument("--buckets", type=int, default=16)
+    lo.add_argument(
+        "--buckets",
+        type=int,
+        default=None,
+        help="LoOP bucket count (default: size-adaptive from input bytes)",
+    )
     lo.add_argument(
         "--lsh-planes",
         type=int,

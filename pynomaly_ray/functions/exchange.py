@@ -85,13 +85,54 @@ def _materialized(ds) -> tuple[list, int]:
     return mds.to_arrow_refs(), nbytes
 
 
+def _hash_key_column(col) -> np.ndarray:
+    """Stable uint64 row hash of one key column, CONSISTENT across
+    blocks regardless of per-block null presence.
+
+    The naive ``to_pandas()`` + hash_pandas_object is a trap: an int64
+    column widens to float64 in blocks that contain a null but stays
+    int64 in blocks that don't, so the same key value hashes into
+    different buckets depending on which block it rode in — silently
+    wrong exchanges on nullable keys.  Canonicalize first (ints/bools ->
+    null-filled int64, floats -> nan-filled float64), then XOR a
+    distinct mark onto the truly-null rows so null never collides with
+    the fill sentinel."""
+    import pyarrow.compute as _pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ty = arr.type
+    if pa.types.is_dictionary(ty):
+        arr = arr.cast(ty.value_type)
+        ty = arr.type
+    if pa.types.is_integer(ty) or pa.types.is_boolean(ty):
+        vals = _pc.fill_null(arr.cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        hv = pd.util.hash_pandas_object(
+            pd.Series(vals), index=False
+        ).to_numpy()
+    elif pa.types.is_floating(ty):
+        vals = np.nan_to_num(
+            arr.cast(pa.float64()).to_numpy(zero_copy_only=False), nan=0.0
+        )
+        hv = pd.util.hash_pandas_object(
+            pd.Series(vals), index=False
+        ).to_numpy()
+    else:
+        hv = pd.util.hash_pandas_object(
+            arr.to_pandas(), index=False
+        ).to_numpy()
+    if arr.null_count:
+        nulls = _pc.is_null(arr).to_numpy(zero_copy_only=False)
+        hv = hv ^ (nulls.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    return hv
+
+
 def _bucket_of(table: pa.Table, key_cols: Sequence[str], p: int) -> np.ndarray:
     """Stable uint64 hash of the key columns -> bucket in [0, p)."""
     h = np.zeros(table.num_rows, dtype=np.uint64)
     for c in key_cols:
-        ser = table[c].to_pandas()
-        hv = pd.util.hash_pandas_object(ser, index=False).to_numpy()
-        h = h * np.uint64(1000003) + hv
+        h = h * np.uint64(1000003) + _hash_key_column(table[c])
     return (h % np.uint64(p)).astype(np.int64)
 
 
@@ -263,11 +304,17 @@ def hash_anti_join(
     def _anti_bucket(n_left: int, *pieces: pa.Table) -> pa.Table:
         lt = pa.concat_tables(pieces[:n_left], promote_options="permissive")
         rt = pa.concat_tables(pieces[n_left:], promote_options="permissive")
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        if lt.num_rows == 0:
             return lt
+        if rt.num_rows == 0:
+            return lt.filter(_pc.is_valid(lt[on]))
         keys = _pc.unique(rt[on].combine_chunks())
-        ok = _pc.invert(
-            _pc.fill_null(_pc.is_in(lt[on], value_set=keys), True)
+        # drop null left keys explicitly (SQL NOT IN semantics): Arrow's
+        # is_in yields false — not null — for null inputs, so the
+        # fill_null idiom silently KEPT them
+        ok = _pc.and_(
+            _pc.is_valid(lt[on]),
+            _pc.invert(_pc.fill_null(_pc.is_in(lt[on], value_set=keys), True)),
         )
         return lt.filter(ok)
 
@@ -280,6 +327,57 @@ def hash_anti_join(
         for b in range(num_partitions)
     ]
     return ray.data.from_arrow_refs(merged)
+
+
+# Below this many right-side keys, shipping the whole key set into every
+# filter task is cheaper than exchanging the (fat) left side; above it
+# the broadcast itself becomes the bottleneck (~10^6 keys = ~tens of MB
+# re-shipped per task) and the partitioned anti-join takes over.  Same
+# switch write_validated_output uses for violating-id exclusion.
+_BROADCAST_ANTI_CAP_DEFAULT = 1_000_000
+
+
+def anti_membership(ds_left, ds_right, on: str, num_partitions: int | None = None):
+    """Size-adaptive anti-join: left rows whose ``on`` key does NOT
+    occur in the right side (null left keys dropped, matching
+    :func:`hash_anti_join`).
+
+    The right side is materialized first — it is a key column by
+    contract.  At or below the broadcast cap (``PNR_BROADCAST_ANTI_CAP``,
+    default 10^6 distinct keys) the deduplicated key set is shipped into
+    a zero-copy Arrow ``is_in`` filter, so the left side never
+    exchanges at all; above it, the key-partitioned
+    :func:`hash_anti_join` runs.  Both paths are row-identical
+    (forced-path test in tests/test_queries.py).
+    """
+    import pyarrow.compute as _pc
+
+    cap = int(
+        os.environ.get("PNR_BROADCAST_ANTI_CAP", _BROADCAST_ANTI_CAP_DEFAULT)
+    )
+    mds_right = ds_right.materialize()
+    if mds_right.count() > cap:
+        return hash_anti_join(ds_left, mds_right, on, num_partitions)
+    tables = ray.get(mds_right.to_arrow_refs())
+    keys = _pc.drop_null(
+        _pc.unique(
+            pa.concat_tables(tables, promote_options="permissive")[
+                on
+            ].combine_chunks()
+        )
+    )
+
+    def _keep_missing(t: pa.Table) -> pa.Table:
+        # null left keys dropped explicitly, matching hash_anti_join
+        ok = _pc.and_(
+            _pc.is_valid(t[on]),
+            _pc.invert(
+                _pc.fill_null(_pc.is_in(t[on], value_set=keys), True)
+            ),
+        )
+        return t.filter(ok)
+
+    return ds_left.map_batches(_keep_missing, batch_format="pyarrow")
 
 
 def asof_join(

@@ -188,11 +188,12 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_audio_features(sf_dir: str):
-    """Multimodal audio plumbing: fake media table -> actor-pool decode +
-    per-clip features (decode stubbed; see stages/multimodal.py)."""
-    from pynomaly_ray.stages.multimodal import AudioFeatures, make_fake_media_table
+    """Multimodal audio: deterministic REAL 16-bit PCM WAV payloads ->
+    actor-pool tier-3 numpy decode + per-clip features (genuine
+    bytes-to-PCM decode; see stages/multimodal.decode_wav)."""
+    from pynomaly_ray.stages.multimodal import AudioFeatures, make_wav_media_table
 
-    ds = rd.from_arrow(make_fake_media_table(48, seed=4))
+    ds = rd.from_arrow(make_wav_media_table(48, seed=4))
     feats = ds.map_batches(
         AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 2)
     ).to_pandas()
@@ -202,12 +203,12 @@ def q_audio_features(sf_dir: str):
 
 
 def q_image_features(sf_dir: str):
-    """Multimodal plumbing: deterministic fake media table -> actor-pool
-    decode + feature extraction (decode itself is stubbed; see
-    stages/multimodal.py)."""
-    from pynomaly_ray.stages.multimodal import ImageFeatures, make_fake_media_table
+    """Multimodal image: deterministic REAL uncompressed-BMP payloads ->
+    actor-pool tier-3 numpy decode + feature extraction (genuine
+    bytes-to-pixels decode; see stages/multimodal.decode_bmp)."""
+    from pynomaly_ray.stages.multimodal import ImageFeatures, make_bmp_media_table
 
-    ds = rd.from_arrow(make_fake_media_table(64))
+    ds = rd.from_arrow(make_bmp_media_table(64))
     feats = ds.map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 2)
     ).to_pandas()

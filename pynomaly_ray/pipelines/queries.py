@@ -198,14 +198,15 @@ ORDER BY l_orderkey
 # ---------------------------------------------------------------------------
 # Q: ref_membership — referential-integrity violations: events whose
 # user_id is not a customer key.  Customer is FACT-SCALED, so the check
-# runs as a key-partitioned hash_anti_join (each bucket probes its own
-# 1/P key share), not a broadcast key set that would re-ship SFx150k
-# keys into every task.  NULL user_ids are violations by definition and
-# can't ride a key-hash exchange — they split off in the scan and union
-# back in.
+# routes through anti_membership's size switch: below ~10^6 keys the
+# set broadcasts into a zero-copy is_in filter (no exchange of the fat
+# event side at all); above, the key-partitioned hash_anti_join runs
+# (each bucket probes its own 1/P key share).  NULL user_ids are
+# violations by definition and can't ride a key-hash exchange — they
+# split off in the scan and union back in.
 # ---------------------------------------------------------------------------
 def q_ref_membership(sf_dir: str):
-    from pynomaly_ray.functions.exchange import hash_anti_join
+    from pynomaly_ray.functions.exchange import anti_membership
 
     ds = _pq(sf_dir, "events", ["event_id", "user_id"])
     cust = _pq(sf_dir, "customer", ["c_custkey"]).map_batches(
@@ -217,7 +218,7 @@ def q_ref_membership(sf_dir: str):
     nonnull = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["user_id"])), batch_format="pyarrow"
     )
-    anti = hash_anti_join(nonnull, cust, "user_id")
+    anti = anti_membership(nonnull, cust, "user_id")
     out = _collect(
         anti.union(nulls),
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64())]),
@@ -937,10 +938,11 @@ ORDER BY vec_a, vec_b
 # schema).  Returns per-user violation counts to keep the result small.
 # ---------------------------------------------------------------------------
 def q_ref_membership_subset(sf_dir: str):
-    from pynomaly_ray.functions.exchange import hash_anti_join
+    from pynomaly_ray.functions.exchange import anti_membership
 
-    # the valid-key set is HALF of the fact-scaled customer table, so it
-    # flows through the partitioned anti-join like q_ref_membership
+    # the valid-key set is HALF of the fact-scaled customer table; the
+    # anti_membership size switch broadcasts it at sandbox scale and
+    # partitions it at 100x, like q_ref_membership
     valid = _pq(sf_dir, "customer", ["c_custkey"]).map_batches(
         lambda t: pa.table(
             {
@@ -958,7 +960,7 @@ def q_ref_membership_subset(sf_dir: str):
     nonnull = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["user_id"])), batch_format="pyarrow"
     )
-    bad = hash_anti_join(nonnull, valid, "user_id").union(nulls)
+    bad = anti_membership(nonnull, valid, "user_id").union(nulls)
 
     def count_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

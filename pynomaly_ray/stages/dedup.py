@@ -272,10 +272,29 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
+def _distinct_per_segment(
+    values: np.ndarray, seg: np.ndarray, n_seg: int
+) -> np.ndarray:
+    """Distinct-value count per segment, one lexsort — the vectorized
+    replacement for building a Python set per segment."""
+    order = np.lexsort((values, seg))
+    v, s = values[order], seg[order]
+    new = np.ones(len(v), dtype=bool)
+    new[1:] = (v[1:] != v[:-1]) | (s[1:] != s[:-1])
+    return np.bincount(s[new], minlength=n_seg)
+
+
 class _PairVerifier:
     """Actor-pool verify stage: per batch of (doc_a, doc_b, text_a,
-    text_b) candidate pairs, exact shingle Jaccard with a per-actor word
-    cache.  Runs wherever the pairs land — never on the driver."""
+    text_b) candidate pairs, exact shingle Jaccard.  Runs wherever the
+    pairs land — never on the driver.
+
+    Fully vectorized: one shingle pass over all pair texts, then
+    distinct counts via sorted-run boundaries (|A|, |B| per segment and
+    |A ∪ B| per pair; |A ∩ B| = |A| + |B| − |A ∪ B|) — no per-pair
+    Python sets, so the last Python loop in the dedup hot path is gone.
+    Bit-identical to set semantics over the same uint64 shingle hashes.
+    """
 
     def __init__(self, shingle_k: int = 5):
         self.k = shingle_k
@@ -286,14 +305,20 @@ class _PairVerifier:
         n = len(ta)
         jac = np.empty(n, dtype=np.float64)
         if n:
-            # one vectorized shingle pass over all pair texts
+            # one vectorized shingle pass over all pair texts: segments
+            # 0..n-1 are the A sides, n..2n-1 the B sides
             flat, soff = _batch_shingles(
                 [x or "" for x in ta] + [y or "" for y in tb], self.k
             )
-            for i in range(n):
-                a = set(flat[soff[i] : soff[i + 1]].tolist())
-                b = set(flat[soff[n + i] : soff[n + i + 1]].tolist())
-                jac[i] = len(a & b) / max(len(a | b), 1) if (a or b) else 1.0
+            cnt = np.diff(soff)
+            seg = np.repeat(np.arange(2 * n, dtype=np.int64), cnt)
+            d = _distinct_per_segment(flat, seg, 2 * n)
+            union = _distinct_per_segment(flat, seg % n, n)
+            inter = d[:n] + d[n:] - union
+            # both sides empty -> identical by convention (old set path)
+            jac = np.where(
+                union == 0, 1.0, inter / np.maximum(union, 1)
+            ).astype(np.float64)
         return pa.table(
             {
                 "doc_a": batch["doc_a"],

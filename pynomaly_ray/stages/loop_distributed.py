@@ -112,7 +112,7 @@ def distributed_loop_scores(
     bucket_col: str = "bucket",
     n_neighbors: int = 10,
     extent: int = 3,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     bucketer: Optional[Callable] = None,
 ):
     """LoOP scores for every row of a (large) Dataset of vectors.
@@ -123,6 +123,14 @@ def distributed_loop_scores(
     When None, rows are hash-bucketed by ``id_col`` — exact per-bucket
     LoOP with random buckets (useful as a parallel scoring baseline).
 
+    ``num_buckets`` defaults to size-adaptive: the exchange fan-out rule
+    (:func:`auto_num_partitions` over the materialized bytes — LoOP's
+    per-bucket O(rows^2) work argues for MORE buckets, never fewer, so
+    the memory-driven floor is safe), capped so an average bucket keeps
+    more than ``n_neighbors`` rows (below that a bucket has no real
+    neighborhood and scores degenerate toward 0).  Pass an explicit
+    count only to pin semantics (e.g. 1 = the reference's global fit).
+
     Returns a Dataset of (id_col, loop_score).
     """
     if bucketer is not None:
@@ -131,10 +139,22 @@ def distributed_loop_scores(
     else:
         key, label_col = [id_col], None
 
-    from pynomaly_ray.functions.exchange import _partitioned_refs
+    from pynomaly_ray.functions.exchange import (
+        _partitioned_refs,
+        auto_num_partitions,
+    )
 
-    p = num_buckets
-    cols = _partitioned_refs(ds.to_arrow_refs(), key, p)
+    mds = ds.materialize()
+    if num_buckets is None:
+        try:
+            nbytes = mds.size_bytes() or 0
+        except Exception:
+            nbytes = 0
+        max_p = max(1, mds.count() // (n_neighbors + 1))
+        p = max(1, min(auto_num_partitions(nbytes), max_p))
+    else:
+        p = num_buckets
+    cols = _partitioned_refs(mds.to_arrow_refs(), key, p)
     out = [
         _loop_bucket.remote(
             id_col,

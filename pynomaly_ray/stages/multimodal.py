@@ -49,15 +49,123 @@ def real_decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed (BI_RGB) 24/32-bit BMP ->
+    HWC uint8 RGB.  Handles bottom-up and top-down rows and 4-byte row
+    padding; drops the alpha channel of 32-bit payloads.  This is the
+    always-available tier-3 real decode path (no imaging library needed),
+    so the container exercises genuine bytes-to-pixels decode end-to-end
+    instead of only the deterministic fake."""
+    b = payload or b""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bits = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bits not in (24, 32) or width <= 0 or height == 0:
+        raise ValueError(
+            f"unsupported BMP (bits={bits}, compression={comp}): only "
+            "uncompressed 24/32-bit payloads decode without an imaging lib"
+        )
+    h = abs(height)
+    stride = ((bits * width + 31) // 32) * 4
+    if len(b) < off + stride * h:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(b, np.uint8, stride * h, off).reshape(h, stride)
+    ch = bits // 8
+    px = rows[:, : width * ch].reshape(h, width, ch)
+    if height > 0:  # bottom-up storage (the BMP default)
+        px = px[::-1]
+    return px[..., 2::-1].copy()  # BGR(A) -> RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HWC uint8 RGB -> minimal uncompressed 24-bit BMP bytes (fixture
+    builder for the tier-3 decode path; round-trips with decode_bmp)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[..., ::-1].reshape(h, w * 3)  # RGB -> BGR
+    data = rows[::-1].tobytes()  # bottom-up
+    header = (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return header + data
+
+
+def decode_wav(payload: bytes, sample_rate: int = 16000) -> np.ndarray:
+    """Stdlib+numpy decoder for RIFF/WAVE PCM -> mono float32 in [-1, 1]
+    (8/16/32-bit integer PCM; channels averaged).  The always-available
+    tier-3 real audio decode path."""
+    import io
+    import wave
+
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    with wave.open(io.BytesIO(b)) as w:
+        sw = w.getsampwidth()
+        nch = w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    if sw == 2:
+        pcm = np.frombuffer(frames, "<i2").astype(np.float32) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        pcm = (np.frombuffer(frames, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        pcm = np.frombuffer(frames, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1).astype(np.float32)
+    return pcm
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono float vector in [-1, 1] -> 16-bit PCM WAV bytes (fixture
+    builder; round-trips with decode_wav to 1/32767 quantization)."""
+    import io
+    import wave
+
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.rint(x * 32767.0).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def detect_image_decoder():
     """Probe for a real imaging library (PIL first, then cv2) and return
-    a decode callable matching the stage decoder signature, or None.
+    a decode callable matching the stage decoder signature; the final
+    tier is always available: pure-numpy :func:`decode_bmp` for
+    uncompressed BMP payloads, with non-BMP payloads falling through to
+    the deterministic fake (the documented container limitation for
+    compressed codecs).
 
     Runs once per actor at stage ``__init__`` — a production environment
-    with PIL/cv2 installed gets real decode with zero code change, while
-    this container falls back to the deterministic fake.  The requested
-    width/height kwargs are accepted for signature compatibility but a
-    real decode uses the payload's intrinsic dimensions.
+    with PIL/cv2 installed gets real decode with zero code change.  The
+    requested width/height kwargs are accepted for signature
+    compatibility but a real decode uses the payload's intrinsic
+    dimensions.
     """
     try:
         import io
@@ -86,13 +194,23 @@ def detect_image_decoder():
 
         return _cv2_decode
     except ImportError:
-        return None
+        pass
+
+    def _numpy_decode(payload: bytes, width: int = 8, height: int = 8):
+        b = payload or b""
+        if b[:2] == b"BM":
+            return decode_bmp(b)
+        return fake_decode(b, width=width, height=height)
+
+    return _numpy_decode
 
 
 def detect_audio_decoder():
     """Probe for a real audio library (soundfile) and return a decode
-    callable matching the stage decoder signature, or None (see
-    :func:`detect_image_decoder`)."""
+    callable matching the stage decoder signature; the final tier is
+    always available: stdlib :func:`decode_wav` for RIFF/WAVE PCM
+    payloads, non-WAV payloads falling through to the deterministic fake
+    (see :func:`detect_image_decoder`)."""
     try:
         import io
 
@@ -104,7 +222,15 @@ def detect_audio_decoder():
 
         return _sf_decode
     except ImportError:
-        return None
+        pass
+
+    def _numpy_audio_decode(payload: bytes, sample_rate: int = 16000):
+        b = payload or b""
+        if b[:4] == b"RIFF":
+            return decode_wav(b, sample_rate=sample_rate)
+        return fake_decode_audio(b, sample_rate=sample_rate)
+
+    return _numpy_audio_decode
 
 
 def fake_decode(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
@@ -291,6 +417,71 @@ class FrameSampler:
                 "frame_index": pa.array(frames, pa.int64()),
             }
         )
+
+
+def make_bmp_media_table(n: int = 32, seed: int = 3, size: int = 8) -> pa.Table:
+    """Media fixture whose payloads are GENUINE uncompressed 24-bit BMP
+    bytes (deterministic pixels), so the tier-3 numpy decoder exercises
+    a real bytes-to-pixels decode end-to-end in this container."""
+    rng = np.random.RandomState(seed)
+    payloads = [
+        encode_bmp(rng.randint(0, 256, (size, size, 3)).astype(np.uint8))
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array([f"m{i:05d}" for i in range(n)], pa.string()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(
+                [
+                    {
+                        "width": size,
+                        "height": size,
+                        "sample_rate": 0,
+                        "codec": "bmp",
+                    }
+                    for _ in range(n)
+                ],
+                MEDIA_SCHEMA.field("meta").type,
+            ),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def make_wav_media_table(
+    n: int = 32, seed: int = 3, n_samples: int = 256, sample_rate: int = 8000
+) -> pa.Table:
+    """Media fixture whose payloads are GENUINE 16-bit PCM WAV bytes
+    (deterministic sinusoid + noise), for the tier-3 WAV decode path."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n_samples)
+    payloads = []
+    for i in range(n):
+        freq = 0.01 + 0.02 * (i % 7)
+        pcm = 0.5 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.randn(n_samples)
+        payloads.append(encode_wav(pcm, sample_rate))
+    return pa.table(
+        {
+            "media_id": pa.array([f"a{i:05d}" for i in range(n)], pa.string()),
+            "media_type": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(
+                [
+                    {
+                        "width": 0,
+                        "height": 0,
+                        "sample_rate": sample_rate,
+                        "codec": "pcm16",
+                    }
+                    for _ in range(n)
+                ],
+                MEDIA_SCHEMA.field("meta").type,
+            ),
+        },
+        schema=MEDIA_SCHEMA,
+    )
 
 
 def make_fake_media_table(n: int = 32, seed: int = 3) -> pa.Table:

@@ -81,6 +81,46 @@ class CosineTopK:
         )
 
 
+def _merge_topk(k: int):
+    """Per-bucket exact top-k reducer: every query's survivor rows are
+    key-co-located, so head(k) per bucket IS the global top-k."""
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["query_id", "score", "vec_id"], ascending=[True, False, True]
+            )
+            .groupby("query_id", sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    return merge
+
+
+def _present_topk(survivors_ds, k: int) -> pd.DataFrame:
+    """Survivors -> exchange-merged top-k -> presentation-ordered frame.
+
+    The merge runs as a hash_aggregate on query_id, so the driver only
+    ever sees n_queries*k final rows — many-query workloads stay bounded
+    where a driver concat of n_batches*Q*k survivor rows would not.
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    df = hash_aggregate(survivors_ds, ["query_id"], _merge_topk(k)).to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype=np.int64),
+                "vec_id": pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.float64),
+            }
+        )
+    return df.sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
 def cosine_topk(ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     """Global cosine top-k per query over an embeddings Dataset."""
     import ray
@@ -93,14 +133,7 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
         batch_size=8192,
         concurrency=(1, 4),
     )
-    df = local.to_pandas()  # n_batches * n_queries * k rows — tiny
-    out = (
-        df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return out
+    return _present_topk(local, k)
 
 
 def _kmeans_spherical(
@@ -221,15 +254,7 @@ def cosine_topk_ivf(
         )
 
     local = ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
-    df = local.to_pandas()
-    if df.empty:
-        return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
-    return (
-        df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
-    )
+    return _present_topk(local, k)
 
 
 class HyperplaneLSH:

@@ -315,3 +315,42 @@ def test_distributed_loop_lsh_flags_outliers(ray_session):
     )
     top = set(scored.head(2).vec_id)
     assert top == {7, 123}
+
+
+def test_distributed_loop_size_adaptive_buckets(ray_session, monkeypatch):
+    """num_buckets=None derives the fan-out from the exchanged bytes
+    (exchange.auto_num_partitions) with an n_neighbors+1 rows-per-bucket
+    floor: a tiny PNR_BUCKET_TARGET_BYTES forces multiple buckets, every
+    row is still scored exactly once, and the floor keeps buckets from
+    shrinking below a usable neighborhood."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.loop_distributed import distributed_loop_scores
+
+    rng = np.random.RandomState(5)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.randn(n, 8)),
+        }
+    )
+
+    # default target (64MB) on a ~40KB input -> memory term says 1 bucket
+    scored_1 = distributed_loop_scores(
+        rd.from_pandas(df), n_neighbors=10, extent=3
+    ).materialize()
+
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "4096")
+    scored_n = distributed_loop_scores(
+        rd.from_pandas(df), n_neighbors=10, extent=3
+    ).materialize()
+    assert scored_n.num_blocks() > scored_1.num_blocks()
+    # rows-per-bucket floor: never more than n // (n_neighbors + 1) buckets
+    assert scored_n.num_blocks() <= n // 11
+
+    a = scored_1.to_pandas()
+    b = scored_n.to_pandas()
+    assert sorted(a.vec_id) == list(range(n))
+    assert sorted(b.vec_id) == list(range(n))
+    assert ((b.loop_score >= 0) & (b.loop_score <= 1)).all()

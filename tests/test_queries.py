@@ -320,3 +320,146 @@ def test_dim_lookup_guards_fact_tables():
     big = pa.table({"k": np.arange(200_000), "v": np.arange(200_000)})
     with pytest.raises(ValueError, match="broadcast-dimension limit"):
         dim_lookup(big, "k", "v")
+
+
+def test_anti_membership_both_paths_identical(ray_session, monkeypatch):
+    """anti_membership's broadcast and partitioned paths return the same
+    rows (incl. null-key drop semantics); the switch is forced with
+    PNR_BROADCAST_ANTI_CAP."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import anti_membership
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "k": pd.array(
+                [int(v) if v >= 0 else None for v in rng.randint(-1, 50, 2000)],
+                dtype="Int64",
+            ),
+            "x": np.arange(2000, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame({"k": pd.array(np.arange(0, 50, 2), dtype="Int64")})
+
+    def run():
+        return (
+            anti_membership(rd.from_pandas(left), rd.from_pandas(right), "k")
+            .to_pandas()
+            .sort_values("x")
+            .reset_index(drop=True)
+        )
+
+    monkeypatch.setenv("PNR_BROADCAST_ANTI_CAP", "1000000")
+    broadcast = run()
+    monkeypatch.setenv("PNR_BROADCAST_ANTI_CAP", "0")
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "2048")  # multi-P too
+    partitioned = run()
+    pd.testing.assert_frame_equal(broadcast, partitioned)
+
+    expect = left[left["k"].notna() & (left["k"] % 2 == 1)]
+    assert list(broadcast["x"]) == list(expect["x"])
+
+
+def test_exchange_nullable_key_consistent_hashing(ray_session, monkeypatch):
+    """A key value must land in the same bucket whether its block
+    contains nulls or not (the int->float to_pandas widening trap):
+    hash_aggregate over two blocks — one with nulls, one without — must
+    produce exactly one row per key."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "1024")  # force multi-P
+    a = pa.table(
+        {
+            "k": pa.array(list(range(100)) + [None] * 5, pa.int64()),
+            "v": pa.array([1] * 105, pa.int64()),
+        }
+    )
+    b = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "v": pa.array([1] * 100, pa.int64()),
+        }
+    )
+    ds = rd.from_arrow([a, b])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("k", sort=False, dropna=False)["v"]
+            .sum()
+            .reset_index(name="n")
+        )
+
+    out = hash_aggregate(ds, ["k"], merge).to_pandas()
+    nn = out[out["k"].notna()]
+    assert len(nn) == 100          # one row per key, never split
+    assert (nn["n"] == 2).all()    # both blocks' copies merged
+    assert out[out["k"].isna()]["n"].sum() == 5
+
+
+def test_hash_join_hot_key_bounded_by_preaggregation(ray_session):
+    """hash_join's documented skew prescription (exchange.py docstring):
+    pre-aggregate the skewed side per key BEFORE joining, so a 50%-hot
+    join key reaches its bucket as <= one partial row per upstream block
+    and the in-bucket merge_fn collapses the join output before it
+    materializes.  This pins both halves: bounded bucket input AND exact
+    aggregated output under heavy skew."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import hash_join
+
+    n_blocks = 16
+    rng = np.random.RandomState(1)
+    n = 32000
+    keys = np.where(rng.rand(n) < 0.5, 0, rng.randint(1, 3000, n)).astype(
+        np.int64
+    )
+    fact = pd.DataFrame({"k": keys, "v": np.ones(n, dtype=np.int64)})
+    dim = pd.DataFrame(
+        {"k": np.arange(3000, dtype=np.int64), "w": np.arange(3000) * 10}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("k", sort=False)["v"]
+            .sum()
+            .reset_index(name="cnt")
+        )
+        g["n_partials"] = 1
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fact_partials = (
+        rd.from_pandas(fact)
+        .repartition(n_blocks)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+
+    def merge(joined: pd.DataFrame) -> pd.DataFrame:
+        # in-bucket aggregation: the per-key join output never leaves
+        # the bucket task unaggregated
+        return (
+            joined.groupby("k", sort=False)
+            .agg(
+                cnt=("cnt", "sum"),
+                n_partials=("n_partials", "sum"),
+                w=("w", "first"),
+            )
+            .reset_index()
+        )
+
+    out = hash_join(
+        fact_partials,
+        rd.from_pandas(dim),
+        ["k"],
+        merge_fn=merge,
+        num_partitions=4,
+    ).to_pandas()
+    hot = out[out["k"] == 0].iloc[0]
+    assert int(hot["cnt"]) == int((fact["k"] == 0).sum())
+    assert int(hot["n_partials"]) <= n_blocks  # the skew bound held
+    assert int(hot["w"]) == 0
+    assert int(out["cnt"].sum()) == n
+    assert (out.merge(dim, on="k")["w_x"] == out.merge(dim, on="k")["w_y"]).all()

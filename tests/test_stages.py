@@ -577,10 +577,17 @@ def test_media_decoder_autodetect(monkeypatch):
 
     from pynomaly_ray.stages import multimodal as mm
 
-    assert mm.detect_image_decoder() is None  # no PIL/cv2 here
-    assert mm.detect_audio_decoder() is None  # no soundfile here
-    assert mm.ImageFeatures().decode is mm.fake_decode
-    assert mm.AudioFeatures().decode is mm.fake_decode_audio
+    # no PIL/cv2/soundfile here -> tier-3 numpy sniffing decoders: real
+    # decode for BMP/WAV payloads, fake fallback for anything else
+    img_dec = mm.detect_image_decoder()
+    aud_dec = mm.detect_audio_decoder()
+    raw = b"\x01\x02not-a-media-payload"
+    assert np.array_equal(img_dec(raw), mm.fake_decode(raw))
+    assert np.array_equal(aud_dec(raw), mm.fake_decode_audio(raw))
+    bmp = mm.encode_bmp(np.full((4, 4, 3), 9, dtype=np.uint8))
+    assert (img_dec(bmp) == 9).all()
+    wav = mm.encode_wav(np.zeros(16), 8000)
+    assert len(aud_dec(wav)) == 16
 
     class _FakeImg:
         def convert(self, mode):
@@ -893,3 +900,115 @@ def test_dup_heavy_distributed_emit_matches_reference(ray_session, monkeypatch):
         both.sort_values(key, kind="mergesort").reset_index(drop=True),
         out.sort_values(key, kind="mergesort").reset_index(drop=True),
     )
+
+
+def test_pair_verifier_matches_scalar_jaccard():
+    """The vectorized _PairVerifier (sorted-run distinct counts) is
+    bit-identical to the per-pair set-based ngram_jaccard, including the
+    empty/empty -> 1.0 convention and empty-vs-text -> 0.0."""
+    from pynomaly_ray.stages.dedup import _PairVerifier, ngram_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    pairs = [
+        (base, base),
+        (base, base.replace("dog", "cat")),
+        (base, "completely different words entirely here now today ok"),
+        ("", ""),
+        (base, ""),
+        ("", base),
+        ("one two three four five", "one two three four five six seven"),
+    ]
+    batch = pa.table(
+        {
+            "doc_a": pa.array([f"a{i}" for i in range(len(pairs))]),
+            "doc_b": pa.array([f"b{i}" for i in range(len(pairs))]),
+            "text_a": pa.array([p[0] for p in pairs]),
+            "text_b": pa.array([p[1] for p in pairs]),
+        }
+    )
+    out = _PairVerifier(shingle_k=3)(batch)
+    got = out["jaccard"].to_numpy()
+    expect = np.array([ngram_jaccard(a, b, 3) for a, b in pairs])
+    assert np.array_equal(got, expect)
+
+
+def test_bmp_roundtrip_and_real_decode_features(ray_session):
+    """encode_bmp -> decode_bmp is bit-exact (incl. non-multiple-of-4
+    widths that need row padding and top-down storage), and the
+    ImageFeatures stage over a real-BMP media table computes features of
+    the GENUINELY decoded pixels."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    for h, w in [(8, 8), (5, 3), (1, 1), (4, 7)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(img)), img)
+
+    # top-down BMP (negative height): flip biHeight by hand
+    img = rng.randint(0, 256, (4, 4, 3)).astype(np.uint8)
+    b = bytearray(mm.encode_bmp(img[::-1]))  # encoded bottom-up of flipped
+    b[22:26] = (-4).to_bytes(4, "little", signed=True)
+    assert np.array_equal(mm.decode_bmp(bytes(b)), img[::-1][::-1])
+
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"BM truncated")
+
+    tbl = mm.make_bmp_media_table(6, seed=2, size=8)
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            mm.ImageFeatures,
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    # oracle: decode the payloads directly
+    for i in range(6):
+        px = mm.decode_bmp(tbl["payload"][i].as_py()).astype(np.float64)
+        assert out.loc[i, "mean_r"] == pytest.approx(px[..., 0].mean())
+        assert out.loc[i, "brightness"] == pytest.approx(px.mean())
+
+
+def test_wav_roundtrip_and_real_decode_features(ray_session):
+    """encode_wav -> decode_wav round-trips to 16-bit quantization; the
+    AudioFeatures stage over a real-WAV media table reproduces RMS and
+    duration of the genuinely decoded PCM."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages import multimodal as mm
+
+    t = np.arange(400)
+    pcm = 0.7 * np.sin(2 * np.pi * 0.013 * t)
+    back = mm.decode_wav(mm.encode_wav(pcm, 8000))
+    assert len(back) == 400
+    # half-LSB rounding + the standard 32767-encode/32768-decode scale
+    assert np.abs(back - pcm).max() < 2.0 / 32767
+
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"not riff data....")
+
+    tbl = mm.make_wav_media_table(5, seed=6, n_samples=200, sample_rate=8000)
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            mm.AudioFeatures,
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(5):
+        dec = mm.decode_wav(tbl["payload"][i].as_py()).astype(np.float64)
+        assert out.loc[i, "duration_s"] == pytest.approx(len(dec) / 8000)
+        assert out.loc[i, "rms"] == pytest.approx(
+            float(np.sqrt(np.mean(dec**2)))
+        )
