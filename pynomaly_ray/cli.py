@@ -147,21 +147,37 @@ def cmd_dedup(args) -> int:
             "duplicate_rows": int((df["copies"] - 1).sum()),
         }
     elif args.method == "minhash":
-        from pynomaly_ray.stages.dedup import minhash_lsh_duplicates
+        from pynomaly_ray.stages.dedup import (
+            minhash_lsh_duplicates,
+            minhash_lsh_duplicates_incremental,
+        )
 
         # distributed sink: verified pairs are filtered in the map tasks
         # and written as partitioned parquet without ever forming a
         # driver-side DataFrame (materialize once -> write + count share
         # the same executed blocks)
-        pairs_ds = minhash_lsh_duplicates(
-            ds,
+        kw = dict(
             n_perm=args.n_perm,
             n_bands=args.n_bands,
             jaccard_threshold=args.threshold,
             as_dataset=True,
-        ).materialize()
-        pairs_ds.write_parquet(_fresh("pairs"))
+        )
+        if getattr(args, "state_dir", None):
+            pairs_ds = minhash_lsh_duplicates_incremental(
+                ds, args.state_dir, args.run_id, **kw
+            )
+            # one pair dir per run: the union over runs is the full pair
+            # set (each run emits only pairs touching its new docs)
+            pairs_ds.write_parquet(
+                _fresh(os.path.join("pairs", args.run_id))
+            )
+        else:
+            pairs_ds = minhash_lsh_duplicates(ds, **kw).materialize()
+            pairs_ds.write_parquet(_fresh("pairs"))
         summary = {"method": "minhash", "near_dup_pairs": int(pairs_ds.count())}
+        if getattr(args, "state_dir", None):
+            summary["state_dir"] = args.state_dir
+            summary["run_id"] = args.run_id
     else:  # simhash
         from pynomaly_ray.stages.dedup import SimHasher
 
@@ -262,6 +278,18 @@ def main(argv=None) -> int:
     d.add_argument("--n-perm", type=int, default=64)
     d.add_argument("--n-bands", type=int, default=16)
     d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument(
+        "--state-dir",
+        default=None,
+        help="minhash only: persist per-run band tables here and dedup "
+        "incrementally across runs (only docs unseen by committed prior "
+        "runs are re-hashed; only pairs touching a new doc are emitted)",
+    )
+    d.add_argument(
+        "--run-id",
+        default="r0",
+        help="incremental-state run id (with --state-dir)",
+    )
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_dedup)
 

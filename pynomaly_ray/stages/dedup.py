@@ -33,6 +33,7 @@ from itertools import chain
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
@@ -371,6 +372,19 @@ def minhash_lsh_duplicates(
         ["band_id", "band_hash"],
         bucket_candidate_pairs,
     )
+    return _verify_candidate_pairs(
+        cands, docs_ds, shingle_k, jaccard_threshold, as_dataset
+    )
+
+
+def _verify_candidate_pairs(
+    cands, docs_ds, shingle_k: int, jaccard_threshold: float, as_dataset: bool
+):
+    """Shared tail of the LSH pipelines: hash-join both sides' texts
+    onto the candidate pairs (docs never collected to the driver) and
+    exact-verify in map tasks."""
+    from pynomaly_ray.functions.exchange import hash_join
+
     def _rename(col_id: str, col_text: str):
         def _f(t: pa.Table) -> pa.Table:
             return pa.table({col_id: t["doc_id"], col_text: t["text"]})
@@ -406,6 +420,138 @@ def minhash_lsh_duplicates(
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
     out = out[out["jaccard"] >= jaccard_threshold]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def bucket_candidate_pairs_new_only(df: pd.DataFrame) -> pd.DataFrame:
+    """:func:`bucket_candidate_pairs` over a band table carrying
+    ``is_prior``, emitting only pairs that involve at least one NEW doc
+    (``is_prior == 0``).  The cross-run incremental rule: MinHash bands
+    are deterministic, so two PRIOR docs colliding in this run's buckets
+    also collided in the run that introduced the younger of them — their
+    pair was already emitted then and is suppressed here."""
+    pairs = bucket_candidate_pairs(df)
+    if not len(pairs):
+        return pairs
+    prior_of = df.drop_duplicates("doc_id").set_index("doc_id")["is_prior"]
+    both_prior = (prior_of.reindex(pairs["doc_a"]).to_numpy() == 1) & (
+        prior_of.reindex(pairs["doc_b"]).to_numpy() == 1
+    )
+    return pairs[~both_prior].reset_index(drop=True)
+
+
+def _committed_band_dirs(state_dir: str, run_id: str) -> list[str]:
+    """Band-table dirs of COMMITTED prior runs (marker written after the
+    run's pairs are fully computed — a crashed run's bands must not
+    suppress re-emission of pairs it never delivered)."""
+    import os
+
+    root = os.path.join(state_dir, "bands")
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d != run_id
+        and os.path.isdir(os.path.join(root, d))
+        and os.path.exists(os.path.join(root, ".commit-" + d))
+    ]
+
+
+def minhash_lsh_duplicates_incremental(
+    docs_ds,
+    state_dir: str,
+    run_id: str,
+    *,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    as_dataset: bool = False,
+):
+    """Cross-run incremental MinHash-LSH near-dup detection.
+
+    Each run persists its (doc_id, band_id, band_hash) band table under
+    ``state_dir/bands/<run_id>/`` (parquet, committed via a marker file
+    once the run's pairs are delivered).  A later run over the
+    accumulated corpus:
+
+    - anti-joins doc_ids against prior runs' band tables, so only docs
+      UNSEEN by any committed run are shingled/MinHashed (the expensive
+      kernel runs once per doc across the corpus lifetime);
+    - generates candidates from the union of new and prior bands but
+      emits only pairs touching a new doc (prior-prior pairs were
+      already reported — see :func:`bucket_candidate_pairs_new_only`);
+    - verifies exactly as the one-shot pipeline, hash-joining texts from
+      ``docs_ds`` (which must therefore contain the full accumulated
+      corpus — the crawl-accumulation layout).
+
+    The union of all runs' pair outputs links every near-dup to a
+    representative, the same guarantee the one-shot star-capped pipeline
+    gives.  Retrying a crashed ``run_id`` is idempotent: its band dir is
+    cleared and rewritten, and uncommitted dirs are never trusted.
+    """
+    import os
+    import shutil
+
+    from pynomaly_ray.functions.exchange import anti_membership, hash_aggregate
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    def _tag(val: int):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "is_prior", pa.array(np.full(t.num_rows, val, dtype=np.int64))
+            )
+
+        return _f
+
+    prior_dirs = _committed_band_dirs(state_dir, run_id)
+    # a list of DIRECTORIES doesn't ride read_parquet; expand to files
+    prior_files = [
+        os.path.join(d, f)
+        for d in prior_dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    new_docs = docs_ds
+    prior_bands = None
+    if prior_files:
+        prior_bands = read_parquet_clean(prior_files)
+        # one row per (doc, band): band_id == 0 projects to one row/doc
+        prior_ids = prior_bands.map_batches(
+            lambda t: t.filter(pc.equal(t["band_id"], 0)).select(["doc_id"]),
+            batch_format="pyarrow",
+        )
+        new_docs = anti_membership(docs_ds, prior_ids, "doc_id")
+
+    sigs = new_docs.map_batches(
+        MinHasher(n_perm=n_perm, shingle_k=shingle_k), batch_format="pandas"
+    )
+    new_bands = sigs.map_batches(explode_bands(n_bands), batch_format="pandas")
+
+    band_dir = os.path.join(state_dir, "bands", run_id)
+    shutil.rmtree(band_dir, ignore_errors=True)  # idempotent retry
+    os.makedirs(os.path.dirname(band_dir), exist_ok=True)
+    new_bands = new_bands.materialize()  # consumed twice: sink + candidates
+    new_bands.write_parquet(band_dir)
+
+    union_bands = new_bands.map_batches(_tag(0), batch_format="pyarrow")
+    if prior_bands is not None:
+        union_bands = union_bands.union(
+            prior_bands.map_batches(_tag(1), batch_format="pyarrow")
+        )
+    cands = hash_aggregate(
+        union_bands, ["band_id", "band_hash"], bucket_candidate_pairs_new_only
+    )
+    out = _verify_candidate_pairs(
+        cands, docs_ds, shingle_k, jaccard_threshold, as_dataset
+    )
+    if as_dataset:
+        out = out.materialize()  # pairs delivered before the commit marker
+    with open(
+        os.path.join(state_dir, "bands", ".commit-" + run_id), "w"
+    ) as f:
+        f.write("committed\n")
+    return out
 
 
 class SimHasher:

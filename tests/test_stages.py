@@ -1012,3 +1012,137 @@ def test_wav_roundtrip_and_real_decode_features(ray_session):
         assert out.loc[i, "rms"] == pytest.approx(
             float(np.sqrt(np.mean(dec**2)))
         )
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-run minhash dedup
+# ---------------------------------------------------------------------------
+def test_minhash_incremental_cross_run(ray_session, tmp_path):
+    """Cross-run incremental LSH: run2 over the accumulated corpus finds
+    planted dups that SPAN runs and dups WITHIN its new docs, never
+    re-emits run1's pairs, skips re-hashing run1's docs, and retrying a
+    run (or distrusting an uncommitted one) stays correct."""
+    import os
+
+    import ray.data as rd
+
+    from pynomaly_ray.stages.dedup import (
+        minhash_lsh_duplicates,
+        minhash_lsh_duplicates_incremental,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the fence and the birds sing in the morning light of summer"
+    )
+    other = (
+        "completely different content about machine learning systems and "
+        "distributed data processing at large scale with ray and arrow"
+    )
+    run1_docs = pd.DataFrame(
+        {
+            "doc_id": ["a1", "a2", "a3"],
+            "text": [base, base.replace("summer", "winter"), other],
+        }
+    )
+    run2_new = pd.DataFrame(
+        {
+            "doc_id": ["b1", "b2", "b3"],
+            "text": [
+                base.replace("morning", "evening"),  # near-dup of a1 (cross-run)
+                other + " with ray data pipelines",   # near-dup of b/other? no:
+                other + " with ray data pipelines!",  # near-dup of b2 (within run2)
+            ],
+        }
+    )
+    full = pd.concat([run1_docs, run2_new], ignore_index=True)
+    state = str(tmp_path / "state")
+
+    kw = dict(n_perm=64, n_bands=16, jaccard_threshold=0.65)
+    p1 = minhash_lsh_duplicates_incremental(
+        rd.from_pandas(run1_docs), state, "run1", **kw
+    )
+    got1 = set(zip(p1.doc_a, p1.doc_b))
+    assert ("a1", "a2") in got1
+
+    p2 = minhash_lsh_duplicates_incremental(
+        rd.from_pandas(full), state, "run2", **kw
+    )
+    got2 = set(zip(p2.doc_a, p2.doc_b))
+    assert ("a1", "a2") not in got2          # prior-prior suppressed
+    assert ("a1", "b1") in got2 or ("a2", "b1") in got2  # spans runs
+    assert ("b2", "b3") in got2              # within the new docs
+    # band state: run2 banded ONLY the new docs
+    import pyarrow.parquet as _pq
+
+    b2 = _pq.read_table(os.path.join(state, "bands", "run2")).to_pandas()
+    assert set(b2["doc_id"]) == {"b1", "b2", "b3"}
+
+    # union of runs covers everything the one-shot pipeline verifies
+    oneshot = minhash_lsh_duplicates(rd.from_pandas(full), **kw)
+    assert set(zip(oneshot.doc_a, oneshot.doc_b)) <= (got1 | got2)
+
+    # retry of run2 is idempotent
+    p2b = minhash_lsh_duplicates_incremental(
+        rd.from_pandas(full), state, "run2", **kw
+    )
+    assert set(zip(p2b.doc_a, p2b.doc_b)) == got2
+
+    # an UNCOMMITTED run3 (marker removed) must not suppress anything:
+    # run4 re-emits run3-would-have-owned pairs
+    p3 = minhash_lsh_duplicates_incremental(
+        rd.from_pandas(full), state, "run3", **kw
+    )
+    assert set(zip(p3.doc_a, p3.doc_b)) == set()  # no new docs -> no pairs
+    os.remove(os.path.join(state, "bands", ".commit-run3"))
+    more = pd.concat(
+        [full, pd.DataFrame({"doc_id": ["c1"], "text": [base]})],
+        ignore_index=True,
+    )
+    p4 = minhash_lsh_duplicates_incremental(
+        rd.from_pandas(more), state, "run4", **kw
+    )
+    got4 = set(zip(p4.doc_a, p4.doc_b))
+    assert any("c1" in pair for pair in got4)  # the new exact dup surfaces
+
+
+def test_cli_dedup_minhash_incremental_state(ray_session, tmp_path):
+    """CLI --state-dir: two runs over a growing corpus write per-run
+    pair dirs whose union holds the cross-run planted dup, band state
+    accumulates per run, and re-running a run_id is idempotent."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from pynomaly_ray.cli import main
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the fence and the birds sing in the morning light of summer"
+    )
+    v1 = pd.DataFrame({"doc_id": ["a1", "a2"], "text": [base, "unrelated words " * 9]})
+    v2 = pd.concat(
+        [v1, pd.DataFrame({"doc_id": ["b1"], "text": [base]})],
+        ignore_index=True,
+    )
+    corpus1 = str(tmp_path / "c1.parquet")
+    corpus2 = str(tmp_path / "c2.parquet")
+    _pq.write_table(pa.Table.from_pandas(v1, preserve_index=False), corpus1)
+    _pq.write_table(pa.Table.from_pandas(v2, preserve_index=False), corpus2)
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+
+    args = ["--method", "minhash", "--threshold", "0.8", "--state-dir", state]
+    assert main(["dedup", "--input", corpus1, "--out", out, "--run-id", "r1"] + args) == 0
+    assert main(["dedup", "--input", corpus2, "--out", out, "--run-id", "r2"] + args) == 0
+
+    p2 = _pq.read_table(os.path.join(out, "pairs", "r2")).to_pandas()
+    assert {("a1", "b1")} <= set(zip(p2.doc_a, p2.doc_b))
+    assert os.path.exists(os.path.join(state, "bands", ".commit-r1"))
+    assert os.path.exists(os.path.join(state, "bands", ".commit-r2"))
+
+    # idempotent retry of r2
+    assert main(["dedup", "--input", corpus2, "--out", out, "--run-id", "r2"] + args) == 0
+    p2b = _pq.read_table(os.path.join(out, "pairs", "r2")).to_pandas()
+    assert set(zip(p2b.doc_a, p2b.doc_b)) == set(zip(p2.doc_a, p2.doc_b))
