@@ -163,14 +163,21 @@ def cmd_dedup(args) -> int:
             as_dataset=True,
         )
         if getattr(args, "state_dir", None):
+            from pynomaly_ray.stages.dedup import commit_minhash_state
+
             pairs_ds = minhash_lsh_duplicates_incremental(
-                ds, args.state_dir, args.run_id, **kw
+                ds, args.state_dir, args.run_id, commit=False, **kw
             )
             # one pair dir per run: the union over runs is the full pair
-            # set (each run emits only pairs touching its new docs)
+            # set (each run emits only pairs touching its new docs).
+            # Commit the band state only AFTER the durable sink write —
+            # a crash in between must leave the run untrusted so a retry
+            # re-emits its pairs.
+            pairs_ds = pairs_ds.materialize()
             pairs_ds.write_parquet(
                 _fresh(os.path.join("pairs", args.run_id))
             )
+            commit_minhash_state(args.state_dir, args.run_id)
         else:
             pairs_ds = minhash_lsh_duplicates(ds, **kw).materialize()
             pairs_ds.write_parquet(_fresh("pairs"))

@@ -342,11 +342,13 @@ def anti_membership(ds_left, ds_right, on: str, num_partitions: int | None = Non
     occur in the right side (null left keys dropped, matching
     :func:`hash_anti_join`).
 
-    The right side is materialized first — it is a key column by
-    contract.  At or below the broadcast cap (``PNR_BROADCAST_ANTI_CAP``,
-    default 10^6 distinct keys) the deduplicated key set is shipped into
-    a zero-copy Arrow ``is_in`` filter, so the left side never
-    exchanges at all; above it, the key-partitioned
+    The right side is deduplicated per block (cheap, vectorized) and
+    materialized — it is a key column by contract.  At or below the
+    broadcast cap (``PNR_BROADCAST_ANTI_CAP``, default 10^6 keys after
+    the per-block dedup — a dup-heavy id stream collapses toward its
+    distinct count before the switch decides) the deduplicated key set
+    is shipped into a zero-copy Arrow ``is_in`` filter, so the left
+    side never exchanges at all; above it, the key-partitioned
     :func:`hash_anti_join` runs.  Both paths are row-identical
     (forced-path test in tests/test_queries.py).
     """
@@ -355,7 +357,13 @@ def anti_membership(ds_left, ds_right, on: str, num_partitions: int | None = Non
     cap = int(
         os.environ.get("PNR_BROADCAST_ANTI_CAP", _BROADCAST_ANTI_CAP_DEFAULT)
     )
-    mds_right = ds_right.materialize()
+
+    def _block_unique(t: pa.Table) -> pa.Table:
+        return pa.table({on: _pc.unique(t[on].combine_chunks())})
+
+    mds_right = ds_right.map_batches(
+        _block_unique, batch_format="pyarrow"
+    ).materialize()
     if mds_right.count() > cap:
         return hash_anti_join(ds_left, mds_right, on, num_partitions)
     tables = ray.get(mds_right.to_arrow_refs())

@@ -93,6 +93,68 @@ def q_minhash_dedup(sf_dir: str):
     return pairs
 
 
+def q_minhash_dedup_incremental(sf_dir: str):
+    """Cross-run incremental MinHash dedup: the documents table split
+    into two 'crawl snapshots' (even doc_ids first, then the full
+    corpus).  Run 2 re-hashes only the new docs and emits only pairs
+    touching them; the UNION of both runs' pairs is returned and must
+    COVER the one-shot pipeline's pair set on the same corpus (asserted
+    here — a coverage miss raises rather than returning wrong rows).
+    Rows-only driver check; state lives in a throwaway /tmp dir.
+    (Subset, not equality: once a collision group crosses the star cap
+    the per-run star representative may differ from the full-corpus one,
+    so the union can legitimately carry extra pairs.)"""
+    import shutil
+    import tempfile
+
+    from pynomaly_ray.stages.dedup import (
+        minhash_lsh_duplicates,
+        minhash_lsh_duplicates_incremental,
+    )
+
+    def _docs(flt=None):
+        def conv(t: pa.Table) -> pa.Table:
+            if flt is not None:
+                t = t.filter(flt(t))
+            return pa.table(
+                {
+                    "doc_id": pa.compute.cast(t["doc_id"], pa.string()),
+                    "text": t["text"],
+                }
+            )
+
+        return _pq(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            conv, batch_format="pyarrow"
+        )
+
+    even = lambda t: pa.compute.equal(  # noqa: E731
+        pa.compute.bit_wise_and(t["doc_id"], 1), 0
+    )
+    kw = dict(n_perm=64, n_bands=16, jaccard_threshold=0.5)
+    state = tempfile.mkdtemp(prefix="pnr-minhash-inc-")
+    try:
+        p1 = minhash_lsh_duplicates_incremental(
+            _docs(even), state, "run1", **kw
+        )
+        p2 = minhash_lsh_duplicates_incremental(
+            _docs(), state, "run2", **kw
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    both = pd.concat([p1, p2], ignore_index=True)
+    oneshot = minhash_lsh_duplicates(_docs(), **kw)
+    if not set(zip(oneshot.doc_a, oneshot.doc_b)) <= set(
+        zip(both.doc_a, both.doc_b)
+    ):
+        raise AssertionError(
+            "incremental pair union fails to cover the one-shot pair set"
+        )
+    both["jaccard_e3"] = np.floor(both.pop("jaccard") * 1000 + 0.5).astype(
+        np.int64
+    )
+    return collect_sorted(both, ["doc_a", "doc_b"])
+
+
 def q_simhash_fingerprints(sf_dir: str):
     """SimHash + rolling-hash fingerprints per document (deterministic)."""
     from pynomaly_ray.stages.dedup import SimHasher
@@ -244,6 +306,7 @@ ENGINE_QUERIES = {
     "loop_distributed": q_loop_distributed,
     "loop_embeddings": q_loop_embeddings,
     "minhash_dedup": q_minhash_dedup,
+    "minhash_dedup_incremental": q_minhash_dedup_incremental,
     "simhash_fingerprints": q_simhash_fingerprints,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,

@@ -138,11 +138,12 @@ def _local_duplicates(
         union = docparts.select(_DOCPART_COLS)
     if union.num_rows == 0:
         return _empty_df(_VIOL_COLS)
-    hashes = union["doc_hash"].to_numpy(zero_copy_only=False)
-    cnts = union["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    _, inv = np.unique(hashes, return_inverse=True)
-    totals = np.bincount(inv, weights=cnts).astype(np.int64)
-    cand_mask = totals[inv] > 1
+    from pynomaly_ray.stages.uniqueness import hash_candidate_mask
+
+    cand_mask = hash_candidate_mask(
+        union["doc_hash"].to_numpy(zero_copy_only=False),
+        union["cnt"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
     if not cand_mask.any():
         return _empty_df(_VIOL_COLS)
     dups = union.filter(pa.array(cand_mask)).to_pandas()

@@ -457,6 +457,50 @@ def _committed_band_dirs(state_dir: str, run_id: str) -> list[str]:
     ]
 
 
+def commit_minhash_state(state_dir: str, run_id: str) -> None:
+    """Mark ``run_id``'s band table as committed.  MUST be called only
+    after the run's pairs are DURABLY persisted (written to their sink),
+    never merely computed: once committed, later runs treat the run's
+    docs as prior and suppress pairs among them — a marker written
+    before the sink write would make a crash between the two silently
+    and permanently lose those pairs."""
+    import os
+
+    with open(
+        os.path.join(state_dir, "bands", ".commit-" + run_id), "w"
+    ) as f:
+        f.write("committed\n")
+
+
+def _check_minhash_params(
+    state_dir: str, params: dict
+) -> None:
+    """Persist the LSH parameters alongside the band state on first use
+    and refuse a mismatch afterwards: bands built with different
+    n_perm/n_bands/shingle_k hash into unrelated buckets, so mixing them
+    silently misses every cross-run duplicate."""
+    import json
+    import os
+
+    root = os.path.join(state_dir, "bands")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "params.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        if prior != params:
+            raise ValueError(
+                f"minhash state {state_dir!r} was built with {prior}; "
+                f"this run requests {params} — incompatible band tables. "
+                "Use a fresh state dir (or the original parameters)."
+            )
+    else:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, path)
+
+
 def minhash_lsh_duplicates_incremental(
     docs_ds,
     state_dir: str,
@@ -467,6 +511,7 @@ def minhash_lsh_duplicates_incremental(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     as_dataset: bool = False,
+    commit: bool = True,
 ):
     """Cross-run incremental MinHash-LSH near-dup detection.
 
@@ -487,14 +532,33 @@ def minhash_lsh_duplicates_incremental(
 
     The union of all runs' pair outputs links every near-dup to a
     representative, the same guarantee the one-shot star-capped pipeline
-    gives.  Retrying a crashed ``run_id`` is idempotent: its band dir is
-    cleared and rewritten, and uncommitted dirs are never trusted.
+    gives (pair sets may differ from a single full run only where a
+    collision group crosses the star cap).  Retrying a crashed
+    ``run_id`` is idempotent: its band dir is cleared and rewritten, and
+    uncommitted dirs are never trusted.  LSH parameters are pinned to
+    the state dir (params.json) — a mismatched rerun raises.
+
+    Contract: rows with null doc_id are excluded up front (an unkeyed
+    doc cannot be tracked across runs), on EVERY run including the
+    first — run uniqueness/validation beforehand to surface them.
+
+    ``commit=True`` writes the marker as the last step — correct when
+    the returned pairs ARE the delivery (library use).  A caller that
+    persists the pairs itself (the CLI writing parquet) must pass
+    ``commit=False`` and call :func:`commit_minhash_state` AFTER its
+    sink write, else a crash between marker and sink permanently
+    suppresses the run's pairs.
     """
     import os
     import shutil
 
     from pynomaly_ray.functions.exchange import anti_membership, hash_aggregate
     from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    _check_minhash_params(
+        state_dir,
+        {"n_perm": n_perm, "n_bands": n_bands, "shingle_k": shingle_k},
+    )
 
     def _tag(val: int):
         def _f(t: pa.Table) -> pa.Table:
@@ -504,6 +568,9 @@ def minhash_lsh_duplicates_incremental(
 
         return _f
 
+    docs_ds = docs_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["doc_id"])), batch_format="pyarrow"
+    )
     prior_dirs = _committed_band_dirs(state_dir, run_id)
     # a list of DIRECTORIES doesn't ride read_parquet; expand to files
     prior_files = [
@@ -515,7 +582,8 @@ def minhash_lsh_duplicates_incremental(
     new_docs = docs_ds
     prior_bands = None
     if prior_files:
-        prior_bands = read_parquet_clean(prior_files)
+        # consumed twice (id anti-join + candidate union): read once
+        prior_bands = read_parquet_clean(prior_files).materialize()
         # one row per (doc, band): band_id == 0 projects to one row/doc
         prior_ids = prior_bands.map_batches(
             lambda t: t.filter(pc.equal(t["band_id"], 0)).select(["doc_id"]),
@@ -545,12 +613,10 @@ def minhash_lsh_duplicates_incremental(
     out = _verify_candidate_pairs(
         cands, docs_ds, shingle_k, jaccard_threshold, as_dataset
     )
-    if as_dataset:
-        out = out.materialize()  # pairs delivered before the commit marker
-    with open(
-        os.path.join(state_dir, "bands", ".commit-" + run_id), "w"
-    ) as f:
-        f.write("committed\n")
+    if commit:
+        if as_dataset:
+            out = out.materialize()  # pairs computed before the marker
+        commit_minhash_state(state_dir, run_id)
     return out
 
 

@@ -199,7 +199,14 @@ def detect_image_decoder():
     def _numpy_decode(payload: bytes, width: int = 8, height: int = 8):
         b = payload or b""
         if b[:2] == b"BM":
-            return decode_bmp(b)
+            # best-effort tier: a sniffed-but-undecodable payload
+            # (palette/RLE BMP, truncation, or 2^-16 random bytes that
+            # start with "BM") falls through to the fake instead of
+            # killing the whole map_batches job on one bad row
+            try:
+                return decode_bmp(b)
+            except Exception:
+                pass
         return fake_decode(b, width=width, height=height)
 
     return _numpy_decode
@@ -227,7 +234,14 @@ def detect_audio_decoder():
     def _numpy_audio_decode(payload: bytes, sample_rate: int = 16000):
         b = payload or b""
         if b[:4] == b"RIFF":
-            return decode_wav(b, sample_rate=sample_rate)
+            # RIFF covers non-WAVE containers too (WebP/AVI), and WAV
+            # itself spans formats decode_wav doesn't handle (float32,
+            # ADPCM, 24-bit — wave.Error, not ValueError); best-effort
+            # tier, so fall through to the fake rather than abort
+            try:
+                return decode_wav(b, sample_rate=sample_rate)
+            except Exception:
+                pass
         return fake_decode_audio(b, sample_rate=sample_rate)
 
     return _numpy_audio_decode

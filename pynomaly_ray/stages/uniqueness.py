@@ -140,6 +140,17 @@ _EMPTY_VIOL = {
 _VIOL_COL_NAMES = ("doc_id", "partition_id", "check", "detail")
 
 
+def hash_candidate_mask(hashes: np.ndarray, cnts: np.ndarray) -> np.ndarray:
+    """Row mask of occurrence rows whose int64 doc_hash totals more than
+    one occurrence — the C-speed (unique + bincount) duplicate prefilter
+    shared by the driver-local reduction (pipelines/validation.py) and
+    the distributed bucket reducer below.  Hash-level only: exact doc_id
+    verification happens downstream (collision guard)."""
+    _, inv = np.unique(hashes, return_inverse=True)
+    totals = np.bincount(inv, weights=cnts).astype(np.int64)
+    return totals[inv] > 1
+
+
 def bulk_emit_violations(df: pd.DataFrame) -> pd.DataFrame:
     """Vectorized ALL-groups duplicate-violation emission for one
     key-co-located bucket of docpart occurrence rows — the distributed
@@ -161,11 +172,9 @@ def bulk_emit_violations(df: pd.DataFrame) -> pd.DataFrame:
     )
     if df.empty:
         return empty
-    hashes = df["doc_hash"].to_numpy()
-    cnts = df["cnt"].to_numpy().astype(np.int64)
-    _, inv = np.unique(hashes, return_inverse=True)
-    totals = np.bincount(inv, weights=cnts).astype(np.int64)
-    cand = totals[inv] > 1
+    cand = hash_candidate_mask(
+        df["doc_hash"].to_numpy(), df["cnt"].to_numpy().astype(np.int64)
+    )
     if not cand.any():
         return empty
     keep_cols = [

@@ -1146,3 +1146,48 @@ def test_cli_dedup_minhash_incremental_state(ray_session, tmp_path):
     assert main(["dedup", "--input", corpus2, "--out", out, "--run-id", "r2"] + args) == 0
     p2b = _pq.read_table(os.path.join(out, "pairs", "r2")).to_pandas()
     assert set(zip(p2b.doc_a, p2b.doc_b)) == set(zip(p2.doc_a, p2.doc_b))
+
+
+def test_minhash_incremental_commit_separation(ray_session, tmp_path):
+    """commit=False leaves the run untrusted (no marker) so a crash
+    before the caller's durable pair write cannot suppress pairs; the
+    explicit commit_minhash_state marks it afterwards.  A params
+    mismatch against pinned state raises."""
+    import os
+
+    import ray.data as rd
+
+    from pynomaly_ray.stages.dedup import (
+        commit_minhash_state,
+        minhash_lsh_duplicates_incremental,
+    )
+
+    docs = pd.DataFrame({"doc_id": ["x1", "x2"], "text": ["alpha " * 10, "beta " * 10]})
+    state = str(tmp_path / "state")
+    minhash_lsh_duplicates_incremental(
+        rd.from_pandas(docs), state, "r1", commit=False
+    )
+    assert not os.path.exists(os.path.join(state, "bands", ".commit-r1"))
+    assert os.path.isdir(os.path.join(state, "bands", "r1"))  # bands written
+    commit_minhash_state(state, "r1")
+    assert os.path.exists(os.path.join(state, "bands", ".commit-r1"))
+
+    with pytest.raises(ValueError, match="incompatible band tables"):
+        minhash_lsh_duplicates_incremental(
+            rd.from_pandas(docs), state, "r2", n_perm=128
+        )
+
+
+def test_sniffing_decoders_never_raise_on_bad_payloads():
+    """The tier-3 sniffing decoders are best-effort: payloads that sniff
+    as BMP/RIFF but don't decode (palette BMP, WebP's RIFF container,
+    truncation) fall through to the deterministic fake instead of
+    killing the job on one bad row."""
+    from pynomaly_ray.stages import multimodal as mm
+
+    img_dec = mm.detect_image_decoder()
+    aud_dec = mm.detect_audio_decoder()
+    bad_bmp = b"BM" + b"\x00" * 20                      # truncated header
+    webp_ish = b"RIFF\x10\x00\x00\x00WEBPVP8 "          # RIFF, not WAVE
+    assert np.array_equal(img_dec(bad_bmp), mm.fake_decode(bad_bmp))
+    assert np.array_equal(aud_dec(webp_ish), mm.fake_decode_audio(webp_ish))
