@@ -1987,3 +1987,157 @@ ORACLE_QUERIES.update(
         "top_events_per_type": (q_top_events_per_type, SQL_TOP_EVENTS_PER_TYPE),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: rollup_revenue — multi-level subtotal aggregation (GROUP BY ROLLUP):
+# order revenue per (region, nation) plus per-region subtotals and a
+# grand total.  Engine: the fact side pre-aggregates per customer in
+# the scan, joins through the partitioned hash_join collapsing to the
+# 25-row nation level in-bucket; the three rollup levels then fold from
+# that ALREADY-REDUCED 25-row frame on the driver (a rollup is a fold
+# over the finest aggregate — the fact table is never re-scanned per
+# level, which is what keeps this shape 100x-safe).  NULL marks the
+# rolled-up levels, matching SQL ROLLUP semantics.
+# ---------------------------------------------------------------------------
+def q_rollup_revenue(sf_dir: str):
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.functions.exchange import dim_lookup, hash_join
+
+    nation = papq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = papq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    name_of_nation = dim_lookup(nation, "n_nationkey", "n_name")
+    region_of_nation = dim_lookup(nation, "n_nationkey", "n_regionkey")
+    name_of_region = dim_lookup(region, "r_regionkey", "r_name")
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df.pop("o_totalprice").to_numpy())
+        g = (
+            df.groupby("o_custkey", sort=False)
+            .agg(n_orders=("cents", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    o_agg = orders.map_batches(o_partial, batch_format="pyarrow", batch_size=65536)
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("c_nationkey", sort=False)
+            .agg(n_orders=("n_orders", "sum"), cents=("cents", "sum"))
+            .reset_index()
+        )
+
+    per_nat = hash_aggregate(
+        hash_join(o_agg, cust, ["o_custkey"], merge_fn=per_nation),
+        ["c_nationkey"],
+        lambda df: df.groupby("c_nationkey", sort=False).sum().reset_index(),
+    ).to_pandas()
+
+    per_nat["r_name"] = per_nat["c_nationkey"].map(
+        lambda k: name_of_region[region_of_nation[k]]
+    )
+    per_nat["n_name"] = per_nat["c_nationkey"].map(name_of_nation)
+    detail = per_nat[["r_name", "n_name", "n_orders", "cents"]]
+    sub = (
+        detail.groupby("r_name", sort=False)[["n_orders", "cents"]]
+        .sum()
+        .reset_index()
+    )
+    sub["n_name"] = None
+    total = pd.DataFrame(
+        {
+            "r_name": [None],
+            "n_name": [None],
+            "n_orders": [detail["n_orders"].sum()],
+            "cents": [detail["cents"].sum()],
+        }
+    )
+    out = pd.concat(
+        [detail, sub[["r_name", "n_name", "n_orders", "cents"]], total],
+        ignore_index=True,
+    ).rename(columns={"cents": "sum_cents"})
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return collect_sorted(out, ["r_name", "n_name"])
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT r_name, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name NULLS LAST, n_name NULLS LAST
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: running_total — ordered-window aggregation (SUM OVER PARTITION BY
+# ... ORDER BY): cumulative order revenue per customer in date order.
+# Engine: one key-bucket exchange on o_custkey; each bucket sorts its
+# disjoint customers by (date, orderkey) and takes a vectorized groupby
+# cumsum — a window function is a per-key sorted scan, so key-hash
+# partitioning makes it embarrassingly parallel with no global sort.
+# Integer cents keep the cumulative sum associativity-exact across
+# engines (floating window sums are summation-order-defined).
+# ---------------------------------------------------------------------------
+def q_running_total(sf_dir: str):
+    orders = _pq(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df.pop("o_totalprice").to_numpy())
+        return _from_pandas(df)
+
+    def run_tot(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        df["run_cents"] = df.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return df[["o_orderkey", "o_custkey", "run_cents"]]
+
+    out = hash_aggregate(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        run_tot,
+    )
+    df = out.to_pandas()
+    df["run_cents"] = df["run_cents"].astype(np.int64)
+    return collect_sorted(df, ["o_orderkey"])
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS run_cents
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+        "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    }
+)
