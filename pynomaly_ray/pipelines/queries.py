@@ -2141,3 +2141,47 @@ ORACLE_QUERIES.update(
         "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: global_sort — distributed ORDER BY via sampled range partitioning
+# (exchange.range_sort): splitters from per-block samples, one
+# searchsorted split per block, one local sort per range; consuming the
+# blocks in order IS the total order (asserted here — an unordered
+# result raises instead of returning rows).  The output is the ordered
+# value sequence with its rank, which is tie-insensitive, so the oracle
+# comparison is exact even where ORDER BY ties are engine-defined.
+# ---------------------------------------------------------------------------
+def q_global_sort(sf_dir: str):
+    from pynomaly_ray.functions.exchange import range_sort
+
+    orders = _pq(sf_dir, "orders", ["o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cents": pa.array(_cents(t["o_totalprice"].to_numpy()), pa.int64())}
+        )
+
+    ds = orders.map_batches(to_cents, batch_format="pyarrow")
+    # explicit fan-out so the multi-range path runs at every sf
+    s = range_sort(ds, "cents", num_partitions=8)
+    arr = s.to_pandas()["cents"].to_numpy()  # block order == total order
+    if len(arr) > 1 and np.any(np.diff(arr) < 0):
+        raise AssertionError("range_sort output not globally ordered")
+    return pd.DataFrame(
+        {
+            "pos": np.arange(1, len(arr) + 1, dtype=np.int64),
+            "cents": arr.astype(np.int64),
+        }
+    )
+
+
+SQL_GLOBAL_SORT = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS pos,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+FROM orders
+ORDER BY pos
+"""
+
+
+ORACLE_QUERIES["global_sort"] = (q_global_sort, SQL_GLOBAL_SORT)

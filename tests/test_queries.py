@@ -463,3 +463,30 @@ def test_hash_join_hot_key_bounded_by_preaggregation(ray_session):
     assert int(hot["w"]) == 0
     assert int(out["cnt"].sum()) == n
     assert (out.merge(dim, on="k")["w_x"] == out.merge(dim, on="k")["w_y"]).all()
+
+
+def test_range_sort_global_order(ray_session):
+    """range_sort: blocks come back globally ordered (asc and desc),
+    duplicates and nulls included (nulls last both directions), across
+    a forced multi-range exchange; total multiset preserved."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import range_sort
+
+    rng = np.random.RandomState(17)
+    vals = rng.randint(0, 500, 20000).astype(np.float64)
+    vals[rng.choice(20000, 300, replace=False)] = np.nan
+    df = pd.DataFrame({"k": vals, "x": np.arange(20000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(16)
+
+    for desc in (False, True):
+        out = range_sort(ds, "k", num_partitions=6, descending=desc).to_pandas()
+        assert len(out) == 20000
+        k = out["k"].to_numpy()
+        n_null = int(np.isnan(k).sum())
+        assert n_null == 300
+        assert np.isnan(k[-n_null:]).all()  # nulls last either way
+        body = k[: len(k) - n_null]
+        diffs = np.diff(body)
+        assert (diffs <= 0).all() if desc else (diffs >= 0).all()
+        assert sorted(out["x"]) == list(range(20000))  # nothing lost
