@@ -2185,3 +2185,116 @@ ORDER BY pos
 
 
 ORACLE_QUERIES["global_sort"] = (q_global_sort, SQL_GLOBAL_SORT)
+
+
+# ---------------------------------------------------------------------------
+# Q: stratified_sample — deterministic per-group sampling (the
+# training-data curation shape: k docs per source, reproducible across
+# runs/engines).  Engine: the Knuth multiplicative hash ranks rows;
+# map-side per-batch top-k per source bounds what the exchange moves to
+# k rows per (source, batch), then one source-keyed bucket pass takes
+# the global per-source bottom-k.  SQL: ROW_NUMBER() OVER (PARTITION BY
+# source ORDER BY hash).
+# ---------------------------------------------------------------------------
+_STRAT_K = 5
+
+
+def q_stratified_sample(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+
+    def prio_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ids = df["doc_id"].to_numpy(dtype=np.uint64)
+        m32 = np.uint64(4294967296)
+        df["priority"] = (((ids % m32) * np.uint64(_KNUTH)) % m32).astype(
+            np.int64
+        )
+        df = df.sort_values(["source", "priority", "doc_id"], kind="mergesort")
+        return _from_pandas(df.groupby("source", sort=False).head(_STRAT_K))
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "priority", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(_STRAT_K)
+
+    out = hash_aggregate(
+        ds.map_batches(prio_topk, batch_format="pyarrow"),
+        ["source"],
+        final_topk,
+    )
+    return collect_sorted(out, ["source", "priority", "doc_id"])
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, priority
+FROM (
+  SELECT doc_id, source,
+         CAST(((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296 AS BIGINT) AS priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+ORDER BY source, priority, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: full_outer_counts — FULL OUTER join of two grouped streams (ids
+# active as event users and/or order customers, with zero-filled
+# sides).  Engine: an outer join of AGGREGATES is the union of tagged
+# partials through ONE id-keyed exchange (each side pre-counts per id
+# in the scan; the bucket reducer sums both flags) — no second shuffle
+# and no outer-join row blowup.
+# ---------------------------------------------------------------------------
+def q_full_outer_counts(sf_dir: str):
+    ev = _pq(sf_dir, "events", ["user_id"])
+    od = _pq(sf_dir, "orders", ["o_custkey"])
+
+    def side_counts(col: str, evn: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            ids = batch[col].to_pandas().dropna().astype(np.int64)
+            g = ids.value_counts().sort_index()
+            df = pd.DataFrame(
+                {
+                    "id": g.index.to_numpy(np.int64),
+                    "n_events": g.to_numpy(np.int64) if evn else 0,
+                    "n_orders": 0 if evn else g.to_numpy(np.int64),
+                }
+            )
+            return _from_pandas(df)
+
+        return _f
+
+    both = ev.map_batches(side_counts("user_id", 1), batch_format="pyarrow").union(
+        od.map_batches(side_counts("o_custkey", 0), batch_format="pyarrow")
+    )
+    out = hash_aggregate(
+        both,
+        ["id"],
+        lambda df: df.groupby("id", sort=False).sum().reset_index(),
+    )
+    return collect_sorted(out, ["id"])
+
+
+SQL_FULL_OUTER_COUNTS = """
+SELECT COALESCE(e.id, o.id) AS id,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+FROM (SELECT user_id AS id, COUNT(*) AS n_events
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id) e
+FULL OUTER JOIN
+     (SELECT o_custkey AS id, COUNT(*) AS n_orders
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey) o
+  ON e.id = o.id
+ORDER BY id
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "full_outer_counts": (q_full_outer_counts, SQL_FULL_OUTER_COUNTS),
+    }
+)
