@@ -280,33 +280,45 @@ class HyperplaneLSH:
 
 class MultiTableLSH:
     """L independent hyperplane tables of k planes each: emits the long
-    format (vec_id, table_id, bucket) — L rows per vector, embeddings NOT
-    carried (candidates re-join them later).  OR-ing tables lifts recall
-    from p^k to 1-(1-p^k)^L, the standard LSH knob."""
+    format (vec_id, table_id, bucket) — L rows per vector.  With
+    ``keep_embedding=True`` the vector column rides along (n·L vector
+    copies through ONE exchange — far cheaper than re-joining vectors
+    onto a candidate-PAIR stream, which is O(pairs) ≫ n·L whenever
+    buckets actually collide).  OR-ing tables lifts recall from p^k to
+    1-(1-p^k)^L, the standard LSH knob."""
 
-    def __init__(self, dim: int, n_planes: int = 4, n_tables: int = 8, seed: int = 11):
+    def __init__(
+        self,
+        dim: int,
+        n_planes: int = 4,
+        n_tables: int = 8,
+        seed: int = 11,
+        keep_embedding: bool = False,
+    ):
         rng = np.random.RandomState(seed)
         # (dim, n_tables * n_planes): one matmul covers all tables
         self.planes = rng.randn(dim, n_tables * n_planes)
         self.n_planes = n_planes
         self.n_tables = n_tables
+        self.keep_embedding = keep_embedding
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table(
-                {
-                    "vec_id": pa.array([], pa.int64()),
-                    "table_id": pa.array([], pa.int64()),
-                    "bucket": pa.array([], pa.int64()),
-                }
-            )
+            cols = {
+                "vec_id": pa.array([], pa.int64()),
+                "table_id": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+            if self.keep_embedding and "embedding" in batch.schema.names:
+                cols["embedding"] = batch["embedding"]
+            return pa.table(cols)
         M = _embedding_matrix(batch)
         signs = (M @ self.planes) > 0  # (n, T*k)
         signs = signs.reshape(n, self.n_tables, self.n_planes)
         bucket = signs @ (1 << np.arange(self.n_planes, dtype=np.int64))
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
+        out = pa.table(
             {
                 "vec_id": pa.array(np.repeat(vec_ids, self.n_tables), pa.int64()),
                 "table_id": pa.array(
@@ -315,43 +327,102 @@ class MultiTableLSH:
                 "bucket": pa.array(bucket.astype(np.int64).ravel(), pa.int64()),
             }
         )
+        if self.keep_embedding:
+            # the vector rides the exchange with its bucket row (once per
+            # table), so verification can run IN the bucket reducer
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.n_tables))
+            out = out.append_column(
+                "embedding", batch["embedding"].take(idx)
+            )
+        return out
 
 
 _BUCKET_PAIR_CAP = 512
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """ALL (table_id, bucket) groups of one exchange bucket -> candidate
-    id pairs; vectorized singleton elimination, pair emission batched by
-    group size (stages/dedup._emit_group_pairs); oversized buckets emit
-    a star to the smallest id (see stages/dedup.py rationale)."""
-    from pynomaly_ray.stages.dedup import _emit_group_pairs
+# Largest (groups x s x s) cosine tensor one einsum slice may build
+# (cells); keeps the batched per-size verification within a fixed
+# memory envelope regardless of how many same-size groups a bucket holds.
+_VERIFY_CHUNK_CELLS = 4_000_000
 
-    if not len(df):
-        return pd.DataFrame(
+
+def _verified_bucket_pairs(threshold: float, cap: int = _BUCKET_PAIR_CAP):
+    """Bucket reducer: verify candidate pairs WHERE THE VECTORS ALREADY
+    ARE.  Each (table_id, bucket) collision group's exact pairwise
+    cosines are computed with one batched einsum per group SIZE (all
+    groups of one size stack into a (m, s, dim) tensor — Python cost is
+    O(#distinct sizes)), thresholded in place; only surviving pairs
+    leave the reducer.  Oversized groups (> cap) verify member-vs-
+    smallest-id star pairs, same rationale as the dedup star cap.
+
+    This replaces the candidate-pair + double-hash-join design: a
+    corpus whose buckets genuinely collide emits O(pairs) candidate
+    rows and then ships TWO vectors per pair through the joins —
+    O(pairs·dim) bytes, which at coarse bucketing dwarfs the n·L vector
+    copies this path pays in the single bucket exchange (measured 1M
+    candidate pairs from 2k vectors at sf0.1: 3 s -> the exchange-only
+    path removes the joins entirely)."""
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
             {
                 "vec_a": pd.Series(dtype=np.int64),
                 "vec_b": pd.Series(dtype=np.int64),
+                "cosine": pd.Series(dtype=np.float64),
             }
         )
-    keys = ["table_id", "bucket"]
-    d = df.drop_duplicates(keys + ["vec_id"]).sort_values(
-        keys + ["vec_id"], kind="mergesort"
-    )
-    sizes = d.groupby(keys, sort=False)["vec_id"].transform("size")
-    d = d[sizes >= 2]
-    if not len(d):
+        if not len(df):
+            return empty
+        keys = ["table_id", "bucket"]
+        d = df.drop_duplicates(keys + ["vec_id"]).sort_values(
+            keys + ["vec_id"], kind="mergesort"
+        )
+        sizes_t = d.groupby(keys, sort=False)["vec_id"].transform("size")
+        d = d[sizes_t >= 2]
+        if not len(d):
+            return empty
+        gsizes = d.groupby(keys, sort=False).size().to_numpy()
+        ids = d["vec_id"].to_numpy(dtype=np.int64)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in d["embedding"]])
+        norms = np.linalg.norm(V, axis=1)
+        Vn = V / np.where(norms > 0, norms, 1.0)[:, None]
+        offsets = np.concatenate([[0], np.cumsum(gsizes)])
+        out_a, out_b, out_c = [], [], []
+        small = gsizes <= cap
+        for s in np.unique(gsizes[small]):
+            gsel = np.flatnonzero(small & (gsizes == s))
+            iu0, iu1 = np.triu_indices(s, k=1)
+            step = max(1, _VERIFY_CHUNK_CELLS // (s * s))
+            for lo in range(0, len(gsel), step):
+                sel = gsel[lo : lo + step]
+                rows = offsets[sel][:, None] + np.arange(s)[None, :]
+                T = Vn[rows]  # (m, s, dim)
+                S = np.einsum("mad,mbd->mab", T, T)
+                I = ids[rows]
+                cosv = S[:, iu0, iu1].ravel()
+                keep = cosv >= threshold
+                out_a.append(I[:, iu0].ravel()[keep])
+                out_b.append(I[:, iu1].ravel()[keep])
+                out_c.append(cosv[keep])
+        for g in np.flatnonzero(~small):  # rare by construction
+            seg = slice(offsets[g], offsets[g + 1])
+            segids, segV = ids[seg], Vn[seg]
+            cosv = segV[1:] @ segV[0]
+            keep = cosv >= threshold
+            out_a.append(np.full(int(keep.sum()), segids[0], dtype=np.int64))
+            out_b.append(segids[1:][keep])
+            out_c.append(cosv[keep])
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {
-                "vec_a": pd.Series(dtype=np.int64),
-                "vec_b": pd.Series(dtype=np.int64),
+                "vec_a": np.concatenate(out_a).astype(np.int64),
+                "vec_b": np.concatenate(out_b).astype(np.int64),
+                "cosine": np.concatenate(out_c).astype(np.float64),
             }
         )
-    gsizes = d.groupby(keys, sort=False).size().to_numpy()
-    a, b = _emit_group_pairs(
-        d["vec_id"].to_numpy(dtype=np.int64), gsizes, _BUCKET_PAIR_CAP
-    )
-    return pd.DataFrame({"vec_a": a, "vec_b": b})
+
+    return reducer
 
 
 def near_dup_pairs_embedding(
@@ -366,80 +437,46 @@ def near_dup_pairs_embedding(
     """Embedding-cosine near-duplicate pairs via multi-table hyperplane
     LSH, fully distributed:
 
-    1. L tables of k hyperplane signs per vector (one matmul);
-    2. groupby (table_id, bucket) -> candidate id pairs (uniform keys);
-    3. hash-exchange dedup of pairs;
-    4. embeddings hash-joined onto the candidates (never broadcast, never
-       driver-collected) and exact cosine computed vectorized per batch;
-    5. only verified pairs >= threshold reach the driver — or, with
-       ``as_dataset=True``, stay distributed as a ray.data.Dataset for a
-       ``write_parquet`` sink (the path for corpora whose verified-pair
-       list itself exceeds driver memory).
+    1. L tables of k hyperplane signs per vector (one matmul), the
+       vector column riding along (n·L copies — the only exchange);
+    2. one hash exchange on (table_id, bucket): each bucket reducer
+       verifies its own collision groups' exact cosines in place
+       (batched einsum, star-capped) and emits only pairs >= threshold;
+    3. a tiny pair-keyed exchange dedups pairs that collided in several
+       tables.  Survivors reach the driver — or, with
+       ``as_dataset=True``, stay distributed as a ray.data.Dataset for
+       a ``write_parquet`` sink (the path for corpora whose verified-
+       pair list itself exceeds driver memory).
 
     Recall for a pair at angle theta: 1-(1-p^k)^L with p = 1-theta/pi —
     raise n_tables for higher recall, n_planes for sparser buckets.
     """
-    from pynomaly_ray.functions.exchange import hash_aggregate, hash_join
+    from pynomaly_ray.functions.exchange import hash_aggregate
 
     # plane matrices are tiny and deterministic — plain callable, task pool
     buckets = ds.map_batches(
-        MultiTableLSH(dim=dim, n_planes=n_planes, n_tables=n_tables),
+        MultiTableLSH(
+            dim=dim, n_planes=n_planes, n_tables=n_tables, keep_embedding=True
+        ),
         batch_format="pyarrow",
         batch_size=8192,
     )
-    cands = hash_aggregate(
-        buckets, ["table_id", "bucket"], _bucket_pairs
+    verified = hash_aggregate(
+        buckets, ["table_id", "bucket"], _verified_bucket_pairs(threshold)
     )
-
-    def _rename(col_id: str, col_emb: str):
-        def _f(t: pa.Table) -> pa.Table:
-            return pa.table({col_id: t["vec_id"], col_emb: t["embedding"]})
-
-        return _f
-
-    emb_a = ds.map_batches(_rename("vec_a", "emb_a"), batch_format="pyarrow")
-    emb_b = ds.map_batches(_rename("vec_b", "emb_b"), batch_format="pyarrow")
-    # every copy of a pair (one per colliding table) shares vec_a, so the
-    # in-bucket dedup inside the first join is globally exact
-    with_a = hash_join(
-        cands,
-        emb_a,
-        ["vec_a"],
-        merge_fn=lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
-    )
-    with_b = hash_join(with_a, emb_b, ["vec_b"])
-
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "vec_a": pa.array([], pa.int64()),
-                    "vec_b": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
-        A = _embedding_matrix(t, "emb_a")
-        B = _embedding_matrix(t, "emb_b")
-        na = np.linalg.norm(A, axis=1)
-        nb = np.linalg.norm(B, axis=1)
-        cos = (A * B).sum(axis=1) / (
-            np.where(na > 0, na, 1) * np.where(nb > 0, nb, 1)
-        )
-        keep = cos >= threshold
-        va = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
-        vb = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
-        return pa.table(
-            {
-                "vec_a": pa.array(va, pa.int64()),
-                "vec_b": pa.array(vb, pa.int64()),
-                "cosine": pa.array(cos[keep], pa.float64()),
-            }
-        )
-
-    verified = with_b.map_batches(verify, batch_format="pyarrow")
     if as_dataset:
-        return verified  # threshold filter already ran in the map tasks
+        # cross-table dedup as a pair-keyed exchange over the (small)
+        # survivor stream
+        return hash_aggregate(
+            verified,
+            ["vec_a", "vec_b"],
+            lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
+        )
     df = verified.to_pandas()
     if df.empty:
         return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return (
+        df.drop_duplicates(["vec_a", "vec_b"])
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
