@@ -1,0 +1,110 @@
+"""Distributed graph primitives for dedup post-processing.
+
+A near-dup pipeline's pair list is not an actionable keep/drop decision
+until pairs are collapsed into groups: connected components turn
+(a, b) similarity edges into (node, component) labels, from which a
+keep-list is one "keep the component minimum" filter.  The reference
+has no analogue (PyNomaly stops at scores); this is engine surface for
+the 100-TB curation workflow.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pandas as pd
+
+
+def connected_components(
+    edges_ds,
+    col_a: str = "a",
+    col_b: str = "b",
+    max_rounds: int = 64,
+):
+    """Connected components over an edge Dataset by distributed
+    min-label propagation: every round is one labels-onto-edges
+    ``hash_join`` (messages collapse to per-destination minima inside
+    the join buckets) plus one ``hash_aggregate`` min per node — no
+    driver-side graph, no global sort.
+
+    Rounds needed = graph diameter, which for dedup graphs is small by
+    construction (the star-capped pair emitters link members to a
+    representative, diameter ~2); ``max_rounds`` bounds pathological
+    chains and warns on non-convergence.  Convergence is detected by
+    the label-sum checksum: labels only ever decrease, so an unchanged
+    sum means a fixpoint (per-block partial sums on int64 — at node
+    counts/ids beyond ~10^17 per block swap the partial to Python ints).
+
+    Returns a Dataset of (node, component) where ``component`` is the
+    minimum node id of the component — deterministic and
+    engine-independent.  Isolated nodes (no edges) don't appear; union
+    them in with label = self if the full node set is needed.
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate, hash_join
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[col_a].to_numpy()
+        b = df[col_b].to_numpy()
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([a, b]),
+                "dst": np.concatenate([b, a]),
+            }
+        )
+
+    edges = edges_ds.map_batches(
+        symmetrize, batch_format="pandas"
+    ).materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(df["src"])
+        return pd.DataFrame({"node": nodes, "lbl": nodes})
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", sort=False)["lbl"].min().reset_index()
+
+    labels = hash_aggregate(
+        edges.map_batches(init_labels, batch_format="pandas"),
+        ["node"],
+        min_label,
+    ).materialize()
+
+    def block_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [np.int64(df["lbl"].sum())]})
+
+    def checksum(lds) -> int:
+        parts = lds.map_batches(block_sum, batch_format="pandas").to_pandas()
+        return int(parts["s"].sum())
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        msgs = hash_join(
+            edges,
+            labels.map_batches(
+                lambda df: df.rename(columns={"node": "src"}),
+                batch_format="pandas",
+            ),
+            ["src"],
+            # messages collapse to per-destination minima INSIDE the
+            # join bucket, so a hub node's fan-out never materializes
+            merge_fn=lambda df: (
+                df.groupby("dst", sort=False)["lbl"]
+                .min()
+                .reset_index()
+                .rename(columns={"dst": "node"})
+            ),
+        )
+        labels = hash_aggregate(
+            labels.union(msgs), ["node"], min_label
+        ).materialize()
+        cur = checksum(labels)
+        if cur == prev:
+            return labels
+        prev = cur
+    warnings.warn(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(pathologically long chain?); returning the current labels",
+        RuntimeWarning,
+    )
+    return labels

@@ -2298,3 +2298,65 @@ ORACLE_QUERIES.update(
         "full_outer_counts": (q_full_outer_counts, SQL_FULL_OUTER_COUNTS),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: neardup_components — near-dup GROUPING: the exact cosine pair list
+# (the oracle-certified edge surface of embedding_neardup_exact)
+# collapsed into connected components by distributed min-label
+# propagation (functions/graph.connected_components: one labels-onto-
+# edges join + one min-aggregate per round, messages collapsed in the
+# join buckets).  This is the step that turns pair detection into a
+# keep/drop decision.  SQL oracle: recursive CTE reachability with the
+# same min-of-component labeling.
+# ---------------------------------------------------------------------------
+def q_neardup_components(sf_dir: str):
+    import ray.data as rd
+
+    from pynomaly_ray.functions.graph import connected_components
+
+    edges = q_embedding_neardup_exact(sf_dir)[["vec_a", "vec_b"]]
+    if not len(edges):
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype=np.int64),
+                "component": pd.Series(dtype=np.int64),
+            }
+        )
+    labels = connected_components(
+        rd.from_pandas(edges), col_a="vec_a", col_b="vec_b"
+    )
+    df = labels.to_pandas().rename(
+        columns={"node": "vec_id", "lbl": "component"}
+    )
+    df["vec_id"] = df["vec_id"].astype(np.int64)
+    df["component"] = df["component"].astype(np.int64)
+    return collect_sorted(df, ["vec_id"])
+
+
+SQL_NEARDUP_COMPONENTS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             * 1000000 + 0.5) AS BIGINT) >= 400000
+), sym AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION ALL
+  SELECT vb, va FROM pairs
+), reach(id, lbl) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(lbl) AS BIGINT) AS component
+FROM reach
+GROUP BY id
+ORDER BY vec_id
+"""
+
+
+ORACLE_QUERIES["neardup_components"] = (
+    q_neardup_components,
+    SQL_NEARDUP_COMPONENTS,
+)

@@ -490,3 +490,31 @@ def test_range_sort_global_order(ray_session):
         diffs = np.diff(body)
         assert (diffs <= 0).all() if desc else (diffs >= 0).all()
         assert sorted(out["x"]) == list(range(20000))  # nothing lost
+
+
+def test_connected_components_topologies(ray_session):
+    """Distributed min-label propagation: chains (worst diameter),
+    stars, multi-component graphs, and duplicate edges all collapse to
+    min-id component labels; every edge endpoint is labeled."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.graph import connected_components
+
+    # chain 0-1-2-...-9 (diameter 9), star 100<-101..105,
+    # pair (200, 201), duplicate edge repeated
+    edges = pd.DataFrame(
+        {
+            "a": [*range(9), *[100] * 5, 200, 200],
+            "b": [*range(1, 10), *range(101, 106), 201, 201],
+        }
+    )
+    out = (
+        connected_components(rd.from_pandas(edges))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    expect = {**{i: 0 for i in range(10)},
+              **{i: 100 for i in range(100, 106)},
+              200: 200, 201: 200}
+    assert dict(zip(out["node"], out["lbl"])) == expect
