@@ -185,6 +185,45 @@ def cmd_dedup(args) -> int:
         if getattr(args, "state_dir", None):
             summary["state_dir"] = args.state_dir
             summary["run_id"] = args.run_id
+        if getattr(args, "keep_list", False):
+            # pairs -> connected components -> distributed drop-list
+            # (docs that are NOT their component's representative); the
+            # keep set is everything else, so the list stays
+            # O(duplicates) instead of O(corpus)
+            from pynomaly_ray.functions.graph import connected_components
+
+            edge_ds = pairs_ds
+            if getattr(args, "state_dir", None):
+                # incremental: components must span ALL runs' pairs, not
+                # just the new-doc pairs this run emitted
+                pair_files = [
+                    os.path.join(root, f)
+                    for root, _d, names in os.walk(
+                        os.path.join(args.out, "pairs")
+                    )
+                    for f in names
+                    if f.endswith(".parquet")
+                ]
+                from pynomaly_ray.sources.parquet import read_parquet_clean
+
+                edge_ds = read_parquet_clean(
+                    pair_files, columns=["doc_a", "doc_b"]
+                )
+            labels = connected_components(
+                edge_ds, col_a="doc_a", col_b="doc_b"
+            )
+
+            def drop_rows(df):
+                d = df[df["node"] != df["lbl"]]
+                return d.rename(
+                    columns={"node": "doc_id", "lbl": "kept_doc_id"}
+                )
+
+            drops = labels.map_batches(
+                drop_rows, batch_format="pandas"
+            ).materialize()
+            drops.write_parquet(_fresh("drop"))
+            summary["dropped_docs"] = int(drops.count())
     else:  # simhash
         from pynomaly_ray.stages.dedup import SimHasher
 
@@ -296,6 +335,12 @@ def main(argv=None) -> int:
         "--run-id",
         default="r0",
         help="incremental-state run id (with --state-dir)",
+    )
+    d.add_argument(
+        "--keep-list",
+        action="store_true",
+        help="minhash only: collapse pairs into connected components and "
+        "write drop/ parquet (doc_id -> kept representative)",
     )
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_dedup)

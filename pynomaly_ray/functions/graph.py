@@ -31,10 +31,12 @@ def connected_components(
     Rounds needed = graph diameter, which for dedup graphs is small by
     construction (the star-capped pair emitters link members to a
     representative, diameter ~2); ``max_rounds`` bounds pathological
-    chains and warns on non-convergence.  Convergence is detected by
-    the label-sum checksum: labels only ever decrease, so an unchanged
-    sum means a fixpoint (per-block partial sums on int64 — at node
-    counts/ids beyond ~10^17 per block swap the partial to Python ints).
+    chains and warns on non-convergence.  Convergence is detected by an
+    order-insensitive hash checksum of the (node, label) rows: labels
+    only ever decrease (monotone), so the label multiset changes at
+    every non-fixpoint step and the checksum is a sound detector up to
+    a 2^-64 hash collision.  Node ids may be integers or strings (any
+    orderable, hashable dtype — doc_ids are strings).
 
     Returns a Dataset of (node, component) where ``component`` is the
     minimum node id of the component — deterministic and
@@ -71,11 +73,16 @@ def connected_components(
     ).materialize()
 
     def block_sum(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"s": [np.int64(df["lbl"].sum())]})
+        hn = pd.util.hash_pandas_object(df["node"], index=False).to_numpy()
+        hl = pd.util.hash_pandas_object(df["lbl"], index=False).to_numpy()
+        with np.errstate(over="ignore"):
+            s = (hn * np.uint64(1000003) + hl).sum(dtype=np.uint64)
+        return pd.DataFrame({"s": [s]})
 
     def checksum(lds) -> int:
         parts = lds.map_batches(block_sum, batch_format="pandas").to_pandas()
-        return int(parts["s"].sum())
+        with np.errstate(over="ignore"):
+            return int(parts["s"].to_numpy(np.uint64).sum(dtype=np.uint64))
 
     prev = checksum(labels)
     for _ in range(max_rounds):

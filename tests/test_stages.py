@@ -1191,3 +1191,39 @@ def test_sniffing_decoders_never_raise_on_bad_payloads():
     webp_ish = b"RIFF\x10\x00\x00\x00WEBPVP8 "          # RIFF, not WAVE
     assert np.array_equal(img_dec(bad_bmp), mm.fake_decode(bad_bmp))
     assert np.array_equal(aud_dec(webp_ish), mm.fake_decode_audio(webp_ish))
+
+
+def test_cli_dedup_keep_list(ray_session, tmp_path):
+    """--keep-list: pairs collapse into components and a drop/ parquet
+    maps every non-representative doc to its kept representative,
+    spanning runs in incremental mode."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from pynomaly_ray.cli import main
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the fence and the birds sing in the morning light of summer"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": [base, base, base, "totally different words " * 8],
+        }
+    )
+    corpus = str(tmp_path / "c.parquet")
+    _pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), corpus)
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "dedup", "--input", corpus, "--out", out,
+            "--method", "minhash", "--threshold", "0.8", "--keep-list",
+        ]
+    )
+    assert rc == 0
+    drop = _pq.read_table(os.path.join(out, "drop")).to_pandas()
+    assert set(drop["doc_id"]) == {"b", "c"}
+    assert set(drop["kept_doc_id"]) == {"a"}
