@@ -10,10 +10,40 @@ the 100-TB curation workflow.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import numpy as np
 import pandas as pd
+
+# At or below this many edges the whole graph is driver-sized and the
+# distributed rounds are pure scheduling overhead (measured 4 s for a
+# 90-edge graph vs microseconds locally); above it, label propagation
+# runs as hash exchanges.  Env-overridable so tests force both paths.
+_LOCAL_CC_EDGE_CAP_DEFAULT = 1_000_000
+
+
+def _local_components(
+    edges: pd.DataFrame, col_a: str, col_b: str
+) -> pd.DataFrame:
+    """Driver-local components: factorize ids (sorted, so the minimum
+    code IS the minimum id), then vectorized min-propagation with
+    pointer jumping — O(E) numpy per round, O(log n) rounds."""
+    both = pd.concat([edges[col_a], edges[col_b]], ignore_index=True)
+    codes, uniques = pd.factorize(both, sort=True)
+    n = len(uniques)
+    m = len(edges)
+    src, dst = codes[:m], codes[m:]
+    lbl = np.arange(n, dtype=np.int64)
+    while True:
+        old = lbl.copy()
+        np.minimum.at(lbl, dst, lbl[src])
+        np.minimum.at(lbl, src, lbl[dst])
+        lbl = np.minimum(lbl, lbl[lbl])  # pointer jumping
+        if np.array_equal(lbl, old):
+            break
+    vals = np.asarray(uniques)
+    return pd.DataFrame({"node": vals, "lbl": vals[lbl]})
 
 
 def connected_components(
@@ -43,7 +73,21 @@ def connected_components(
     engine-independent.  Isolated nodes (no edges) don't appear; union
     them in with label = self if the full node set is needed.
     """
+    import ray.data as rd
+
     from pynomaly_ray.functions.exchange import hash_aggregate, hash_join
+
+    cap = int(
+        os.environ.get("PNR_LOCAL_CC_EDGES", _LOCAL_CC_EDGE_CAP_DEFAULT)
+    )
+    edges_in = edges_ds.materialize()
+    if edges_in.count() <= cap:
+        # size switch (same pattern as anti_membership / Stage B): a
+        # driver-sized edge list resolves in vectorized numpy instead of
+        # paying a join + aggregate + checksum execution per round
+        return rd.from_pandas(
+            _local_components(edges_in.to_pandas(), col_a, col_b)
+        )
 
     def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
         a = df[col_a].to_numpy()
@@ -55,7 +99,7 @@ def connected_components(
             }
         )
 
-    edges = edges_ds.map_batches(
+    edges = edges_in.map_batches(
         symmetrize, batch_format="pandas"
     ).materialize()
 

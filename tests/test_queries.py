@@ -492,10 +492,12 @@ def test_range_sort_global_order(ray_session):
         assert sorted(out["x"]) == list(range(20000))  # nothing lost
 
 
-def test_connected_components_topologies(ray_session):
-    """Distributed min-label propagation: chains (worst diameter),
-    stars, multi-component graphs, and duplicate edges all collapse to
-    min-id component labels; every edge endpoint is labeled."""
+def test_connected_components_topologies(ray_session, monkeypatch):
+    """Min-label propagation: chains (worst diameter), stars,
+    multi-component graphs, and duplicate edges collapse to min-id
+    component labels — identically through BOTH the driver-local
+    union path and the forced distributed exchange rounds, for int
+    and string node ids."""
     import ray.data as rd
 
     from pynomaly_ray.functions.graph import connected_components
@@ -508,13 +510,18 @@ def test_connected_components_topologies(ray_session):
             "b": [*range(1, 10), *range(101, 106), 201, 201],
         }
     )
-    out = (
-        connected_components(rd.from_pandas(edges))
-        .to_pandas()
-        .sort_values("node")
-        .reset_index(drop=True)
-    )
     expect = {**{i: 0 for i in range(10)},
               **{i: 100 for i in range(100, 106)},
               200: 200, 201: 200}
-    assert dict(zip(out["node"], out["lbl"])) == expect
+    s_edges = edges.astype(str)
+    s_expect = {str(k): str(v) for k, v in expect.items()}
+
+    for cap, want, e in [
+        ("1000000", expect, edges),        # local path
+        ("0", expect, edges),              # forced distributed path
+        ("1000000", s_expect, s_edges),    # string ids, local
+        ("0", s_expect, s_edges),          # string ids, distributed
+    ]:
+        monkeypatch.setenv("PNR_LOCAL_CC_EDGES", cap)
+        out = connected_components(rd.from_pandas(e)).to_pandas()
+        assert dict(zip(out["node"], out["lbl"])) == want
