@@ -103,6 +103,34 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def _check_state_out_dir(state_dir: str, out: str) -> None:
+    """Pin the pairs --out dir to the incremental state on first use and
+    refuse a different one afterwards: keep-lists/components union every
+    run's pair dir, and the band state suppresses re-emission of prior
+    runs' pairs, so pairs scattered across out dirs would silently
+    produce an incomplete drop list."""
+    import os
+
+    root = os.path.join(state_dir, "bands")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "out_dir.txt")
+    out_abs = os.path.abspath(out)
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = f.read().strip()
+        if prior != out_abs:
+            raise SystemExit(
+                f"minhash state {state_dir!r} is pinned to --out {prior!r}; "
+                f"this run passed {out_abs!r}. All incremental runs must "
+                "share one --out (their pair dirs union into the keep-list)."
+            )
+    else:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(out_abs + "\n")
+        os.replace(tmp, path)
+
+
 def cmd_dedup(args) -> int:
     """Deduplicate a documents table (exact / minhash / simhash)."""
     import os
@@ -165,6 +193,10 @@ def cmd_dedup(args) -> int:
         if getattr(args, "state_dir", None):
             from pynomaly_ray.stages.dedup import commit_minhash_state
 
+            # incremental correctness requires ALL runs' pairs to land
+            # under ONE --out (components/keep-lists union them): pin
+            # the out dir to the state like the LSH params are pinned
+            _check_state_out_dir(args.state_dir, args.out)
             pairs_ds = minhash_lsh_duplicates_incremental(
                 ds, args.state_dir, args.run_id, commit=False, **kw
             )
@@ -195,7 +227,8 @@ def cmd_dedup(args) -> int:
             edge_ds = pairs_ds
             if getattr(args, "state_dir", None):
                 # incremental: components must span ALL runs' pairs, not
-                # just the new-doc pairs this run emitted
+                # just the new-doc pairs this run emitted (out dir is
+                # pinned to the state, so the walk sees every run)
                 pair_files = [
                     os.path.join(root, f)
                     for root, _d, names in os.walk(
@@ -204,11 +237,12 @@ def cmd_dedup(args) -> int:
                     for f in names
                     if f.endswith(".parquet")
                 ]
-                from pynomaly_ray.sources.parquet import read_parquet_clean
+                if pair_files:
+                    from pynomaly_ray.sources.parquet import read_parquet_clean
 
-                edge_ds = read_parquet_clean(
-                    pair_files, columns=["doc_a", "doc_b"]
-                )
+                    edge_ds = read_parquet_clean(
+                        pair_files, columns=["doc_a", "doc_b"]
+                    )
             labels = connected_components(
                 edge_ds, col_a="doc_a", col_b="doc_b"
             )

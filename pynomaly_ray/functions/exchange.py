@@ -532,9 +532,31 @@ def range_sort(
     refs, nbytes = _materialized(ds)
     p = num_partitions or auto_num_partitions(nbytes)
 
+    def _key_values(t: pa.Table):
+        """(values ndarray, null mask) for the key column, WITHOUT the
+        int->float widening of a plain to_pandas/to_numpy on nullable
+        int blocks (precision loss above 2^53 would misplace rows near
+        splitter boundaries — same trap _hash_key_column closes)."""
+        import pyarrow.compute as _pc
+
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        nulls = _pc.is_null(arr).to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(arr.type):
+            vals = _pc.fill_null(arr.cast(pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            vals = arr.to_numpy(zero_copy_only=False)
+        return vals, nulls
+
     @ray.remote
     def _sample(t: pa.Table) -> np.ndarray:
-        col = t[key].drop_null().to_numpy(zero_copy_only=False)
+        vals, nulls = _key_values(t)
+        col = vals[~nulls]
+        if col.dtype.kind == "f":
+            col = col[~np.isnan(col)]  # NaN splitters would poison ranges
         if len(col) <= samples_per_block:
             return col
         idx = np.linspace(0, len(col) - 1, samples_per_block).astype(np.int64)
@@ -551,11 +573,14 @@ def range_sort(
 
     @ray.remote
     def _split_ranges(t: pa.Table, splits: np.ndarray, n: int):
-        col = t[key].to_numpy(zero_copy_only=False)
-        null_mask = pd.isna(col)
-        rng = np.searchsorted(splits, col, side="right").astype(np.int64)
+        vals, null_mask = _key_values(t)
+        rng = np.empty(len(vals), dtype=np.int64)
+        nn = ~null_mask
+        # searchsorted only over non-null values: None in an object
+        # (string) column has no ordering and would raise
+        rng[nn] = np.searchsorted(splits, vals[nn], side="right")
         if descending:
-            rng = (n - 1) - rng
+            rng[nn] = (n - 1) - rng[nn]
         rng[null_mask] = n - 1  # nulls ride the last range
         order = np.argsort(rng, kind="stable")
         sorted_t = t.take(pa.array(order))

@@ -28,7 +28,10 @@ def _local_components(
 ) -> pd.DataFrame:
     """Driver-local components: factorize ids (sorted, so the minimum
     code IS the minimum id), then vectorized min-propagation with
-    pointer jumping — O(E) numpy per round, O(log n) rounds."""
+    pointer jumping — O(E) numpy per round, O(log n) rounds.
+    ``edges`` must be pre-cleaned: non-empty, no null endpoints
+    (factorize codes null as -1, which would alias the LAST node via
+    negative indexing and silently merge unrelated components)."""
     both = pd.concat([edges[col_a], edges[col_b]], ignore_index=True)
     codes, uniques = pd.factorize(both, sort=True)
     n = len(uniques)
@@ -80,8 +83,27 @@ def connected_components(
     cap = int(
         os.environ.get("PNR_LOCAL_CC_EDGES", _LOCAL_CC_EDGE_CAP_DEFAULT)
     )
-    edges_in = edges_ds.materialize()
-    if edges_in.count() <= cap:
+
+    import pyarrow as pa
+
+    _EMPTY_LABELS = pa.table(
+        {"node": pa.array([], pa.string()), "lbl": pa.array([], pa.string())}
+    )
+
+    def drop_null_edges(df: pd.DataFrame) -> pd.DataFrame:
+        # a null endpoint cannot carry a label (and would alias other
+        # nodes through factorize's -1 code); such edges are dropped —
+        # run uniqueness/validation beforehand to surface null ids
+        return df.dropna(subset=[col_a, col_b])
+
+    edges_in = edges_ds.map_batches(
+        drop_null_edges, batch_format="pandas"
+    ).materialize()
+    n_edges = edges_in.count()
+    if n_edges == 0:
+        # typed empty result so downstream renames/writes still work
+        return rd.from_arrow(_EMPTY_LABELS)
+    if n_edges <= cap:
         # size switch (same pattern as anti_membership / Stage B): a
         # driver-sized edge list resolves in vectorized numpy instead of
         # paying a join + aggregate + checksum execution per round

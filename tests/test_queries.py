@@ -525,3 +525,62 @@ def test_connected_components_topologies(ray_session, monkeypatch):
         monkeypatch.setenv("PNR_LOCAL_CC_EDGES", cap)
         out = connected_components(rd.from_pandas(e)).to_pandas()
         assert dict(zip(out["node"], out["lbl"])) == want
+
+
+def test_connected_components_empty_and_null_edges(ray_session):
+    """Empty edge sets return a typed empty labels dataset; edges with a
+    null endpoint are dropped instead of aliasing other nodes through
+    factorize's -1 code (which silently merged unrelated components)."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.graph import connected_components
+
+    empty = pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+    out_ds = connected_components(rd.from_pandas(empty))
+    # (Ray's to_pandas drops columns on 0-row datasets; check the schema)
+    assert out_ds.count() == 0
+    assert out_ds.schema().names == ["node", "lbl"]
+
+    edges = pd.DataFrame({"a": [None, "y"], "b": ["a", "z"]})
+    out = connected_components(rd.from_pandas(edges)).to_pandas()
+    assert dict(zip(out["node"], out["lbl"])) == {"y": "y", "z": "y"}
+
+
+def test_range_sort_string_keys_with_nulls(ray_session):
+    """range_sort handles object (string) keys containing nulls — the
+    documented nulls-last contract — and nullable int keys without the
+    int->float widening."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import range_sort
+
+    words = [f"w{i:04d}" for i in range(5000)]
+    rng = np.random.RandomState(2)
+    rng.shuffle(words)
+    ser = pd.Series(words, dtype=object)
+    ser[rng.choice(5000, 100, replace=False)] = None
+    df = pd.DataFrame({"k": ser, "x": np.arange(5000, dtype=np.int64)})
+    out = range_sort(
+        rd.from_pandas(df).repartition(8), "k", num_partitions=4
+    ).to_pandas()
+    k = out["k"].to_numpy()
+    n_null = int(pd.isna(k).sum())
+    assert n_null == 100
+    assert pd.isna(k[-n_null:]).all()
+    body = k[: len(k) - n_null]
+    assert all(body[i] <= body[i + 1] for i in range(len(body) - 1))
+
+    ints = pd.array(
+        [int(v) if v % 7 else None for v in rng.randint(1, 10000, 4000)],
+        dtype="Int64",
+    )
+    df2 = pd.DataFrame({"k": ints, "x": np.arange(4000, dtype=np.int64)})
+    out2 = range_sort(
+        rd.from_pandas(df2).repartition(4), "k", num_partitions=4
+    ).to_pandas()
+    k2 = out2["k"].to_numpy()
+    nn2 = ~pd.isna(k2)
+    body2 = k2[nn2]
+    # nulls last + ordered body, and values stayed integral
+    assert pd.isna(k2[len(body2):]).all()
+    assert all(body2[i] <= body2[i + 1] for i in range(len(body2) - 1))

@@ -1227,3 +1227,47 @@ def test_cli_dedup_keep_list(ray_session, tmp_path):
     drop = _pq.read_table(os.path.join(out, "drop")).to_pandas()
     assert set(drop["doc_id"]) == {"b", "c"}
     assert set(drop["kept_doc_id"]) == {"a"}
+
+
+def test_cli_dedup_keep_list_no_duplicates(ray_session, tmp_path):
+    """--keep-list on a clean corpus (zero pairs) completes with an
+    empty drop list instead of crashing, in both one-shot and
+    incremental modes; a mismatched --out against pinned state refuses."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+    import pytest as _pytest
+
+    from pynomaly_ray.cli import main
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["u1", "u2"],
+            "text": ["first unique words " * 6, "second other tokens " * 6],
+        }
+    )
+    corpus = str(tmp_path / "c.parquet")
+    _pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), corpus)
+
+    out1 = str(tmp_path / "o1")
+    assert main(
+        ["dedup", "--input", corpus, "--out", out1, "--method", "minhash",
+         "--keep-list"]
+    ) == 0
+    assert not os.path.exists(os.path.join(out1, "drop")) or not [
+        f for f in os.listdir(os.path.join(out1, "drop")) if f.endswith(".parquet")
+    ]
+
+    out2 = str(tmp_path / "o2")
+    state = str(tmp_path / "state")
+    assert main(
+        ["dedup", "--input", corpus, "--out", out2, "--method", "minhash",
+         "--state-dir", state, "--run-id", "r1", "--keep-list"]
+    ) == 0
+    # out dir pinned: a different --out with the same state refuses
+    with _pytest.raises(SystemExit, match="pinned to --out"):
+        main(
+            ["dedup", "--input", corpus, "--out", str(tmp_path / "o3"),
+             "--method", "minhash", "--state-dir", state, "--run-id", "r2"]
+        )
