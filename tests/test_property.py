@@ -262,3 +262,97 @@ def test_hash_aggregate_split_and_fanout_invariance(
     )
     expect = df.groupby("k", sort=True)["v"].sum().reset_index()
     pd.testing.assert_frame_equal(out, expect)
+
+
+# ---------------------------------------------------------------------------
+# round-4 operator kernels (pure, no Ray)
+# ---------------------------------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n=st.integers(min_value=1, max_value=300),
+    n_docs=st.integers(min_value=1, max_value=40),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+def test_bulk_emit_matches_per_group_reference(seed, n, n_docs, n_parts):
+    """The vectorized all-groups duplicate emitter equals the per-group
+    reference for ANY occurrence table, including random prior-run
+    splits (resume attribution) and hot keys."""
+    from pynomaly_ray.functions.hashing import hash_strings
+    from pynomaly_ray.stages.uniqueness import (
+        bulk_emit_violations,
+        emit_duplicate_violations,
+    )
+
+    rng = np.random.RandomState(seed)
+    docs = [f"d{rng.randint(n_docs)}" for _ in range(n)]
+    parts = [f"p{rng.randint(n_parts)}" for _ in range(n)]
+    df = pd.DataFrame(
+        {
+            "doc_id": docs,
+            "partition_id": parts,
+            "cnt": rng.randint(1, 4, n).astype(np.int64),
+            "is_prior": (rng.rand(n) < 0.4).astype(np.int64),
+        }
+    )
+    df["doc_hash"] = hash_strings(df["doc_id"]).view(np.int64)
+
+    got = bulk_emit_violations(df)
+
+    totals = df.groupby("doc_id")["cnt"].sum()
+    dups = df[df["doc_id"].isin(totals[totals > 1].index)]
+    frames = [
+        emit_duplicate_violations(g)
+        for _, g in dups.groupby("doc_id", sort=True)
+    ]
+    ref = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(
+            {c: pd.Series(dtype=object)
+             for c in ["doc_id", "partition_id", "check", "detail"]}
+        )
+    )
+    key = ["doc_id", "partition_id"]
+    a = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = ref.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["partition_id"]) == list(b["partition_id"])
+
+
+@settings(**SETTINGS)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_nodes=st.integers(min_value=1, max_value=60),
+    n_edges=st.integers(min_value=0, max_value=120),
+)
+def test_local_components_matches_union_find(seed, n_nodes, n_edges):
+    """_local_components equals a plain union-find on arbitrary random
+    graphs (self-loops, duplicate edges, arbitrary id values)."""
+    from pynomaly_ray.functions.graph import _local_components
+
+    rng = np.random.RandomState(seed)
+    ids = rng.choice(10_000, size=n_nodes, replace=False)
+    a = ids[rng.randint(n_nodes, size=n_edges)]
+    b = ids[rng.randint(n_nodes, size=n_edges)]
+    edges = pd.DataFrame({"a": a, "b": b})
+    if not len(edges):
+        return
+
+    got = _local_components(edges, "a", "b")
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    expect = {x: find(x) for x in set(a.tolist()) | set(b.tolist())}
+    assert dict(zip(got["node"], got["lbl"])) == expect
