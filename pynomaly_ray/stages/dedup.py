@@ -555,9 +555,18 @@ def minhash_lsh_duplicates_incremental(
     from pynomaly_ray.functions.exchange import anti_membership, hash_aggregate
     from pynomaly_ray.sources.parquet import read_parquet_clean
 
+    # the threshold is part of the cross-run contract too: prior-prior
+    # suppression assumes prior runs already emitted THEIR pairs, which
+    # only holds if every run cuts at the same tau (a looser rerun would
+    # silently miss prior-prior pairs in the widened band)
     _check_minhash_params(
         state_dir,
-        {"n_perm": n_perm, "n_bands": n_bands, "shingle_k": shingle_k},
+        {
+            "n_perm": n_perm,
+            "n_bands": n_bands,
+            "shingle_k": shingle_k,
+            "jaccard_threshold": jaccard_threshold,
+        },
     )
 
     def _tag(val: int):
