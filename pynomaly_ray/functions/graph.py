@@ -151,7 +151,7 @@ def connected_components(
             return int(parts["s"].to_numpy(np.uint64).sum(dtype=np.uint64))
 
     prev = checksum(labels)
-    for _ in range(max_rounds):
+    for round_i in range(max_rounds):
         msgs = hash_join(
             edges,
             labels.map_batches(
@@ -168,8 +168,31 @@ def connected_components(
                 .rename(columns={"dst": "node"})
             ),
         )
+        new_labels = labels.union(msgs)
+        if round_i >= 2:
+            # pointer jumping (lbl' = lbl[lbl]) from round 3 on: star
+            # graphs (the dedup case) converge in 2 rounds and never pay
+            # the extra join; long chains switch from diameter rounds to
+            # O(log diameter)
+            jump = hash_join(
+                labels,
+                labels.map_batches(
+                    lambda df: df.rename(
+                        columns={"node": "lbl", "lbl": "lbl2"}
+                    ),
+                    batch_format="pandas",
+                ),
+                ["lbl"],
+                merge_fn=lambda df: (
+                    df.groupby("node", sort=False)["lbl2"]
+                    .min()
+                    .reset_index()
+                    .rename(columns={"lbl2": "lbl"})
+                ),
+            )
+            new_labels = new_labels.union(jump)
         labels = hash_aggregate(
-            labels.union(msgs), ["node"], min_label
+            new_labels, ["node"], min_label
         ).materialize()
         cur = checksum(labels)
         if cur == prev:

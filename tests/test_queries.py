@@ -584,3 +584,24 @@ def test_range_sort_string_keys_with_nulls(ray_session):
     # nulls last + ordered body, and values stayed integral
     assert pd.isna(k2[len(body2):]).all()
     assert all(body2[i] <= body2[i + 1] for i in range(len(body2) - 1))
+
+
+def test_connected_components_long_chain_distributed(ray_session, monkeypatch):
+    """A pure chain of diameter 2000 (>> max_rounds) converges through
+    the distributed path only because of pointer jumping (label[label]
+    from round 3 on) — plain propagation would need diameter rounds."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.graph import connected_components
+
+    monkeypatch.setenv("PNR_LOCAL_CC_EDGES", "0")  # force distributed
+    n = 2000
+    edges = pd.DataFrame(
+        {
+            "a": np.arange(n - 1, dtype=np.int64),
+            "b": np.arange(1, n, dtype=np.int64),
+        }
+    )
+    out = connected_components(rd.from_pandas(edges)).to_pandas()
+    assert len(out) == n
+    assert (out["lbl"] == 0).all()
