@@ -2360,3 +2360,53 @@ ORACLE_QUERIES["neardup_components"] = (
     q_neardup_components,
     SQL_NEARDUP_COMPONENTS,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: big_spenders — semi-join (EXISTS): customers with at least one
+# order above a price threshold, projected with a customer attribute.
+# Engine: the probe side collapses to DISTINCT keys per batch in the
+# scan (a semi-join never needs the probe rows, only key existence),
+# one key exchange dedups globally, and the customer side joins in
+# partitioned buckets.  Distinct from anti (inactive_customers) and
+# outer (customer_order_counts) — completes the join-mode family.
+# ---------------------------------------------------------------------------
+_BIG_SPENDER_CUTOFF = 480_000.0
+
+
+def q_big_spenders(sf_dir: str):
+    from pynomaly_ray.functions.exchange import hash_join
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        big = df.loc[
+            (df["o_totalprice"] > _BIG_SPENDER_CUTOFF)
+            & df["o_custkey"].notna(),
+            "o_custkey",
+        ].unique()
+        return _from_pandas(
+            pd.DataFrame({"c_custkey": big.astype(np.int64)})
+        )
+
+    keys = hash_aggregate(
+        orders.map_batches(distinct_partial, batch_format="pyarrow"),
+        ["c_custkey"],
+        lambda df: df.drop_duplicates("c_custkey"),
+    )
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = hash_join(keys, cust, ["c_custkey"])
+    return collect_sorted(out, ["c_custkey"])
+
+
+SQL_BIG_SPENDERS = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 480000)
+ORDER BY c_custkey
+"""
+
+
+ORACLE_QUERIES["big_spenders"] = (q_big_spenders, SQL_BIG_SPENDERS)
