@@ -22,6 +22,13 @@ import pandas as pd
 # runs as hash exchanges.  Env-overridable so tests force both paths.
 _LOCAL_CC_EDGE_CAP_DEFAULT = 1_000_000
 
+# Pointer-jumping lookup table (one row per DISTINCT label ~= per
+# component) is broadcast when at most this many entries; beyond it the
+# jump is skipped for the round — propagation alone remains correct,
+# just diameter-bound (distinct-label count shrinks monotonically, so
+# jumping re-engages as convergence proceeds).
+_JUMP_BROADCAST_CAP = 1_000_000
+
 
 def _local_components(
     edges: pd.DataFrame, col_a: str, col_b: str
@@ -170,27 +177,58 @@ def connected_components(
         )
         new_labels = labels.union(msgs)
         if round_i >= 2:
-            # pointer jumping (lbl' = lbl[lbl]) from round 3 on: star
-            # graphs (the dedup case) converge in 2 rounds and never pay
-            # the extra join; long chains switch from diameter rounds to
-            # O(log diameter)
-            jump = hash_join(
-                labels,
+            # Pointer jumping (lbl' = lbl[lbl]) from round 3 on — star-
+            # shaped dedup graphs typically converge before it engages;
+            # long chains switch from diameter rounds to O(log diameter).
+            # SKEW NOTE: a naive labels-joined-on-'lbl' would funnel a
+            # giant converging component's every row into ONE bucket, so
+            # instead the lookup table D = {distinct label -> its label}
+            # is built with uniform keys (per-block dedup bounds a hot
+            # label to <= n_blocks partials; the lookup join keys on
+            # NODE, which is unique) and then applied to the label
+            # stream as a broadcast map — D has one row per distinct
+            # label (~ #components), driver-safe long before jumping
+            # matters.  If D outgrows the cap, skip jumping that round
+            # (propagation alone stays correct, just diameter-bound).
+            distinct_lbl = hash_aggregate(
                 labels.map_batches(
-                    lambda df: df.rename(
-                        columns={"node": "lbl", "lbl": "lbl2"}
-                    ),
+                    lambda df: df[["lbl"]].drop_duplicates(),
                     batch_format="pandas",
                 ),
                 ["lbl"],
-                merge_fn=lambda df: (
-                    df.groupby("node", sort=False)["lbl2"]
-                    .min()
-                    .reset_index()
-                    .rename(columns={"lbl2": "lbl"})
-                ),
+                lambda df: df.drop_duplicates("lbl"),
             )
-            new_labels = new_labels.union(jump)
+            lookup = hash_join(
+                distinct_lbl.map_batches(
+                    lambda df: df.rename(columns={"lbl": "node"}),
+                    batch_format="pandas",
+                ),
+                labels,
+                ["node"],
+            )
+            D = lookup.to_pandas()  # one row per distinct label
+            if len(D) <= _JUMP_BROADCAST_CAP:
+                import ray
+
+                mref = ray.put(dict(zip(D["node"], D["lbl"])))
+
+                def apply_jump(t: pa.Table) -> pa.Table:
+                    import ray as _r
+
+                    m = _r.get(mref)
+                    df = t.to_pandas()
+                    l2 = df["lbl"].map(m).to_numpy()
+                    cur = df["lbl"].to_numpy()
+                    out = pd.DataFrame(
+                        {"node": df["node"], "lbl": np.where(l2 < cur, l2, cur)}
+                    )
+                    return pa.Table.from_pandas(
+                        out, preserve_index=False
+                    ).replace_schema_metadata(None)
+
+                new_labels = new_labels.union(
+                    labels.map_batches(apply_jump, batch_format="pyarrow")
+                )
         labels = hash_aggregate(
             new_labels, ["node"], min_label
         ).materialize()

@@ -488,12 +488,27 @@ def _check_minhash_params(
     if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f)
-        if prior != params:
+        # keys the prior file never recorded (state written by an older
+        # engine before that parameter joined the contract) are adopted
+        # from this run rather than failing a compatible state dir
+        mismatched = {
+            k: (prior[k], v)
+            for k, v in params.items()
+            if k in prior and prior[k] != v
+        }
+        if mismatched:
             raise ValueError(
                 f"minhash state {state_dir!r} was built with {prior}; "
-                f"this run requests {params} — incompatible band tables. "
+                f"this run requests {params} — incompatible band tables "
+                f"(mismatched: {sorted(mismatched)}). "
                 "Use a fresh state dir (or the original parameters)."
             )
+        if set(params) - set(prior):
+            prior.update(params)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(prior, f)
+            os.replace(tmp, path)
     else:
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
