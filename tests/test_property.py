@@ -356,3 +356,34 @@ def test_local_components_matches_union_find(seed, n_nodes, n_edges):
             parent[max(rx, ry)] = min(rx, ry)
     expect = {x: find(x) for x in set(a.tolist()) | set(b.tolist())}
     assert dict(zip(got["node"], got["lbl"])) == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=1000),
+    n=st.integers(min_value=1, max_value=3000),
+    p=st.integers(min_value=1, max_value=7),
+    dup_range=st.sampled_from([3, 100, 10**9]),
+    desc=st.booleans(),
+)
+def test_range_sort_randomized(ray_session, seed, n, p, dup_range, desc):
+    """range_sort over random int data (heavy duplicates through nearly
+    unique), any partition count, both directions: output is the exact
+    sorted multiset, in order, for every configuration."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import range_sort
+
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, dup_range, n).astype(np.int64)
+    df = pd.DataFrame({"k": vals, "x": np.arange(n, dtype=np.int64)})
+    out = range_sort(
+        rd.from_pandas(df).repartition(min(4, n)), "k",
+        num_partitions=p, descending=desc,
+    ).to_pandas()
+    got = out["k"].to_numpy()
+    expect = np.sort(vals)
+    if desc:
+        expect = expect[::-1]
+    assert np.array_equal(got, expect)
+    assert sorted(out["x"]) == list(range(n))
