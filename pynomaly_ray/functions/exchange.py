@@ -119,8 +119,13 @@ def _hash_key_column(col) -> np.ndarray:
             pd.Series(vals), index=False
         ).to_numpy()
     else:
+        # categorize=False: the categorize path factorizes object arrays
+        # with a NUL-truncated C-string compare, which both conflates
+        # strings differing after an embedded \x00 and makes the hash
+        # depend on block co-contents -- either would mis-route keys
+        # across exchange buckets.  See functions/hashing.py.
         hv = pd.util.hash_pandas_object(
-            arr.to_pandas(), index=False
+            arr.to_pandas(), index=False, categorize=False
         ).to_numpy()
     if arr.null_count:
         nulls = _pc.is_null(arr).to_numpy(zero_copy_only=False)

@@ -33,14 +33,19 @@ _JUMP_BROADCAST_CAP = 1_000_000
 def _local_components(
     edges: pd.DataFrame, col_a: str, col_b: str
 ) -> pd.DataFrame:
-    """Driver-local components: factorize ids (sorted, so the minimum
-    code IS the minimum id), then vectorized min-propagation with
-    pointer jumping — O(E) numpy per round, O(log n) rounds.
-    ``edges`` must be pre-cleaned: non-empty, no null endpoints
-    (factorize codes null as -1, which would alias the LAST node via
-    negative indexing and silently merge unrelated components)."""
+    """Driver-local components: code ids via np.unique (sorted, so the
+    minimum code IS the minimum id), then vectorized min-propagation
+    with pointer jumping — O(E) numpy per round, O(log n) rounds.
+    ``edges`` must be pre-cleaned: non-empty, no null endpoints (a null
+    id cannot carry a label and would break the sort-based coding).
+
+    np.unique rather than pd.factorize: pandas' object hash table
+    compares strings as NUL-terminated C strings, so string doc_ids
+    differing only after an embedded ``\\x00`` would alias into one
+    node and silently merge unrelated components; np.unique's
+    sort-based Python compare is byte-exact."""
     both = pd.concat([edges[col_a], edges[col_b]], ignore_index=True)
-    codes, uniques = pd.factorize(both, sort=True)
+    uniques, codes = np.unique(both.to_numpy(), return_inverse=True)
     n = len(uniques)
     m = len(edges)
     src, dst = codes[:m], codes[m:]
@@ -86,6 +91,7 @@ def connected_components(
     import ray.data as rd
 
     from pynomaly_ray.functions.exchange import hash_aggregate, hash_join
+    from pynomaly_ray.functions.hashing import nul_safe_key
 
     cap = int(
         os.environ.get("PNR_LOCAL_CC_EDGES", _LOCAL_CC_EDGE_CAP_DEFAULT)
@@ -133,11 +139,30 @@ def connected_components(
     ).materialize()
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        nodes = pd.unique(df["src"])
+        # nul_safe_key: pd.unique on object strings aliases node ids
+        # differing only after an embedded NUL (pandas C-string compare);
+        # cast back to object afterwards so blocks keep a uniform schema
+        key = nul_safe_key(df["src"])
+        nodes = pd.unique(key)
+        if key is not df["src"]:
+            nodes = np.asarray(nodes, dtype=object)
         return pd.DataFrame({"node": nodes, "lbl": nodes})
 
     def min_label(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("node", sort=False)["lbl"].min().reset_index()
+        key = nul_safe_key(df["node"])
+        g = df.groupby(key, sort=False)["lbl"].min().reset_index()
+        if key is not df["node"]:
+            g["node"] = g["node"].astype(object)
+        return g
+
+    def _min_to_dst(df: pd.DataFrame) -> pd.DataFrame:
+        # per-destination minimum inside the join bucket; NUL-safe key
+        key = nul_safe_key(df["dst"])
+        g = df.groupby(key, sort=False)["lbl"].min().reset_index()
+        g = g.rename(columns={"dst": "node"})
+        if key is not df["dst"]:
+            g["node"] = g["node"].astype(object)
+        return g
 
     labels = hash_aggregate(
         edges.map_batches(init_labels, batch_format="pandas"),
@@ -146,8 +171,12 @@ def connected_components(
     ).materialize()
 
     def block_sum(df: pd.DataFrame) -> pd.DataFrame:
-        hn = pd.util.hash_pandas_object(df["node"], index=False).to_numpy()
-        hl = pd.util.hash_pandas_object(df["lbl"], index=False).to_numpy()
+        hn = pd.util.hash_pandas_object(
+            df["node"], index=False, categorize=False
+        ).to_numpy()
+        hl = pd.util.hash_pandas_object(
+            df["lbl"], index=False, categorize=False
+        ).to_numpy()
         with np.errstate(over="ignore"):
             s = (hn * np.uint64(1000003) + hl).sum(dtype=np.uint64)
         return pd.DataFrame({"s": [s]})
@@ -168,12 +197,7 @@ def connected_components(
             ["src"],
             # messages collapse to per-destination minima INSIDE the
             # join bucket, so a hub node's fan-out never materializes
-            merge_fn=lambda df: (
-                df.groupby("dst", sort=False)["lbl"]
-                .min()
-                .reset_index()
-                .rename(columns={"dst": "node"})
-            ),
+            merge_fn=_min_to_dst,
         )
         new_labels = labels.union(msgs)
         if round_i >= 2:

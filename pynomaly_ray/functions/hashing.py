@@ -22,6 +22,15 @@ def hash_strings(values) -> np.ndarray:
     Uses pandas' keyed SipHash (``hash_pandas_object`` with its fixed
     default key) — vectorized in C and stable across processes.
     Accepts pyarrow Array/ChunkedArray, numpy array, list, or Series.
+
+    ``categorize=False`` is load-bearing: the default categorize path
+    factorizes object arrays with a NUL-truncated C-string compare, so
+    strings differing only after an embedded ``\\x00`` byte would hash
+    identically — and the same string would hash differently depending
+    on which other strings share its batch. With ``categorize=False``
+    every element is SipHashed over its full UTF-8 bytes, making the
+    hash value batch-independent (required for cross-block exchange
+    routing and MinHash batch/single parity on hostile crawl text).
     """
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         ser = values.to_pandas()
@@ -29,7 +38,27 @@ def hash_strings(values) -> np.ndarray:
         ser = values
     else:
         ser = pd.Series(values)
-    return pd.util.hash_pandas_object(ser, index=False).to_numpy()
+    return pd.util.hash_pandas_object(
+        ser, index=False, categorize=False
+    ).to_numpy()
+
+
+def nul_safe_key(ser: pd.Series):
+    """Groupby/unique-safe view of a key Series.
+
+    pandas routes groupby / factorize / unique on all-``str`` object
+    columns through its StringHashTable, which compares values as
+    NUL-terminated C strings — keys differing only after an embedded
+    ``\\x00`` byte silently alias into one group.  Casting to the
+    Arrow-backed string dtype makes pandas hash the full UTF-8 bytes
+    instead.  No-op for non-object dtypes (ints, floats, already-Arrow).
+
+    Use this on any group key that can carry hostile crawl text
+    (doc_ids, node ids, partition ids); numeric keys pass through free.
+    """
+    if getattr(ser, "dtype", None) == object:
+        return ser.astype("string[pyarrow]")
+    return ser
 
 
 def salt_of(values, buckets: int) -> np.ndarray:

@@ -44,7 +44,10 @@ def partial_stats_batch(
     # the violation rows use
     part = sub["partition_id"].to_pandas().fillna("<null>").to_numpy(dtype=object)
     source = sub["source"].to_pandas().to_numpy(dtype=object)
-    codes, uniques = pd.factorize(pd.Series(part), sort=False)
+    # np.unique, not pd.factorize: pandas' object hash table compares
+    # strings as C strings, so partition ids differing only after an
+    # embedded NUL byte would silently merge into one stats group
+    uniques, codes = np.unique(part, return_inverse=True)
     n_parts = len(uniques)
 
     tokens = sub["tokens"]

@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from pynomaly_ray.functions.hashing import hash_strings, salt_of
+from pynomaly_ray.functions.hashing import hash_strings, nul_safe_key, salt_of
 
 
 def project_doc_partition(batch: pa.Table, salt_buckets: int = 16) -> pa.Table:
@@ -63,7 +63,15 @@ def project_doc_partition(batch: pa.Table, salt_buckets: int = 16) -> pa.Table:
                 "salt": pa.array(salt_of(part_id, salt_buckets)),
             }
         )
-    df = pd.DataFrame({"doc_id": ser, "partition_id": part_id.to_pandas()})
+    # nul_safe_key: a plain object-dtype groupby would alias doc_ids
+    # that differ only after an embedded NUL byte (pandas C-string
+    # compare), merging distinct docs into one count
+    df = pd.DataFrame(
+        {
+            "doc_id": nul_safe_key(ser),
+            "partition_id": nul_safe_key(part_id.to_pandas()),
+        }
+    )
     agg = (
         df.groupby(["doc_id", "partition_id"], sort=False, dropna=False)
         .size()
@@ -71,7 +79,20 @@ def project_doc_partition(batch: pa.Table, salt_buckets: int = 16) -> pa.Table:
     )
     agg["doc_hash"] = hash_strings(agg["doc_id"]).view(np.int64)
     agg["salt"] = salt_of(agg["partition_id"], salt_buckets)
-    return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+    t = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+    # Arrow-backed pandas strings round-trip as large_string; cast back
+    # so slow-path blocks unify with the fast-path `string` blocks
+    return t.cast(
+        pa.schema(
+            [
+                pa.field(
+                    f.name,
+                    pa.string() if pa.types.is_large_string(f.type) else f.type,
+                )
+                for f in t.schema
+            ]
+        )
+    )
 
 
 def _extras_per_partition(occ: pd.DataFrame) -> dict[str, int]:
@@ -101,6 +122,9 @@ def emit_duplicate_violations(group: pd.DataFrame) -> pd.DataFrame:
     the input was split (the resume-identity guarantee).
     """
     doc = group["doc_id"].iloc[0]
+    # nul_safe_key: partition ids differing only after an embedded NUL
+    # must stay distinct occurrence groups (pandas C-string compare)
+    group = group.assign(partition_id=nul_safe_key(group["partition_id"]))
     occ = (
         group.groupby("partition_id", sort=False, dropna=False)["cnt"]
         .sum()
@@ -181,6 +205,12 @@ def bulk_emit_violations(df: pd.DataFrame) -> pd.DataFrame:
         c for c in ("doc_id", "partition_id", "cnt", "is_prior") if c in df.columns
     ]
     sub = df.loc[cand, keep_cols]
+    # nul_safe_key: object-dtype groupby/transform would alias keys that
+    # differ only after an embedded NUL byte (pandas C-string compare)
+    sub = sub.assign(
+        doc_id=nul_safe_key(sub["doc_id"]),
+        partition_id=nul_safe_key(sub["partition_id"]),
+    )
     occ = (
         sub.groupby(["doc_id", "partition_id"], sort=False, dropna=False)["cnt"]
         .sum()

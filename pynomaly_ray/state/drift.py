@@ -95,7 +95,17 @@ def fit_drift_scores(
 
     labels = None
     if cluster_by_source:
-        labels = pd.factorize(stats_df["source"])[0].tolist()
+        # np.unique, not pd.factorize: pandas' object hash table
+        # compares strings as C strings, aliasing source names that
+        # differ only after an embedded NUL into one cluster
+        labels = (
+            np.unique(
+                stats_df["source"].to_numpy(dtype=object),
+                return_inverse=True,
+            )[1]
+            .astype(np.int64)
+            .tolist()
+        )
 
     model = LocalOutlierProbability(
         normed,

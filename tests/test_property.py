@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 SETTINGS = dict(max_examples=25, deadline=None)
 
@@ -93,6 +93,10 @@ _text = st.text(
 
 @settings(**SETTINGS)
 @given(texts=st.lists(_text, min_size=1, max_size=8))
+# pinned falsifying example from the round-4 NUL-hash bug: pandas'
+# categorize path hashed '\x00' and '\x000' identically when batched
+@example(texts=["\x00", "\x000"])
+@example(texts=["a", "a\x00b", "a\x00c"])
 def test_minhash_batch_single_parity_property(texts):
     from pynomaly_ray.stages.dedup import MinHasher
 
@@ -104,6 +108,7 @@ def test_minhash_batch_single_parity_property(texts):
 
 @settings(**SETTINGS)
 @given(texts=st.lists(_text, min_size=1, max_size=8))
+@example(texts=["\x00", "\x000"])
 def test_simhash_batch_single_parity_property(texts):
     from pynomaly_ray.stages.dedup import SimHasher
 
