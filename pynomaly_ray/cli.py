@@ -211,6 +211,30 @@ def cmd_dedup(args) -> int:
             )
             commit_minhash_state(args.state_dir, args.run_id)
         else:
+            # a non-incremental run pointed at an INCREMENTAL --out
+            # would rmtree pairs/<run>/ dirs that the committed band
+            # state will never re-emit — silent, unrecoverable loss of
+            # the accumulated drop-list input.  Run-id subdirectories
+            # under pairs/ are the incremental layout's signature.
+            pairs_root = os.path.join(args.out, "pairs")
+            run_dirs = (
+                sorted(
+                    d
+                    for d in os.listdir(pairs_root)
+                    if os.path.isdir(os.path.join(pairs_root, d))
+                )
+                if os.path.isdir(pairs_root)
+                else []
+            )
+            if run_dirs and not getattr(args, "force", False):
+                raise SystemExit(
+                    f"--out {args.out!r} holds incremental per-run pair "
+                    f"dirs {run_dirs}; a non-incremental run would delete "
+                    "them while the band state still suppresses their "
+                    "re-emission. Pass --state-dir to continue the "
+                    "incremental series, a fresh --out, or --force to "
+                    "discard the accumulated pairs."
+                )
             pairs_ds = minhash_lsh_duplicates(ds, **kw).materialize()
             pairs_ds.write_parquet(_fresh("pairs"))
         summary = {"method": "minhash", "near_dup_pairs": int(pairs_ds.count())}
@@ -228,13 +252,41 @@ def cmd_dedup(args) -> int:
             if getattr(args, "state_dir", None):
                 # incremental: components must span ALL runs' pairs, not
                 # just the new-doc pairs this run emitted (out dir is
-                # pinned to the state, so the walk sees every run)
-                pair_files = [
-                    os.path.join(root, f)
-                    for root, _d, names in os.walk(
-                        os.path.join(args.out, "pairs")
+                # pinned to the state, so every run landed here).  Only
+                # pairs/<run_id>/ dirs whose run is COMMITTED in the
+                # band state are trusted — flat parquet files directly
+                # under pairs/ are a one-shot run's leftovers (possibly
+                # different threshold/params) and mixing them in would
+                # silently corrupt the drop list.
+                pairs_root = os.path.join(args.out, "pairs")
+                flat = [
+                    f
+                    for f in os.listdir(pairs_root)
+                    if f.endswith(".parquet")
+                    and os.path.isfile(os.path.join(pairs_root, f))
+                ]
+                if flat:
+                    raise SystemExit(
+                        f"{pairs_root!r} contains flat parquet files "
+                        f"({flat[:3]}{'...' if len(flat) > 3 else ''}) "
+                        "from a non-incremental run; their pair set may "
+                        "use different parameters. Remove them (or use "
+                        "a fresh --out) before building a keep-list."
                     )
-                    for f in names
+                committed = {
+                    d
+                    for d in os.listdir(pairs_root)
+                    if os.path.isdir(os.path.join(pairs_root, d))
+                    and os.path.exists(
+                        os.path.join(
+                            args.state_dir, "bands", ".commit-" + d
+                        )
+                    )
+                }
+                pair_files = [
+                    os.path.join(pairs_root, d, f)
+                    for d in sorted(committed)
+                    for f in sorted(os.listdir(os.path.join(pairs_root, d)))
                     if f.endswith(".parquet")
                 ]
                 if pair_files:
@@ -375,6 +427,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="minhash only: collapse pairs into connected components and "
         "write drop/ parquet (doc_id -> kept representative)",
+    )
+    d.add_argument(
+        "--force",
+        action="store_true",
+        help="allow a non-incremental minhash run to clear an --out that "
+        "holds incremental per-run pair dirs (discards accumulated pairs)",
     )
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_dedup)

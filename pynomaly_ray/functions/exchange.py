@@ -349,13 +349,18 @@ def anti_membership(ds_left, ds_right, on: str, num_partitions: int | None = Non
 
     The right side is deduplicated per block (cheap, vectorized) and
     materialized — it is a key column by contract.  At or below the
-    broadcast cap (``PNR_BROADCAST_ANTI_CAP``, default 10^6 keys after
-    the per-block dedup — a dup-heavy id stream collapses toward its
-    distinct count before the switch decides) the deduplicated key set
-    is shipped into a zero-copy Arrow ``is_in`` filter, so the left
-    side never exchanges at all; above it, the key-partitioned
-    :func:`hash_anti_join` runs.  Both paths are row-identical
-    (forced-path test in tests/test_queries.py).
+    broadcast cap (``PNR_BROADCAST_ANTI_CAP``, default 10^6 distinct
+    keys) the deduplicated key set is shipped into a zero-copy Arrow
+    ``is_in`` filter, so the left side never exchanges at all; above
+    it, the key-partitioned :func:`hash_anti_join` runs.  The switch
+    decides on the GLOBAL distinct count: per-block-deduped rows decide
+    directly when already under the cap, and a dup-heavy id stream
+    whose duplicates span blocks (per-block rows over the cap, true
+    distinct under it) is resolved by a mergeable HLL estimate — one
+    constant-size register vector per block, merged driver-side — so it
+    still takes the cheap broadcast path instead of paying a full
+    left-side exchange.  Both paths are row-identical (forced-path
+    tests in tests/test_queries.py).
     """
     import pyarrow.compute as _pc
 
@@ -370,7 +375,26 @@ def anti_membership(ds_left, ds_right, on: str, num_partitions: int | None = Non
         _block_unique, batch_format="pyarrow"
     ).materialize()
     if mds_right.count() > cap:
-        return hash_anti_join(ds_left, mds_right, on, num_partitions)
+        from pynomaly_ray.functions.sketches import (
+            hll_estimate,
+            hll_merge,
+            hll_partial,
+        )
+
+        def _block_hll(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"regs": pa.array([hll_partial(t[on]).tobytes()], pa.binary())}
+            )
+
+        regs = [
+            np.frombuffer(b, dtype=np.uint8)
+            for b in mds_right.map_batches(_block_hll, batch_format="pyarrow")
+            .to_pandas()["regs"]
+        ]
+        # HLL rel. error ~1.6% at p=12 — boundary wobble only shifts
+        # which of two correct paths runs, never the result
+        if hll_estimate(hll_merge(regs)) > cap:
+            return hash_anti_join(ds_left, mds_right, on, num_partitions)
     tables = ray.get(mds_right.to_arrow_refs())
     keys = _pc.drop_null(
         _pc.unique(

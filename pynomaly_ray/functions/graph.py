@@ -99,10 +99,6 @@ def connected_components(
 
     import pyarrow as pa
 
-    _EMPTY_LABELS = pa.table(
-        {"node": pa.array([], pa.string()), "lbl": pa.array([], pa.string())}
-    )
-
     def drop_null_edges(df: pd.DataFrame) -> pd.DataFrame:
         # a null endpoint cannot carry a label (and would alias other
         # nodes through factorize's -1 code); such edges are dropped —
@@ -114,8 +110,28 @@ def connected_components(
     ).materialize()
     n_edges = edges_in.count()
     if n_edges == 0:
-        # typed empty result so downstream renames/writes still work
-        return rd.from_arrow(_EMPTY_LABELS)
+        # typed empty result so downstream renames/writes/unions still
+        # work — node/lbl take the INPUT edge column's type (an int64
+        # caller unioning the empty result with typed data must not hit
+        # a string/int schema mismatch); string fallback when even the
+        # input schema is unknown (fully empty upstream dataset)
+        schema = edges_ds.schema()
+        node_type = pa.string()
+        if schema is not None and col_a in schema.names:
+            t = schema.types[schema.names.index(col_a)]
+            # pandas-backed empty blocks surface Python classes (e.g.
+            # ``object``) instead of Arrow types, and all-null extension
+            # blocks surface ``null`` — both fall back to string
+            if isinstance(t, pa.DataType) and not pa.types.is_null(t):
+                node_type = t
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], node_type),
+                    "lbl": pa.array([], node_type),
+                }
+            )
+        )
     if n_edges <= cap:
         # size switch (same pattern as anti_membership / Stage B): a
         # driver-sized edge list resolves in vectorized numpy instead of

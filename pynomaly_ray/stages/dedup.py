@@ -472,6 +472,74 @@ def commit_minhash_state(state_dir: str, run_id: str) -> None:
         f.write("committed\n")
 
 
+def compact_minhash_state(state_dir: str) -> dict:
+    """Merge all COMMITTED per-run band dirs into one compacted dir.
+
+    After hundreds of crawl increments the prior-band anti-join reads
+    hundreds of small parquet dirs; compaction folds them into a single
+    ``bands/compact-NNNN/`` run so later runs open one dir.  Commit
+    ordering makes it crash-safe at every point:
+
+    1. the merged table is written to a hidden temp dir, then renamed
+       into place (a crash leaves only an uncommitted — ignored — dir);
+    2. the compacted run's ``.commit-`` marker is written (from here the
+       merged state is authoritative);
+    3. only then are the source runs' markers and dirs removed.  A crash
+       inside step 3 leaves band rows duplicated between the compacted
+       and leftover source dirs — harmless: candidate generation dedups
+       (band, doc) rows (:func:`bucket_candidate_pairs`) and prior-prior
+       pairs are suppressed regardless; re-running compaction converges.
+
+    ``params.json`` / ``out_dir.txt`` pins are untouched.  Returns a
+    summary dict (``compacted_runs``, ``target``).
+    """
+    import os
+    import shutil
+
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    root = os.path.join(state_dir, "bands")
+    committed = (
+        [
+            d
+            for d in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, d))
+            and os.path.exists(os.path.join(root, ".commit-" + d))
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    if len(committed) <= 1:
+        return {
+            "compacted_runs": 0,
+            "target": committed[0] if committed else None,
+        }
+    # next index scans ALL compact-* dirs (committed or not) so a
+    # crashed, uncommitted compaction attempt never collides
+    taken = [
+        int(d.split("-", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("compact-") and d.split("-", 1)[1].isdigit()
+    ]
+    cname = f"compact-{(max(taken) + 1 if taken else 1):04d}"
+    files = [
+        os.path.join(root, d, f)
+        for d in committed
+        for f in sorted(os.listdir(os.path.join(root, d)))
+        if f.endswith(".parquet")
+    ]
+    tmp = os.path.join(root, ".tmp-" + cname)
+    shutil.rmtree(tmp, ignore_errors=True)
+    read_parquet_clean(files).write_parquet(tmp)
+    os.rename(tmp, os.path.join(root, cname))
+    commit_minhash_state(state_dir, cname)
+    for d in committed:
+        os.remove(os.path.join(root, ".commit-" + d))
+    for d in committed:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return {"compacted_runs": len(committed), "target": cname}
+
+
 def _check_minhash_params(
     state_dir: str, params: dict
 ) -> None:

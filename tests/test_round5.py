@@ -1,0 +1,286 @@
+"""Round-5 regressions: anti_membership global-distinct switch,
+minhash state compaction, CLI pair-dir protection, typed empty
+components."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the fence and the birds sing in the morning light of summer"
+)
+
+
+# ---------------------------------------------------------------------------
+# anti_membership: broadcast-vs-partitioned switch on GLOBAL distinct keys
+# ---------------------------------------------------------------------------
+def test_anti_membership_cross_block_duplicates_pick_broadcast(
+    ray_session, monkeypatch
+):
+    """A right side whose duplicates span blocks overshoots the cap in
+    per-block-deduped rows but not in global distinct keys — the HLL
+    estimate must still route it to the cheap broadcast path."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions import exchange
+
+    keys = [f"k{i:03d}" for i in range(30)]
+    # 4 blocks, each holding ALL 30 keys: per-block-deduped rows = 120
+    blocks = [pd.DataFrame({"doc_id": keys}) for _ in range(4)]
+    right = rd.from_pandas(blocks)
+    left = rd.from_pandas(
+        pd.DataFrame({"doc_id": keys[:10] + ["only_left_1", "only_left_2"]})
+    )
+
+    monkeypatch.setenv("PNR_BROADCAST_ANTI_CAP", "50")
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("partitioned path taken for a broadcast-sized key set")
+
+    monkeypatch.setattr(exchange, "hash_anti_join", _boom)
+    out = exchange.anti_membership(left, right, "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == ["only_left_1", "only_left_2"]
+
+
+def test_anti_membership_truly_large_distinct_goes_partitioned(
+    ray_session, monkeypatch
+):
+    """Distinct keys genuinely above the cap still take the partitioned
+    path (and the two paths stay row-identical)."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions import exchange
+
+    keys = [f"k{i:04d}" for i in range(200)]
+    right = rd.from_pandas(pd.DataFrame({"doc_id": keys}))
+    left = rd.from_pandas(pd.DataFrame({"doc_id": keys[:50] + ["extra"]}))
+
+    monkeypatch.setenv("PNR_BROADCAST_ANTI_CAP", "50")
+    called = {}
+    orig = exchange.hash_anti_join
+
+    def _spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(exchange, "hash_anti_join", _spy)
+    out = exchange.anti_membership(left, right, "doc_id").to_pandas()
+    assert called.get("yes")
+    assert sorted(out["doc_id"]) == ["extra"]
+
+
+# ---------------------------------------------------------------------------
+# minhash incremental state compaction
+# ---------------------------------------------------------------------------
+def test_minhash_state_compaction_preserves_pairs(ray_session, tmp_path):
+    """3 runs -> compact -> 4th run emits exactly the pairs an
+    uncompacted 4th run would, bands/ holds one compacted dir, and
+    params.json / pins survive."""
+    import shutil
+
+    import ray.data as rd
+
+    from pynomaly_ray.stages.dedup import (
+        compact_minhash_state,
+        minhash_lsh_duplicates_incremental,
+    )
+
+    corpora = [
+        pd.DataFrame({"doc_id": ["a1", "a2"], "text": [BASE, "unrelated stuff " * 8]}),
+    ]
+    corpora.append(
+        pd.concat(
+            [corpora[0], pd.DataFrame({"doc_id": ["b1"], "text": [BASE.replace("summer", "winter")]})],
+            ignore_index=True,
+        )
+    )
+    corpora.append(
+        pd.concat(
+            [corpora[1], pd.DataFrame({"doc_id": ["c1"], "text": ["third batch words " * 8]})],
+            ignore_index=True,
+        )
+    )
+    final = pd.concat(
+        [corpora[2], pd.DataFrame({"doc_id": ["d1"], "text": [BASE]})],
+        ignore_index=True,
+    )
+
+    kw = dict(n_perm=64, n_bands=16, jaccard_threshold=0.6)
+    state = str(tmp_path / "state")
+    for i, c in enumerate(corpora, 1):
+        minhash_lsh_duplicates_incremental(rd.from_pandas(c), state, f"r{i}", **kw)
+
+    # control: run4 over the UNCOMPACTED state (on a copy)
+    ctrl = str(tmp_path / "ctrl")
+    shutil.copytree(state, ctrl)
+    p4_ctrl = minhash_lsh_duplicates_incremental(
+        rd.from_pandas(final), ctrl, "r4", **kw
+    )
+
+    summary = compact_minhash_state(state)
+    assert summary["compacted_runs"] == 3
+    root = os.path.join(state, "bands")
+    dirs = [d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))]
+    assert dirs == [summary["target"]]
+    assert os.path.exists(os.path.join(root, ".commit-" + summary["target"]))
+    assert os.path.exists(os.path.join(root, "params.json"))
+    # compacted band table is the union of the three runs' docs
+    bands = pq.read_table(os.path.join(root, summary["target"])).to_pandas()
+    assert set(bands["doc_id"]) == {"a1", "a2", "b1", "c1"}
+
+    p4 = minhash_lsh_duplicates_incremental(rd.from_pandas(final), state, "r4", **kw)
+    assert set(zip(p4.doc_a, p4.doc_b)) == set(zip(p4_ctrl.doc_a, p4_ctrl.doc_b))
+    assert any("d1" in p for p in zip(p4.doc_a, p4.doc_b))
+
+    # idempotent: a second compaction folds {compact-0001, r4} again
+    summary2 = compact_minhash_state(state)
+    assert summary2["compacted_runs"] == 2
+    assert summary2["target"] == "compact-0002"
+
+    # no-op on a single remaining dir
+    assert compact_minhash_state(state)["compacted_runs"] == 0
+
+
+def test_minhash_state_compaction_ignores_uncommitted(ray_session, tmp_path):
+    """An uncommitted (crashed) run's band dir is neither merged nor
+    deleted by compaction."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.dedup import (
+        compact_minhash_state,
+        minhash_lsh_duplicates_incremental,
+    )
+
+    docs1 = pd.DataFrame({"doc_id": ["x1"], "text": ["alpha words " * 8]})
+    docs2 = pd.DataFrame(
+        {"doc_id": ["x1", "x2"], "text": ["alpha words " * 8, "beta words " * 8]}
+    )
+    docs3 = pd.concat(
+        [docs2, pd.DataFrame({"doc_id": ["x3"], "text": ["gamma words " * 8]})],
+        ignore_index=True,
+    )
+    state = str(tmp_path / "state")
+    minhash_lsh_duplicates_incremental(rd.from_pandas(docs1), state, "r1")
+    minhash_lsh_duplicates_incremental(rd.from_pandas(docs2), state, "r2")
+    minhash_lsh_duplicates_incremental(
+        rd.from_pandas(docs3), state, "crashed", commit=False
+    )
+    summary = compact_minhash_state(state)
+    assert summary["compacted_runs"] == 2
+    root = os.path.join(state, "bands")
+    assert os.path.isdir(os.path.join(root, "crashed"))
+    assert not os.path.exists(os.path.join(root, ".commit-crashed"))
+
+
+# ---------------------------------------------------------------------------
+# CLI pair-dir protection (ADVICE r4)
+# ---------------------------------------------------------------------------
+def _write_corpus(tmp_path, name="c.parquet"):
+    docs = pd.DataFrame(
+        {"doc_id": ["a", "b", "u"], "text": [BASE, BASE, "unique words " * 8]}
+    )
+    path = str(tmp_path / name)
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), path)
+    return path
+
+
+def test_cli_nonincremental_refuses_incremental_out(ray_session, tmp_path):
+    """A non-incremental minhash run pointed at an --out holding
+    incremental per-run pair dirs refuses (the rmtree would silently
+    lose pairs the band state never re-emits); --force overrides."""
+    from pynomaly_ray.cli import main
+
+    corpus = _write_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    assert main(
+        ["dedup", "--input", corpus, "--out", out, "--method", "minhash",
+         "--state-dir", state, "--run-id", "r1"]
+    ) == 0
+    assert os.path.isdir(os.path.join(out, "pairs", "r1"))
+
+    with pytest.raises(SystemExit, match="incremental per-run pair"):
+        main(["dedup", "--input", corpus, "--out", out, "--method", "minhash"])
+    # accumulated pairs untouched by the refused run
+    assert os.path.isdir(os.path.join(out, "pairs", "r1"))
+
+    assert main(
+        ["dedup", "--input", corpus, "--out", out, "--method", "minhash",
+         "--force"]
+    ) == 0
+    assert not os.path.isdir(os.path.join(out, "pairs", "r1"))
+
+
+def test_cli_keep_list_rejects_flat_pair_files(ray_session, tmp_path):
+    """Incremental --keep-list errors when flat parquet files (a
+    one-shot run's leftovers) sit directly under pairs/, and ignores
+    pair dirs of uncommitted runs."""
+    from pynomaly_ray.cli import main
+
+    corpus = _write_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    args = ["dedup", "--input", corpus, "--out", out, "--method", "minhash",
+            "--state-dir", state]
+    assert main(args + ["--run-id", "r1"]) == 0
+
+    # leftover flat file from a (hypothetical) one-shot run
+    stray = os.path.join(out, "pairs", "stray.parquet")
+    pq.write_table(
+        pa.table({"doc_a": ["z1"], "doc_b": ["z2"], "jaccard": [1.0]}), stray
+    )
+    with pytest.raises(SystemExit, match="flat parquet"):
+        main(args + ["--run-id", "r2", "--keep-list"])
+    os.remove(stray)
+
+    # an uncommitted run's pair dir is excluded from the keep-list union
+    fake = os.path.join(out, "pairs", "ghost")
+    os.makedirs(fake, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_a": ["u"], "doc_b": ["zz"], "jaccard": [1.0]}),
+        os.path.join(fake, "part.parquet"),
+    )
+    assert main(args + ["--run-id", "r2", "--keep-list"]) == 0
+    drop = pq.read_table(os.path.join(out, "drop")).to_pandas()
+    assert "zz" not in set(drop["doc_id"]) | set(drop["kept_doc_id"])
+    assert set(drop["doc_id"]) == {"b"}
+
+
+# ---------------------------------------------------------------------------
+# connected_components: typed empty result
+# ---------------------------------------------------------------------------
+def test_connected_components_empty_typed_from_input(ray_session):
+    """Zero-edge inputs yield an empty labels table typed like the INPUT
+    edge columns, so an int64 caller can union/write without a schema
+    mismatch."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.graph import connected_components
+
+    ints = pd.DataFrame({"a": pd.array([], dtype="int64"),
+                         "b": pd.array([], dtype="int64")})
+    out = connected_components(rd.from_pandas(ints))
+    schema = out.schema()
+    assert schema.names == ["node", "lbl"]
+    assert pa.types.is_integer(schema.types[0])
+    # all-null int64 edges (dropped at the cleaning stage) keep the
+    # input's Arrow dtype too
+    nulls = rd.from_arrow(
+        pa.table({"a": pa.array([None], pa.int64()),
+                  "b": pa.array([None], pa.int64())})
+    )
+    out2 = connected_components(nulls)
+    assert pa.types.is_integer(out2.schema().types[0])
+    # typed empties union cleanly with real int64 labels
+    real = rd.from_arrow(
+        pa.table({"node": pa.array([1], pa.int64()),
+                  "lbl": pa.array([1], pa.int64())})
+    )
+    assert out.union(real).count() == 1
