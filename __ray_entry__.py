@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # engine_queries registers its surface-parquet oracle entries
+    # (lang_id, quality_scores) into ORACLE_QUERIES on import
+    import pynomaly_ray.pipelines.engine_queries  # noqa: F401
     from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
 
     return {name: sql for name, (_fn, sql) in ORACLE_QUERIES.items()}

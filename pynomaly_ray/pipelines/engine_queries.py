@@ -168,12 +168,41 @@ def q_simhash_fingerprints(sf_dir: str):
     return collect_sorted(df, ["doc_id"])
 
 
+def _surface_dir(name: str) -> str:
+    """Fixed scratch dir for a query's materialized per-doc surface.
+
+    The oracle-SQL string is static (the driver calls ``oracle_sql()``
+    with no arguments), so the path cannot embed ``sf_dir`` — instead
+    each invocation CLEARS and rewrites the surface, and the harness
+    runs a query's SQL immediately after its Ray callable, so the SQL
+    always reads the surface the matching run just wrote.
+    """
+    import shutil
+
+    d = os.path.join("/tmp", "pnr_oracle_surface", name)
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 def q_lang_id(sf_dir: str):
-    """Heuristic language-ID accuracy per true lang (n_docs, n_match)."""
+    """Heuristic language-ID accuracy per true lang (n_docs, n_match).
+
+    The heuristic itself is non-SQL-expressible; its per-doc predictions
+    are materialized to a surface parquet and the DISTRIBUTED aggregation
+    over that surface is what the DuckDB oracle certifies (the heuristic
+    stays pinned by pytest).  The aggregate re-reads the written surface
+    so engine and oracle consume byte-identical input.
+    """
+    from pynomaly_ray.sources.parquet import read_parquet_clean
     from pynomaly_ray.stages.text import LangId
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
-    pred = docs.map_batches(LangId(), batch_format="pandas")
+    pred = docs.map_batches(LangId(), batch_format="pandas").map_batches(
+        lambda t: t.select(["doc_id", "lang", "lang_pred"]),
+        batch_format="pyarrow",
+    )
+    surf = _surface_dir("lang_pred")
+    pred.write_parquet(surf)
 
     def agg(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -190,23 +219,51 @@ def q_lang_id(sf_dir: str):
     from pynomaly_ray.functions.exchange import hash_aggregate
 
     merged = hash_aggregate(
-        pred.map_batches(agg, batch_format="pyarrow"),
+        read_parquet_clean(surf).map_batches(agg, batch_format="pyarrow"),
         ["lang"],
         lambda df: df.groupby("lang", sort=False).sum().reset_index(),
     )
     return collect_sorted(merged, ["lang"])
 
 
+SQL_LANG_ID = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+FROM read_parquet('/tmp/pnr_oracle_surface/lang_pred/*.parquet')
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_quality_scores(sf_dir: str):
-    """Per-source text-quality aggregates (counts of low-quality docs)."""
+    """Per-source text-quality aggregates (counts of low-quality docs).
+
+    Same surface-parquet pattern as :func:`q_lang_id`: the heuristic's
+    per-doc score (scaled to ``quality_e6`` so both sides compare exact
+    integers) is written out, and the distributed per-source aggregation
+    over that surface is oracle-certified.
+    """
+    from pynomaly_ray.sources.parquet import read_parquet_clean
     from pynomaly_ray.stages.text import QualityScore
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
-    scored = docs.map_batches(QualityScore(), batch_format="pandas")
+
+    def to_e6(df: pd.DataFrame) -> pd.DataFrame:
+        df["quality_e6"] = np.floor(
+            df.pop("quality").to_numpy() * 1_000_000 + 0.5
+        ).astype(np.int64)
+        return df[["doc_id", "source", "quality_e6"]]
+
+    scored = docs.map_batches(QualityScore(), batch_format="pandas").map_batches(
+        to_e6, batch_format="pandas"
+    )
+    surf = _surface_dir("quality")
+    scored.write_parquet(surf)
 
     def agg(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["low_q"] = (df["quality"] < 0.5).astype(np.int64)
+        df["low_q"] = (df["quality_e6"] < 500_000).astype(np.int64)
         g = (
             df.groupby("source", sort=False)
             .agg(n_docs=("low_q", "size"), n_low_quality=("low_q", "sum"))
@@ -219,11 +276,21 @@ def q_quality_scores(sf_dir: str):
     from pynomaly_ray.functions.exchange import hash_aggregate
 
     merged = hash_aggregate(
-        scored.map_batches(agg, batch_format="pyarrow"),
+        read_parquet_clean(surf).map_batches(agg, batch_format="pyarrow"),
         ["source"],
         lambda df: df.groupby("source", sort=False).sum().reset_index(),
     )
     return collect_sorted(merged, ["source"])
+
+
+SQL_QUALITY_SCORES = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN quality_e6 < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low_quality
+FROM read_parquet('/tmp/pnr_oracle_surface/quality/*.parquet')
+GROUP BY source
+ORDER BY source
+"""
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -302,14 +369,28 @@ def q_loop_distributed(sf_dir: str):
     return collect_sorted(df, ["vec_id"])
 
 
+# registered into the oracle-checked suite (this module already imports
+# queries.py, so the registration lives here to avoid an import cycle;
+# __ray_entry__.oracle_sql() imports this module before reading the dict)
+from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
+
+ORACLE_QUERIES.update(
+    {
+        "lang_id": (q_lang_id, SQL_LANG_ID),
+        "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    }
+)
+
+
 ENGINE_QUERIES = {
     "loop_distributed": q_loop_distributed,
     "loop_embeddings": q_loop_embeddings,
     "minhash_dedup": q_minhash_dedup,
     "minhash_dedup_incremental": q_minhash_dedup_incremental,
     "simhash_fingerprints": q_simhash_fingerprints,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
+    # lang_id / quality_scores moved to ORACLE_QUERIES (queries.py):
+    # their per-doc surface is parquet-materialized so the distributed
+    # aggregation is DuckDB-oracle-certified
     "embedding_neardup": q_embedding_neardup,
     "image_features": q_image_features,
     "audio_features": q_audio_features,

@@ -721,7 +721,7 @@ ORACLE_QUERIES.update(
 # The matched order *date* (not key) is projected: tie-invariant when a
 # customer has several orders on one date.
 # ---------------------------------------------------------------------------
-def q_asof_orders(sf_dir: str):
+def q_asof_orders(sf_dir: str, as_dataset: bool = False):
     from pynomaly_ray.functions.exchange import asof_join
 
     events = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -741,6 +741,11 @@ def q_asof_orders(sf_dir: str):
         )
 
     out = joined.map_batches(project, batch_format="pyarrow")
+    if as_dataset:
+        # the operator is a Dataset end-to-end; the driver collect below
+        # exists only because the oracle harness hashes the full result.
+        # A 100x-scale caller consumes this with write_parquet/iter_batches.
+        return out
     return collect_sorted(out, ["event_id"])
 
 
@@ -1329,9 +1334,12 @@ def _trailing_window_kernel(df: pd.DataFrame) -> pd.DataFrame:
 
 
 
-def q_trailing_events(sf_dir: str):
+def q_trailing_events(sf_dir: str, as_dataset: bool = False):
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = hash_aggregate(ds, ["user_id"], _trailing_window_kernel)
+    if as_dataset:
+        # window results stay distributed; collect only feeds the oracle
+        return out
     return collect_sorted(out, ["event_id"])
 
 
@@ -2098,7 +2106,7 @@ ORDER BY r_name NULLS LAST, n_name NULLS LAST
 # Integer cents keep the cumulative sum associativity-exact across
 # engines (floating window sums are summation-order-defined).
 # ---------------------------------------------------------------------------
-def q_running_total(sf_dir: str):
+def q_running_total(sf_dir: str, as_dataset: bool = False):
     orders = _pq(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
@@ -2120,6 +2128,16 @@ def q_running_total(sf_dir: str):
         ["o_custkey"],
         run_tot,
     )
+    if as_dataset:
+        # same int64 surface as the collected path, applied per batch so
+        # the result streams straight to write_parquet/iter_batches
+        def cast_run(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            i = t.schema.get_field_index("run_cents")
+            return t.set_column(i, "run_cents", pc.cast(t["run_cents"], pa.int64()))
+
+        return out.map_batches(cast_run, batch_format="pyarrow")
     df = out.to_pandas()
     df["run_cents"] = df["run_cents"].astype(np.int64)
     return collect_sorted(df, ["o_orderkey"])

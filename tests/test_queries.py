@@ -71,7 +71,7 @@ def test_engine_queries_run(ray_session):
     """Rows-only entries produce non-degenerate, deterministic output."""
     from pynomaly_ray.pipelines.engine_queries import ENGINE_QUERIES
 
-    for name in ["loop_embeddings", "lang_id", "image_features"]:
+    for name in ["loop_embeddings", "image_features"]:
         df1 = _to_df(ENGINE_QUERIES[name](SF))
         df2 = _to_df(ENGINE_QUERIES[name](SF))
         assert len(df1) > 0, name
