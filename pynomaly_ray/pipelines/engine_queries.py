@@ -332,12 +332,20 @@ def q_audio_features(sf_dir: str):
 
 
 def q_image_features(sf_dir: str):
-    """Multimodal image: deterministic REAL uncompressed-BMP payloads ->
-    actor-pool tier-3 numpy decode + feature extraction (genuine
-    bytes-to-pixels decode; see stages/multimodal.decode_bmp)."""
-    from pynomaly_ray.stages.multimodal import ImageFeatures, make_bmp_media_table
+    """Multimodal image: deterministic REAL uncompressed-BMP and
+    zlib-compressed PNG payloads -> actor-pool tier-3 numpy decode +
+    feature extraction, with the sniffing dispatch choosing the codec
+    per row (genuine bytes-to-pixels decode for both formats; see
+    stages/multimodal.decode_bmp / decode_png)."""
+    from pynomaly_ray.stages.multimodal import (
+        ImageFeatures,
+        make_bmp_media_table,
+        make_png_media_table,
+    )
 
-    ds = rd.from_arrow(make_bmp_media_table(64))
+    ds = rd.from_arrow(make_bmp_media_table(64)).union(
+        rd.from_arrow(make_png_media_table(64))
+    )
     feats = ds.map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 2)
     ).to_pandas()

@@ -110,6 +110,135 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-python (stdlib zlib + numpy) decoder for non-interlaced 8-bit
+    RGB/RGBA PNG -> HWC uint8 RGB (alpha dropped).  The most common real
+    image format this container can exercise end-to-end: chunk walk,
+    IDAT zlib inflate, and full scanline unfiltering (filters 0-4).
+
+    Unfiltering is vectorized where the recurrence allows (None, Sub via
+    per-lane modular cumsum, Up as a whole-row add); Average/Paeth carry
+    a per-pixel dependency on the previous pixel AND row, so those rows
+    fall back to a per-pixel loop — acceptable for a tier-3 path whose
+    production replacement is PIL/cv2 (first tiers of the dispatch).
+    """
+    b = payload or b""
+    if len(b) < 45 or b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}): only non-interlaced 8-bit RGB/RGBA "
+            "decode without an imaging lib"
+        )
+    import zlib
+
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows = np.frombuffer(raw, np.uint8, height * (stride + 1)).reshape(
+        height, stride + 1
+    )
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f, cur = filters[y], data[y]
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: recon(x) = filt(x) + recon(x-ch) — modular
+            # cumsum per byte lane (uint8 wraps mod 256 natively)
+            out[y] = np.cumsum(
+                cur.reshape(width, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up: whole-row add
+            out[y] = cur + prev
+        elif f == 3:  # Average: needs recon(x-ch) — per-pixel over the row
+            row = out[y]
+            row[:ch] = cur[:ch] + (prev[:ch] // 2)
+            for x in range(ch, stride, ch):
+                row[x : x + ch] = cur[x : x + ch] + (
+                    (
+                        row[x - ch : x].astype(np.uint16)
+                        + prev[x : x + ch].astype(np.uint16)
+                    )
+                    // 2
+                ).astype(np.uint8)
+        elif f == 4:  # Paeth predictor — per-pixel over the row
+            row = out[y]
+            row[:ch] = cur[:ch] + prev[:ch]  # left=0 -> predictor is up
+            for x in range(ch, stride, ch):
+                a = row[x - ch : x].astype(np.int16)
+                up = prev[x : x + ch].astype(np.int16)
+                c = prev[x - ch : x].astype(np.int16)
+                p = a + up - c
+                pa_, pb, pc_ = np.abs(p - a), np.abs(p - up), np.abs(p - c)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, up, c)
+                )
+                row[x : x + ch] = cur[x : x + ch] + pred.astype(np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+    px = out.reshape(height, width, ch)
+    return px[..., :3].copy()  # drop alpha
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HWC uint8 RGB(A) -> minimal non-interlaced 8-bit PNG bytes
+    (filter-0 scanlines; fixture builder, round-trips with decode_png)."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, ch = a.shape
+    color = {3: 2, 4: 6}[ch]
+    scan = np.zeros((h, w * ch + 1), dtype=np.uint8)
+    scan[:, 1:] = a.reshape(h, w * ch)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes, sample_rate: int = 16000) -> np.ndarray:
     """Stdlib+numpy decoder for RIFF/WAVE PCM -> mono float32 in [-1, 1]
     (8/16/32-bit integer PCM; channels averaged).  The always-available
@@ -205,6 +334,13 @@ def detect_image_decoder():
             # killing the whole map_batches job on one bad row
             try:
                 return decode_bmp(b)
+            except Exception:
+                pass
+        if b[:8] == _PNG_SIG:
+            # same best-effort contract for sniffed PNGs (16-bit,
+            # palette, interlaced, or corrupt payloads fall through)
+            try:
+                return decode_png(b)
             except Exception:
                 pass
         return fake_decode(b, width=width, height=height)
@@ -454,6 +590,42 @@ def make_bmp_media_table(n: int = 32, seed: int = 3, size: int = 8) -> pa.Table:
                         "height": size,
                         "sample_rate": 0,
                         "codec": "bmp",
+                    }
+                    for _ in range(n)
+                ],
+                MEDIA_SCHEMA.field("meta").type,
+            ),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def make_png_media_table(
+    n: int = 32, seed: int = 7, size: int = 8, alpha_every: int = 3
+) -> pa.Table:
+    """Media fixture whose payloads are GENUINE non-interlaced 8-bit PNG
+    bytes (deterministic pixels; every ``alpha_every``-th image RGBA), so
+    the tier-3 pure-python PNG decoder exercises a real zlib-inflate +
+    unfilter decode end-to-end in this container."""
+    rng = np.random.RandomState(seed)
+    payloads = []
+    for i in range(n):
+        ch = 4 if alpha_every and i % alpha_every == 0 else 3
+        payloads.append(
+            encode_png(rng.randint(0, 256, (size, size, ch)).astype(np.uint8))
+        )
+    return pa.table(
+        {
+            "media_id": pa.array([f"p{i:05d}" for i in range(n)], pa.string()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(
+                [
+                    {
+                        "width": size,
+                        "height": size,
+                        "sample_rate": 0,
+                        "codec": "png",
                     }
                     for _ in range(n)
                 ],
