@@ -103,6 +103,52 @@ def run_headline(sf_name: str) -> dict:
 # (the dedup family was round 1's flagged scale risk)
 _BENCH_ENGINE_QUERIES = ("minhash_dedup", "simhash_fingerprints", "embedding_neardup")
 
+# Per-query wall regression gate: BENCH_BEST.json records the best
+# per-query walls seen on this host (refresh with --record-best); a
+# query exceeding GATE_FACTOR x its recorded best marks the run
+# regressed (parent exit 3) so perf regressions surface in BENCH_rN.json
+# instead of post-hoc archaeology.  3x sits above this host's ~2x
+# run-to-run noise; disable with PNR_BENCH_NO_GATE=1.
+_BEST_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BEST.json")
+GATE_FACTOR = 3.0
+
+
+def load_best(sf_name: str) -> dict[str, float]:
+    try:
+        with open(_BEST_FILE) as f:
+            return json.load(f).get(sf_name, {})
+    except (OSError, ValueError):
+        return {}
+
+
+def find_regressions(
+    timings: dict, best: dict, factor: float = GATE_FACTOR
+) -> list[str]:
+    """Queries whose wall exceeds factor x their recorded best (queries
+    without a recorded best — e.g. newly added — never gate)."""
+    return sorted(
+        name
+        for name, wall in timings.items()
+        if wall is not None
+        and best.get(name) is not None
+        and wall > factor * best[name]
+    )
+
+
+def record_best(sf_name: str, timings: dict) -> None:
+    """Fold the current run's walls into BENCH_BEST.json (keep min)."""
+    try:
+        with open(_BEST_FILE) as f:
+            allbest = json.load(f)
+    except (OSError, ValueError):
+        allbest = {}
+    cur = allbest.setdefault(sf_name, {})
+    for name, wall in timings.items():
+        if wall is not None:
+            cur[name] = min(wall, cur[name]) if name in cur else wall
+    with open(_BEST_FILE, "w") as f:
+        json.dump(allbest, f, indent=1, sort_keys=True)
+
 
 def run_queries(sf_dir: str, emit=None) -> dict[str, float]:
     from pynomaly_ray.pipelines.engine_queries import ENGINE_QUERIES
@@ -183,6 +229,7 @@ def single_run(emit=None) -> dict:
         out["queries"] = {}
     else:
         out["queries"] = run_queries(sf_dir, emit=lambda t: emit_queries(t))
+        out["regressions"] = find_regressions(out["queries"], load_best(sf_name))
     ray.shutdown()
     return out
 
@@ -327,4 +374,18 @@ if __name__ == "__main__":
         # milestone lines flushed immediately; the last complete one wins
         single_run(emit=lambda rec: print(json.dumps(rec), flush=True))
     else:
-        print(json.dumps(resilient_run()))
+        rec = resilient_run()
+        if "--record-best" in sys.argv and rec.get("queries"):
+            record_best(rec.get("sf", "sf0.1"), rec["queries"])
+            rec["regressions"] = []
+        print(json.dumps(rec))
+        # regression gate: exits AFTER printing the full record so the
+        # driver always gets its JSON line; rc=3 (not a crash rc) flags
+        # the regression without triggering resilient_run's crash retry
+        if rec.get("regressions") and not os.environ.get("PNR_BENCH_NO_GATE"):
+            print(
+                f"bench: REGRESSION GATE: {rec['regressions']} exceed "
+                f"{GATE_FACTOR}x their recorded best walls",
+                file=sys.stderr,
+            )
+            sys.exit(3)

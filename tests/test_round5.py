@@ -318,3 +318,32 @@ def test_window_queries_as_dataset_write_parquet(ray_session, tmp_path):
     ds2 = q_trailing_events(sf_dir, as_dataset=True)
     assert isinstance(ds2, rd.Dataset)
     assert ds2.count() == len(q_trailing_events(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# bench.py per-query regression gate (verdict #10)
+# ---------------------------------------------------------------------------
+def test_bench_regression_gate(tmp_path, monkeypatch):
+    """A deliberately slowed query is caught by the gate against its
+    recorded best wall; new queries without a best never gate; recording
+    keeps the minimum."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    best_file = tmp_path / "best.json"
+    monkeypatch.setattr(bench, "_BEST_FILE", str(best_file))
+
+    bench.record_best("sf0.1", {"q1": 0.5, "q2": 1.0, "q3": None})
+    bench.record_best("sf0.1", {"q1": 0.8, "q2": 0.4})  # q1 keeps 0.5
+    best = bench.load_best("sf0.1")
+    assert best == {"q1": 0.5, "q2": 0.4}
+
+    # q1 deliberately slowed past 3x its best -> flagged; q2 within
+    # noise; brand-new q_new never gates; a crashed (None) wall skips
+    timings = {"q1": 1.6, "q2": 1.1, "q_new": 99.0, "q4": None}
+    assert bench.find_regressions(timings, best) == ["q1"]
+    assert bench.find_regressions({"q1": 1.4}, best) == []
+    assert bench.load_best("sf_other") == {}
