@@ -377,6 +377,145 @@ def q_loop_distributed(sf_dir: str):
     return collect_sorted(df, ["vec_id"])
 
 
+_VV_VOCAB = 32768
+
+
+def q_validation_violations(sf_dir: str):
+    """Flagship-certifying oracle query: the validation pipeline's
+    violation machinery vs SQL, on a corpus with INJECTED violations.
+
+    documents are tokenized into the engine's native sequence shape,
+    then deterministically corrupted (n_tok off-by-one, unknown
+    sources, out-of-range token ids, duplicated doc_ids — selected by
+    the stable doc_id hash), and the corrupted sequence surface is
+    written to parquet.  The FULL distributed validation pipeline
+    (Stage-A constraint kernels + the salted doc_id-uniqueness
+    exchange) then runs over the surface read back from disk, and the
+    per-(check, partition_id) violation counts are returned.  The
+    DuckDB oracle recomputes every count from the same surface parquet
+    — list predicates for n_tok/token checks, a window-function
+    reconstruction of the occurrence-level duplicate semantics (first
+    occurrence in partition order is free) — certifying constraint
+    detection, uniqueness, and violation collection end-to-end.
+    Clean-corpus behavior is separately pinned by n_chars_check (0
+    violations) and the validation e2e pytest suite.
+    """
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.config import ValidationConfig
+    from pynomaly_ray.functions.hashing import hash_strings
+    from pynomaly_ray.pipelines.validation import run_validation
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.stages.tokenize import Tokenizer
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    seq = docs.map_batches(
+        Tokenizer,
+        fn_constructor_kwargs={"vocab_size": _VV_VOCAB},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        h = hash_strings(t["doc_id"])
+        n_tok = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int32).copy()
+        n_tok[h % 7 == 0] += 1  # -> n_tok_mismatch
+        source = np.asarray(t["source"].to_pylist(), dtype=object)
+        source[h % 11 == 1] = "###invalid###"  # -> unknown_source
+        comb = t["tokens"].combine_chunks()
+        off = comb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = (
+            comb.values.to_numpy(zero_copy_only=False)[off[0] : off[-1]]
+            .astype(np.int32)
+            .copy()
+        )
+        off0 = off - off[0]
+        lens = np.diff(off0)
+        sel = np.flatnonzero((h % 13 == 2) & (lens > 0))
+        vals[off0[:-1][sel]] = _VV_VOCAB + 5  # -> token_out_of_range
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tokens": pa.ListArray.from_arrays(
+                    pa.array(off0, pa.int32()), pa.array(vals, pa.int32())
+                ),
+                "n_tok": pa.array(n_tok, pa.int32()),
+                "source": pa.array(source, pa.string()),
+                "partition_id": t["partition_id"],
+            }
+        )
+        dup = np.flatnonzero(h % 17 == 3)  # -> duplicate_doc_id
+        if len(dup):
+            out = pa.concat_tables([out, out.take(pa.array(dup))])
+        return out
+
+    surf = _surface_dir("sequences")
+    seq.map_batches(corrupt, batch_format="pyarrow").write_parquet(surf)
+
+    valid_sources = (
+        papq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+        )["source"]
+        .unique()
+        .to_pylist()
+    )
+    cfg = ValidationConfig(
+        valid_sources=valid_sources, vocab_size=_VV_VOCAB, n_neighbors=10, extent=3
+    )
+    res = run_validation(
+        read_parquet_clean(surf), cfg, out_dir=None, collect_violations=True
+    )
+    v = res.violations
+    df = v.to_pandas() if hasattr(v, "to_pandas") else v
+    out = (
+        df.groupby(["check", "partition_id"], sort=False)
+        .size()
+        .reset_index(name="n_violations")
+    )
+    out["n_violations"] = out["n_violations"].astype(np.int64)
+    return collect_sorted(out, ["check", "partition_id"])
+
+
+SQL_VALIDATION_VIOLATIONS = """
+WITH s AS (
+  SELECT doc_id, partition_id, source, n_tok, tokens
+  FROM read_parquet('/tmp/pnr_oracle_surface/sequences/*.parquet')
+)
+SELECT * FROM (
+  SELECT 'n_tok_mismatch' AS "check", partition_id,
+         CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM s
+  WHERE tokens IS NOT NULL AND (n_tok IS NULL OR n_tok != len(tokens))
+  GROUP BY partition_id
+  UNION ALL
+  SELECT 'unknown_source', partition_id, CAST(COUNT(*) AS BIGINT)
+  FROM s
+  WHERE source IS NULL OR source NOT IN (SELECT DISTINCT source FROM documents)
+  GROUP BY partition_id
+  UNION ALL
+  SELECT 'token_out_of_range', partition_id, CAST(COUNT(*) AS BIGINT)
+  FROM s
+  WHERE tokens IS NOT NULL
+    AND len(list_filter(tokens, t -> t < 0 OR t >= 32768)) > 0
+  GROUP BY partition_id
+  UNION ALL
+  SELECT 'duplicate_doc_id', partition_id,
+         CAST(SUM(cnt - CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (
+    SELECT doc_id, partition_id, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY partition_id) AS rn,
+           SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS total
+    FROM s GROUP BY doc_id, partition_id
+  )
+  WHERE total > 1
+  GROUP BY partition_id
+  HAVING SUM(cnt - CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+)
+ORDER BY "check", partition_id
+"""
+
+
 # registered into the oracle-checked suite (this module already imports
 # queries.py, so the registration lives here to avoid an import cycle;
 # __ray_entry__.oracle_sql() imports this module before reading the dict)
@@ -386,6 +525,10 @@ ORACLE_QUERIES.update(
     {
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+        "validation_violations": (
+            q_validation_violations,
+            SQL_VALIDATION_VIOLATIONS,
+        ),
     }
 )
 
