@@ -609,8 +609,14 @@ ENGINE_QUERIES["loop_matrix_mode"] = q_loop_matrix_mode
 def q_knn_cosine_ivf(sf_dir: str):
     """IVF approximate cosine top-10 for the same query vector as the
     exact knn_cosine oracle query — the ANN scale path (coarse spherical
-    k-means centroids + n_probe bucket scan).  Rows-only check; the
-    recall-vs-exact contract is pinned by pytest
+    k-means centroids + n_probe bucket scan).
+
+    The per-batch survivor candidates are materialized to a surface
+    parquet (with an order-isomorphic int64 ``score_key``) and the
+    exchange-merged global top-k runs over the surface read back from
+    disk, so the DuckDB oracle's ROW_NUMBER reconstruction over the
+    same surface certifies the distributed top-k merge exactly; the
+    recall-vs-exact contract of the probe itself stays pinned by pytest
     (test_ivf_topk_recall_on_clustered_data)."""
     import pyarrow.parquet as papq
 
@@ -623,13 +629,33 @@ def q_knn_cosine_ivf(sf_dir: str):
     )
     q = np.asarray(emb0["embedding"][0].as_py(), dtype=np.float64)
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    df = cosine_topk_ivf(ds, q, k=10, n_centroids=16, n_probe=8)
+    df = cosine_topk_ivf(
+        ds,
+        q,
+        k=10,
+        n_centroids=16,
+        n_probe=8,
+        survivors_sink=_surface_dir("ivf_survivors"),
+    )
     df = df.drop(columns=["query_id"])
     df["score_e6"] = np.floor(df.pop("score") * 1_000_000 + 0.5).astype(np.int64)
     return df.reset_index(drop=True)
 
 
-ENGINE_QUERIES["knn_cosine_ivf"] = q_knn_cosine_ivf
+SQL_KNN_COSINE_IVF = """
+SELECT vec_id, CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM (
+  SELECT vec_id, score,
+         ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score_key DESC, vec_id
+         ) AS rn
+  FROM read_parquet('/tmp/pnr_oracle_surface/ivf_survivors/*.parquet')
+)
+WHERE rn <= 10
+ORDER BY vec_id
+"""
+
+ORACLE_QUERIES["knn_cosine_ivf"] = (q_knn_cosine_ivf, SQL_KNN_COSINE_IVF)
 
 
 def q_approx_distinct_users(sf_dir: str):

@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import heapq
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -187,6 +188,7 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     train_rows: int = 16384,
     seed: int = 13,
+    survivors_sink: Optional[str] = None,
 ) -> pd.DataFrame:
     """IVF approximate cosine top-k: the scale path beyond brute force.
 
@@ -254,7 +256,30 @@ def cosine_topk_ivf(
         )
 
     local = ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
-    return _present_topk(local, k)
+    if survivors_sink is not None:
+        # Materialize the per-batch survivor candidates and re-read them,
+        # so the exchange-merged top-k is computed from exactly the rows
+        # an external oracle (SQL over the sink) can see.  score_key is
+        # an order-isomorphic int64 view of the float score (IEEE-754
+        # total-order trick; +0.0 normalizes -0.0) letting integer SQL
+        # reproduce the merge's (score DESC, vec_id) selection exactly.
+        from pynomaly_ray.sources.parquet import read_parquet_clean
+
+        def add_key(t: pa.Table) -> pa.Table:
+            s = t["score"].to_numpy(zero_copy_only=False) + 0.0
+            b = s.view(np.int64)
+            key = b ^ ((b >> np.int64(63)) & np.int64(0x7FFFFFFFFFFFFFFF))
+            t = t.set_column(
+                t.schema.get_field_index("score"), "score", pa.array(s)
+            )
+            return t.append_column("score_key", pa.array(key, pa.int64()))
+
+        local.map_batches(add_key, batch_format="pyarrow").write_parquet(
+            survivors_sink
+        )
+        local = read_parquet_clean(survivors_sink)
+    out = _present_topk(local, k)
+    return out.drop(columns=["score_key"], errors="ignore")
 
 
 class HyperplaneLSH:
