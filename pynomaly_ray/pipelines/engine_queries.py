@@ -664,44 +664,95 @@ def q_approx_distinct_users(sf_dir: str):
     CONSTANT size (2^p bytes per group) replace shipping every distinct
     pair through the exchange — the sketch path for 100 TB cardinality
     estimation.  Accuracy contract (~1.04/sqrt(2^12) = 1.6% rel. error)
-    is pinned by pytest against the exact query."""
+    is pinned by pytest against the exact query.
+
+    Oracle surface: the per-batch partial registers are exploded to
+    (event_type, reg, rnk) rows and materialized; the engine's answer is
+    the DISTRIBUTED register merge (per-group scatter-max through
+    ``hash_aggregate``) + estimator over that surface read back from
+    disk, while the DuckDB oracle reconstructs the same max-merge and
+    the closed-form HLL estimator (with linear-counting correction) in
+    SQL — certifying the distributed sketch merge end-to-end, not just
+    the estimate."""
     from pynomaly_ray.functions.exchange import hash_aggregate
-    from pynomaly_ray.functions.sketches import (
-        hll_estimate,
-        hll_merge,
-        hll_partial,
-    )
+    from pynomaly_ray.functions.sketches import hll_estimate, hll_partial
+    from pynomaly_ray.sources.parquet import read_parquet_clean
 
     ds = _pq(sf_dir, "events", ["event_type", "user_id"])
     P = 12
+    M = 1 << P
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        rows = [
-            {"event_type": et, "regs": hll_partial(g["user_id"], P)}
-            for et, g in df.groupby("event_type", sort=False)
-        ]
-        out = pd.DataFrame(rows, columns=["event_type", "regs"])
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
-            None
+        ets, regs, rnks = [], [], []
+        for et, g in df.groupby("event_type", sort=False):
+            vec = hll_partial(g["user_id"], P)
+            nz = np.flatnonzero(vec)
+            ets.extend([et] * len(nz))
+            regs.append(nz.astype(np.int32))
+            rnks.append(vec[nz].astype(np.int32))
+        return pa.table(
+            {
+                "event_type": pa.array(ets, pa.string()),
+                "reg": pa.array(
+                    np.concatenate(regs) if regs else np.empty(0, np.int32),
+                    pa.int32(),
+                ),
+                "rnk": pa.array(
+                    np.concatenate(rnks) if rnks else np.empty(0, np.int32),
+                    pa.int32(),
+                ),
+            }
         )
 
+    surf = _surface_dir("hll_partials")
+    ds.map_batches(partial, batch_format="pyarrow").write_parquet(surf)
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        rows = [
-            {
-                "event_type": et,
-                "n_users_approx": int(round(hll_estimate(hll_merge(g["regs"])))),
-            }
-            for et, g in df.groupby("event_type", sort=False)
-        ]
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            vec = np.zeros(M, dtype=np.uint8)
+            np.maximum.at(vec, g["reg"].to_numpy(), g["rnk"].to_numpy().astype(np.uint8))
+            est = hll_estimate(vec)
+            rows.append(
+                {"event_type": et, "n_users_approx": int(np.floor(est + 0.5))}
+            )
         return pd.DataFrame(rows, columns=["event_type", "n_users_approx"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = hash_aggregate(partials, ["event_type"], merge)
+    out = hash_aggregate(read_parquet_clean(surf), ["event_type"], merge)
     return collect_sorted(out, ["event_type"])
 
 
-ENGINE_QUERIES["approx_distinct_users"] = q_approx_distinct_users
+SQL_APPROX_DISTINCT_USERS = """
+WITH regs AS (
+  SELECT event_type, reg, MAX(rnk) AS rnk
+  FROM read_parquet('/tmp/pnr_oracle_surface/hll_partials/*.parquet')
+  GROUP BY event_type, reg
+),
+s AS (
+  SELECT event_type,
+         SUM(POWER(2.0, -CAST(rnk AS DOUBLE))) + (4096 - COUNT(*)) AS denom,
+         4096 - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type
+),
+e AS (
+  SELECT event_type, zeros,
+         (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 / denom AS est
+  FROM s
+)
+SELECT event_type,
+       CAST(FLOOR(
+         CASE WHEN est <= 2.5 * 4096 AND zeros > 0
+              THEN 4096 * LN(4096.0 / zeros) ELSE est END + 0.5
+       ) AS BIGINT) AS n_users_approx
+FROM e
+ORDER BY event_type
+"""
+
+ORACLE_QUERIES["approx_distinct_users"] = (
+    q_approx_distinct_users,
+    SQL_APPROX_DISTINCT_USERS,
+)
 
 
 def q_approx_quantiles(sf_dir: str):
@@ -710,7 +761,16 @@ def q_approx_quantiles(sf_dir: str):
     instead of the O(distinct-values) count vectors the exact quantile
     queries exchange — the sketch path for CONTINUOUS columns at 100 TB.
     Rank-error contract (<= ~2% of n at k=256) is pinned by pytest
-    against numpy exact quantiles."""
+    against numpy exact quantiles.
+
+    Oracle surface: the DISTRIBUTED sketch merge's retained items
+    (weight = 2^level rows each — the sketch's full quantile state) are
+    exploded to a (event_type, val, weight) surface; the engine's answer
+    is a second distributed weighted-quantile aggregation over that
+    surface read back from disk, which the DuckDB oracle reconstructs
+    with a window cumsum (rank ceil(q*n) selection) — certifying the
+    distributed weighted-quantile reduction; the compaction math stays
+    pinned by pytest."""
     from pynomaly_ray.functions.exchange import hash_aggregate
     from pynomaly_ray.functions.sketches import KLLSketch
 
@@ -727,27 +787,86 @@ def q_approx_quantiles(sf_dir: str):
             None
         )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+    def merge_items(df: pd.DataFrame) -> pd.DataFrame:
+        """Distributed sketch merge -> exploded (val, weight) items.
+
+        The merged sketch's retained items (weight = 2^level rows each)
+        ARE the sketch's full state for quantile purposes, so exploding
+        them to a surface loses nothing and makes the downstream
+        weighted-quantile selection SQL-reconstructible."""
+        ets: list = []
+        vs: list = []
+        ws: list = []
         for et, g in df.groupby("event_type", sort=False):
             sk = KLLSketch()
             for vals, lvls in zip(g["vals"], g["lvls"]):
                 sk.merge(KLLSketch.from_arrays(vals, lvls))
             if sk.n == 0:  # group had only null values: no quantiles
                 continue
+            vals, lvls = sk.to_arrays()
+            ets.extend([et] * len(vals))
+            vs.append(vals)
+            ws.append(np.int64(1) << lvls.astype(np.int64))
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(ets, dtype=object),
+                "val": np.concatenate(vs) if vs else np.empty(0, np.float64),
+                "weight": np.concatenate(ws) if ws else np.empty(0, np.int64),
+            }
+        )
+
+    def weighted_quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["val"].to_numpy(np.float64)
+            w = g["weight"].to_numpy(np.int64)
+            o = np.argsort(v, kind="stable")
+            v, w = v[o], w[o]
+            cw = np.cumsum(w)
+            n = int(cw[-1])
+
+            def pick(q: float) -> float:
+                t = max(int(np.ceil(q * n)), 1)
+                return float(v[np.searchsorted(cw, t, side="left")])
+
             rows.append(
                 {
                     "event_type": et,
-                    "n": sk.n,
-                    "p50_e6": int(round(sk.quantile(0.5) * 1e6)),
-                    "p90_e6": int(round(sk.quantile(0.9) * 1e6)),
+                    "n": n,
+                    "p50_e6": int(np.floor(pick(0.5) * 1e6 + 0.5)),
+                    "p90_e6": int(np.floor(pick(0.9) * 1e6 + 0.5)),
                 }
             )
         return pd.DataFrame(rows, columns=["event_type", "n", "p50_e6", "p90_e6"])
 
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = hash_aggregate(partials, ["event_type"], merge)
+    surf = _surface_dir("kll_items")
+    hash_aggregate(partials, ["event_type"], merge_items).write_parquet(surf)
+    out = hash_aggregate(read_parquet_clean(surf), ["event_type"], weighted_quantiles)
     return collect_sorted(out, ["event_type"])
 
 
-ENGINE_QUERIES["approx_quantiles"] = q_approx_quantiles
+SQL_APPROX_QUANTILES = """
+WITH w AS (
+  SELECT event_type, val,
+         SUM(weight) OVER (
+             PARTITION BY event_type ORDER BY val
+             ROWS UNBOUNDED PRECEDING
+         ) AS cw,
+         SUM(weight) OVER (PARTITION BY event_type) AS n
+  FROM read_parquet('/tmp/pnr_oracle_surface/kll_items/*.parquet')
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(FLOOR(MIN(CASE WHEN cw >= CEIL(0.5 * CAST(n AS DOUBLE))
+                           THEN val END) * 1000000 + 0.5) AS BIGINT) AS p50_e6,
+       CAST(FLOOR(MIN(CASE WHEN cw >= CEIL(0.9 * CAST(n AS DOUBLE))
+                           THEN val END) * 1000000 + 0.5) AS BIGINT) AS p90_e6
+FROM w
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLE_QUERIES["approx_quantiles"] = (q_approx_quantiles, SQL_APPROX_QUANTILES)

@@ -660,11 +660,11 @@ def test_kll_sketch_accuracy_and_merge():
 
 
 def test_approx_quantiles_query_near_exact(ray_session):
-    from pynomaly_ray.pipelines.engine_queries import ENGINE_QUERIES
+    from pynomaly_ray.pipelines.engine_queries import q_approx_quantiles
 
     import pyarrow.parquet as papq
 
-    out = ENGINE_QUERIES["approx_quantiles"]("/root/testdata/sf0.001")
+    out = q_approx_quantiles("/root/testdata/sf0.001")
     ev = papq.read_table(
         "/root/testdata/sf0.001/events.parquet", columns=["event_type", "value"]
     ).to_pandas()
