@@ -70,7 +70,19 @@ def q_loop_embeddings(sf_dir: str):
 
 def q_minhash_dedup(sf_dir: str):
     """MinHash-LSH near-duplicate pairs over documents (doc_a, doc_b,
-    jaccard scaled 1e3)."""
+    jaccard scaled 1e3).
+
+    Oracle surface: the per-doc (band_id, band_hash) rows are
+    materialized and the candidate exchange re-reads them, so the DuckDB
+    twin reconstructs the ENTIRE downstream pipeline from the same rows:
+    band-bucket collision groups (incl. the >256 star cap's
+    lexicographically-first representative), distinct candidate pairs,
+    and the exact word-shingle Jaccard verify at tau=0.5 (short docs
+    contribute one whole-doc shingle, mirroring
+    ``shingles_from_token_lists``).  Only the minhash signature math
+    itself stays SQL-opaque — it is pinned by the batch/single parity
+    property test and certified indirectly: a signature perturbation
+    would change band groups and break this hash match."""
     from pynomaly_ray.stages.dedup import minhash_lsh_duplicates
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -82,7 +94,11 @@ def q_minhash_dedup(sf_dir: str):
         batch_format="pyarrow",
     )
     pairs = minhash_lsh_duplicates(
-        docs, n_perm=64, n_bands=16, jaccard_threshold=0.5
+        docs,
+        n_perm=64,
+        n_bands=16,
+        jaccard_threshold=0.5,
+        bands_sink=_surface_dir("minhash_bands"),
     )
     if len(pairs):
         pairs["jaccard_e3"] = np.floor(
@@ -90,7 +106,62 @@ def q_minhash_dedup(sf_dir: str):
         ).astype(np.int64)
     else:
         pairs = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_e3": []})
-    return pairs
+    return pairs.reset_index(drop=True)
+
+
+SQL_MINHASH_DEDUP = r"""
+WITH b AS (
+  SELECT DISTINCT doc_id, band_id, band_hash
+  FROM read_parquet('/tmp/pnr_oracle_surface/minhash_bands/*.parquet')
+),
+g AS (
+  SELECT doc_id, band_id, band_hash,
+         COUNT(*) OVER (PARTITION BY band_id, band_hash) AS sz,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_hash) AS rep
+  FROM b
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM g a JOIN g b2 USING (band_id, band_hash)
+    WHERE a.sz <= 256 AND a.doc_id < b2.doc_id
+    UNION ALL
+    SELECT rep AS doc_a, doc_id AS doc_b
+    FROM g WHERE sz > 256 AND doc_id <> rep
+  )
+),
+tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], CHR(30)) AS shingle
+  FROM tok, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+  UNION
+  SELECT doc_id, array_to_string(w, CHR(30)) AS shingle
+  FROM tok WHERE len(w) < 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b2 ON b2.doc_id = c.doc_b AND b2.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE))
+                  * 1000 + 0.5) AS BIGINT) AS jaccard_e3
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+# (registered into ORACLE_QUERIES below, after the queries.py import)
 
 
 def q_minhash_dedup_incremental(sf_dir: str):
@@ -100,13 +171,19 @@ def q_minhash_dedup_incremental(sf_dir: str):
     touching them; the UNION of both runs' pairs is returned and must
     COVER the one-shot pipeline's pair set on the same corpus (asserted
     here — a coverage miss raises rather than returning wrong rows).
-    Rows-only driver check; state lives in a throwaway /tmp dir.
     (Subset, not equality: once a collision group crosses the star cap
     the per-run star representative may differ from the full-corpus one,
-    so the union can legitimately carry extra pairs.)"""
-    import shutil
-    import tempfile
+    so the union can legitimately carry extra pairs.)
 
+    Oracle surface: the state dir IS the surface — the per-run band
+    tables the incremental machinery persists anyway
+    (``state/bands/run1``, ``state/bands/run2``) are left in place, and
+    the DuckDB twin reconstructs BOTH runs from them: run 1's candidate
+    pairs, run 2's candidates over the union of prior + new bands with
+    prior-prior pairs suppressed (the cross-run emission rule), the
+    star caps, the pair union, and the exact shingle-Jaccard verify —
+    certifying the incremental crawl-accumulation semantics end-to-end,
+    not just one run."""
     from pynomaly_ray.stages.dedup import (
         minhash_lsh_duplicates,
         minhash_lsh_duplicates_incremental,
@@ -131,16 +208,9 @@ def q_minhash_dedup_incremental(sf_dir: str):
         pa.compute.bit_wise_and(t["doc_id"], 1), 0
     )
     kw = dict(n_perm=64, n_bands=16, jaccard_threshold=0.5)
-    state = tempfile.mkdtemp(prefix="pnr-minhash-inc-")
-    try:
-        p1 = minhash_lsh_duplicates_incremental(
-            _docs(even), state, "run1", **kw
-        )
-        p2 = minhash_lsh_duplicates_incremental(
-            _docs(), state, "run2", **kw
-        )
-    finally:
-        shutil.rmtree(state, ignore_errors=True)
+    state = _surface_dir("minhash_inc_state")
+    p1 = minhash_lsh_duplicates_incremental(_docs(even), state, "run1", **kw)
+    p2 = minhash_lsh_duplicates_incremental(_docs(), state, "run2", **kw)
     both = pd.concat([p1, p2], ignore_index=True)
     oneshot = minhash_lsh_duplicates(_docs(), **kw)
     if not set(zip(oneshot.doc_a, oneshot.doc_b)) <= set(
@@ -153,6 +223,96 @@ def q_minhash_dedup_incremental(sf_dir: str):
         np.int64
     )
     return collect_sorted(both, ["doc_a", "doc_b"])
+
+
+SQL_MINHASH_DEDUP_INCREMENTAL = r"""
+WITH b1 AS (
+  SELECT DISTINCT doc_id, band_id, band_hash
+  FROM read_parquet(
+    '/tmp/pnr_oracle_surface/minhash_inc_state/bands/run1/*.parquet')
+),
+b2new AS (
+  SELECT DISTINCT doc_id, band_id, band_hash
+  FROM read_parquet(
+    '/tmp/pnr_oracle_surface/minhash_inc_state/bands/run2/*.parquet')
+),
+g1 AS (
+  SELECT doc_id, band_id, band_hash,
+         COUNT(*) OVER (PARTITION BY band_id, band_hash) AS sz,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_hash) AS rep
+  FROM b1
+),
+p1 AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM g1 a JOIN g1 b2 USING (band_id, band_hash)
+    WHERE a.sz <= 256 AND a.doc_id < b2.doc_id
+    UNION ALL
+    SELECT rep AS doc_a, doc_id AS doc_b
+    FROM g1 WHERE sz > 256 AND doc_id <> rep
+  )
+),
+u AS (
+  SELECT doc_id, band_id, band_hash FROM b1
+  UNION ALL
+  SELECT doc_id, band_id, band_hash FROM b2new
+),
+g2 AS (
+  SELECT doc_id, band_id, band_hash,
+         COUNT(*) OVER (PARTITION BY band_id, band_hash) AS sz,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_hash) AS rep
+  FROM u
+),
+cand2 AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM g2 a JOIN g2 b2 USING (band_id, band_hash)
+    WHERE a.sz <= 256 AND a.doc_id < b2.doc_id
+    UNION ALL
+    SELECT rep AS doc_a, doc_id AS doc_b
+    FROM g2 WHERE sz > 256 AND doc_id <> rep
+  )
+),
+prior AS (SELECT DISTINCT doc_id FROM b1),
+p2 AS (
+  SELECT doc_a, doc_b FROM cand2
+  WHERE NOT (doc_a IN (SELECT doc_id FROM prior)
+             AND doc_b IN (SELECT doc_id FROM prior))
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b
+  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+),
+tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], CHR(30)) AS shingle
+  FROM tok, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+  UNION
+  SELECT doc_id, array_to_string(w, CHR(30)) AS shingle
+  FROM tok WHERE len(w) < 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b2 ON b2.doc_id = c.doc_b AND b2.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE))
+                  * 1000 + 0.5) AS BIGINT) AS jaccard_e3
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5
+ORDER BY doc_a, doc_b
+"""
 
 
 def q_simhash_fingerprints(sf_dir: str):
@@ -299,13 +459,27 @@ def q_embedding_neardup(sf_dir: str):
     above the testdata's 99.9th-percentile pairwise cosine, so the
     result is non-empty (round 1's 0.95 returned zero rows and verified
     nothing) while staying sparse; recall vs the exact variant
-    (embedding_neardup_exact oracle query) is the LSH tradeoff."""
+    (embedding_neardup_exact oracle query) is the LSH tradeoff.
+
+    Oracle surface: the (vec_id, table_id, bucket) exchange input is
+    materialized (buckets_sink) and re-read, and the threshold compare
+    runs on the integer e6 grid both sides, so the DuckDB twin
+    reconstructs the collision groups, the >512 star cap, the
+    cross-table pair dedup, and the exact-cosine verify from the same
+    rows — only the hyperplane sign math stays SQL-opaque (a plane
+    perturbation would change the buckets and break this hash match)."""
     from pynomaly_ray.stages.similarity import near_dup_pairs_embedding
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
     dim = _embedding_dim(os.path.join(sf_dir, "embeddings.parquet"))
     pairs = near_dup_pairs_embedding(
-        ds, dim=dim, threshold=0.4, n_planes=4, n_tables=8
+        ds,
+        dim=dim,
+        threshold=0.4,
+        n_planes=4,
+        n_tables=8,
+        buckets_sink=_surface_dir("lsh_buckets"),
+        threshold_on_e6_grid=True,
     )
     if len(pairs):
         pairs["cosine_e6"] = np.floor(
@@ -314,6 +488,41 @@ def q_embedding_neardup(sf_dir: str):
     else:
         pairs = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_e6": []})
     return pairs
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH s AS (
+  SELECT DISTINCT vec_id, table_id, bucket
+  FROM read_parquet('/tmp/pnr_oracle_surface/lsh_buckets/*.parquet')
+),
+g AS (
+  SELECT vec_id, table_id, bucket,
+         COUNT(*) OVER (PARTITION BY table_id, bucket) AS sz,
+         MIN(vec_id) OVER (PARTITION BY table_id, bucket) AS rep
+  FROM s
+),
+cand AS (
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM g a JOIN g b USING (table_id, bucket)
+    WHERE a.sz <= 512 AND a.vec_id < b.vec_id
+    UNION ALL
+    SELECT rep AS vec_a, vec_id AS vec_b
+    FROM g WHERE sz > 512 AND vec_id <> rep
+  )
+)
+SELECT vec_a, vec_b, cosine_e6 FROM (
+  SELECT c.vec_a, c.vec_b,
+         CAST(FLOOR(list_cosine_similarity(
+             ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]
+         ) * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+WHERE cosine_e6 >= 400000
+ORDER BY vec_a, vec_b
+"""
 
 
 def q_audio_features(sf_dir: str):
@@ -521,6 +730,13 @@ ORDER BY "check", partition_id
 # __ray_entry__.oracle_sql() imports this module before reading the dict)
 from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
 
+ORACLE_QUERIES["minhash_dedup"] = (q_minhash_dedup, SQL_MINHASH_DEDUP)
+ORACLE_QUERIES["minhash_dedup_incremental"] = (
+    q_minhash_dedup_incremental,
+    SQL_MINHASH_DEDUP_INCREMENTAL,
+)
+ORACLE_QUERIES["embedding_neardup"] = (q_embedding_neardup, SQL_EMBEDDING_NEARDUP)
+
 ORACLE_QUERIES.update(
     {
         "lang_id": (q_lang_id, SQL_LANG_ID),
@@ -536,13 +752,15 @@ ORACLE_QUERIES.update(
 ENGINE_QUERIES = {
     "loop_distributed": q_loop_distributed,
     "loop_embeddings": q_loop_embeddings,
-    "minhash_dedup": q_minhash_dedup,
-    "minhash_dedup_incremental": q_minhash_dedup_incremental,
+    # minhash_dedup + minhash_dedup_incremental moved to ORACLE_QUERIES:
+    # their band surfaces are parquet-materialized so candidate
+    # generation, cross-run suppression, and verify are
+    # DuckDB-oracle-certified (see SQL_MINHASH_DEDUP[_INCREMENTAL])
     "simhash_fingerprints": q_simhash_fingerprints,
     # lang_id / quality_scores moved to ORACLE_QUERIES (queries.py):
     # their per-doc surface is parquet-materialized so the distributed
-    # aggregation is DuckDB-oracle-certified
-    "embedding_neardup": q_embedding_neardup,
+    # aggregation is DuckDB-oracle-certified; embedding_neardup moved
+    # likewise via its bucket surface (SQL_EMBEDDING_NEARDUP)
     "image_features": q_image_features,
     "audio_features": q_audio_features,
 }

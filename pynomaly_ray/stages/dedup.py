@@ -337,6 +337,7 @@ def minhash_lsh_duplicates(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     as_dataset: bool = False,
+    bands_sink: str | None = None,
 ):
     """Full MinHash-LSH near-dup pipeline over (doc_id, text) batches.
 
@@ -351,6 +352,12 @@ def minhash_lsh_duplicates(
     the map tasks and the verified pairs come back as a ray.data.Dataset
     (``write_parquet`` it) — the 100-TB path where even the pair list is
     too large to collect.
+
+    ``bands_sink``: optional parquet dir; the (doc_id, band_id,
+    band_hash) rows are materialized there and the candidate exchange
+    re-reads them from disk, so an external oracle (SQL over the sink)
+    can reconstruct the candidate generation from exactly the rows the
+    engine consumed (see q_minhash_dedup's DuckDB twin).
     """
     from pynomaly_ray.functions.exchange import hash_aggregate, hash_join
 
@@ -362,6 +369,11 @@ def minhash_lsh_duplicates(
         batch_format="pandas",
     )
     bands = sigs.map_batches(explode_bands(n_bands), batch_format="pandas")
+    if bands_sink is not None:
+        from pynomaly_ray.sources.parquet import read_parquet_clean
+
+        bands.write_parquet(bands_sink)
+        bands = read_parquet_clean(bands_sink)
     # candidate generation as a hash exchange on the uniform band keys:
     # every (band_id, band_hash) group lands whole in one bucket, and the
     # bulk reducer vectorizes across ALL groups of the bucket (Ray's

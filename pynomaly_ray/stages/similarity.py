@@ -371,7 +371,9 @@ _BUCKET_PAIR_CAP = 512
 _VERIFY_CHUNK_CELLS = 4_000_000
 
 
-def _verified_bucket_pairs(threshold: float, cap: int = _BUCKET_PAIR_CAP):
+def _verified_bucket_pairs(
+    threshold: float, cap: int = _BUCKET_PAIR_CAP, e6_grid: bool = False
+):
     """Bucket reducer: verify candidate pairs WHERE THE VECTORS ALREADY
     ARE.  Each (table_id, bucket) collision group's exact pairwise
     cosines are computed with one batched einsum per group SIZE (all
@@ -386,7 +388,19 @@ def _verified_bucket_pairs(threshold: float, cap: int = _BUCKET_PAIR_CAP):
     O(pairs·dim) bytes, which at coarse bucketing dwarfs the n·L vector
     copies this path pays in the single bucket exchange (measured 1M
     candidate pairs from 2k vectors at sf0.1: 3 s -> the exchange-only
-    path removes the joins entirely)."""
+    path removes the joins entirely).
+
+    ``e6_grid``: threshold on the ROUNDED integer surface
+    floor(cos*1e6+0.5) instead of the raw float — removes the
+    [t-5e-7, t) boundary window where an external float recomputation
+    (the DuckDB oracle) could disagree with numpy's op order; same
+    rationale as q_embedding_neardup_exact's e6 cut."""
+    t_e6 = int(np.floor(threshold * 1e6 + 0.5))
+
+    def _keep(cosv: np.ndarray) -> np.ndarray:
+        if e6_grid:
+            return np.floor(cosv * 1e6 + 0.5) >= t_e6
+        return cosv >= threshold
 
     def reducer(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -425,7 +439,7 @@ def _verified_bucket_pairs(threshold: float, cap: int = _BUCKET_PAIR_CAP):
                 S = np.einsum("mad,mbd->mab", T, T)
                 I = ids[rows]
                 cosv = S[:, iu0, iu1].ravel()
-                keep = cosv >= threshold
+                keep = _keep(cosv)
                 out_a.append(I[:, iu0].ravel()[keep])
                 out_b.append(I[:, iu1].ravel()[keep])
                 out_c.append(cosv[keep])
@@ -433,7 +447,7 @@ def _verified_bucket_pairs(threshold: float, cap: int = _BUCKET_PAIR_CAP):
             seg = slice(offsets[g], offsets[g + 1])
             segids, segV = ids[seg], Vn[seg]
             cosv = segV[1:] @ segV[0]
-            keep = cosv >= threshold
+            keep = _keep(cosv)
             out_a.append(np.full(int(keep.sum()), segids[0], dtype=np.int64))
             out_b.append(segids[1:][keep])
             out_c.append(cosv[keep])
@@ -458,6 +472,8 @@ def near_dup_pairs_embedding(
     n_planes: int = 4,
     n_tables: int = 8,
     as_dataset: bool = False,
+    buckets_sink: Optional[str] = None,
+    threshold_on_e6_grid: bool = False,
 ):
     """Embedding-cosine near-duplicate pairs via multi-table hyperplane
     LSH, fully distributed:
@@ -475,6 +491,14 @@ def near_dup_pairs_embedding(
 
     Recall for a pair at angle theta: 1-(1-p^k)^L with p = 1-theta/pi —
     raise n_tables for higher recall, n_planes for sparser buckets.
+
+    ``buckets_sink``: optional parquet dir; the (vec_id, table_id,
+    bucket, embedding) exchange input is materialized there and re-read,
+    so an external oracle (SQL over the sink + the embeddings table) can
+    reconstruct candidate groups, the star cap, and the cosine verify
+    from exactly the rows the reducers consumed.  Pair it with
+    ``threshold_on_e6_grid=True`` so the threshold compare happens on
+    the integer e6 surface both sides.
     """
     from pynomaly_ray.functions.exchange import hash_aggregate
 
@@ -486,8 +510,15 @@ def near_dup_pairs_embedding(
         batch_format="pyarrow",
         batch_size=8192,
     )
+    if buckets_sink is not None:
+        from pynomaly_ray.sources.parquet import read_parquet_clean
+
+        buckets.write_parquet(buckets_sink)
+        buckets = read_parquet_clean(buckets_sink)
     verified = hash_aggregate(
-        buckets, ["table_id", "bucket"], _verified_bucket_pairs(threshold)
+        buckets,
+        ["table_id", "bucket"],
+        _verified_bucket_pairs(threshold, e6_grid=threshold_on_e6_grid),
     )
     if as_dataset:
         # cross-table dedup as a pair-keyed exchange over the (small)
