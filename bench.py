@@ -100,8 +100,10 @@ def run_headline(sf_name: str) -> dict:
 
 
 # engine-only pipelines heavy enough to be worth tracking per round
-# (the dedup family was round 1's flagged scale risk)
-_BENCH_ENGINE_QUERIES = ("minhash_dedup", "simhash_fingerprints", "embedding_neardup")
+# (the dedup family was round 1's flagged scale risk; minhash_dedup and
+# embedding_neardup moved into ORACLE_QUERIES in round 5 — the surface-
+# certified variants — so they're timed via that registry now)
+_BENCH_ENGINE_QUERIES = ("simhash_fingerprints",)
 
 # Per-query wall regression gate: BENCH_BEST.json records the best
 # per-query walls seen on this host (refresh with --record-best); a
