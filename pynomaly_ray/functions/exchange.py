@@ -510,6 +510,78 @@ def asof_join(
     return ray.data.from_arrow_refs(merged)
 
 
+def range_join(
+    ds_left,
+    ds_right,
+    by: str,
+    left_on: str,
+    right_lo: str,
+    right_hi: str,
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    num_partitions: int | None = None,
+):
+    """Distributed equi-key interval (range) join: each left row (a point
+    ``left_on``) matches every right row of the same ``by`` key whose
+    half-open interval ``[right_lo, right_hi)`` contains it — the
+    "events inside each order's fulfilment window" shape.  Inner join:
+    left rows inside no interval are dropped; a point inside several
+    overlapping intervals matches each of them.
+
+    Both sides hash-partition on ``by`` (one keyed exchange co-locates
+    all candidates, because matches only occur within an equi key); each
+    bucket forms candidates with a vectorized ``pd.merge`` on the key and
+    prunes with the interval predicate.  Partitioning assumption: for a
+    PURE interval join (no equi key) derive a coarse time-granule column,
+    replicate each interval to every granule it overlaps, route points by
+    their own granule, and pass the granule as ``by`` — each (point,
+    interval) pair then meets in exactly one bucket.  Skew note: a hot
+    ``by`` key with many intervals pays #points x #intervals candidate
+    rows inside one bucket; pass ``merge_fn`` (e.g. the downstream
+    aggregate) so the fat join output collapses before leaving the task.
+
+    Output columns: all left columns + all right columns, right names
+    colliding with a left name suffixed ``_right`` (pandas merge
+    convention).  No counterpart in the reference (PyNomaly has no
+    joins); DuckDB twin: ``JOIN ON l.by = r.by AND l.on >= r.lo AND
+    l.on < r.hi``.
+    """
+    keys = [by]
+    lrefs, lbytes = _materialized(ds_left)
+    rrefs, rbytes = _materialized(ds_right)
+    p = num_partitions or auto_num_partitions(lbytes + rbytes)
+    ls = _partitioned_refs(lrefs, keys, p)
+    rs = _partitioned_refs(rrefs, keys, p)
+
+    @ray.remote
+    def _range_bucket(n_left: int, *pieces: pa.Table) -> pa.Table:
+        ldf = pa.concat_tables(
+            pieces[:n_left], promote_options="permissive"
+        ).to_pandas()
+        rdf = pa.concat_tables(
+            pieces[n_left:], promote_options="permissive"
+        ).to_pandas()
+        cand = ldf.merge(rdf, on=keys, how="inner", suffixes=("", "_right"))
+        lo = right_lo if right_lo in cand.columns else f"{right_lo}_right"
+        hi = right_hi if right_hi in cand.columns else f"{right_hi}_right"
+        pt = cand[left_on]
+        out = cand[(pt >= cand[lo]) & (pt < cand[hi])].reset_index(drop=True)
+        if merge_fn is not None:
+            out = merge_fn(out)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    merged = [
+        _range_bucket.remote(
+            len(ls),
+            *[ls[i][b] for i in range(len(ls))],
+            *[rs[i][b] for i in range(len(rs))],
+        )
+        for b in range(p)
+    ]
+    return ray.data.from_arrow_refs(merged)
+
+
 # A broadcast side is shipped into EVERY task closure: only genuinely
 # constant-size dimension tables (nation=25, region=5, a source list)
 # qualify.  Fact-scaled tables (customer, orders, ...) grow with SF and

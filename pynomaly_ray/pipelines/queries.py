@@ -761,6 +761,203 @@ ORACLE_QUERIES["asof_orders"] = (q_asof_orders, SQL_ASOF_ORDERS)
 
 
 # ---------------------------------------------------------------------------
+# Q: order_followups — distributed equi-key interval (range) join: for
+# each order, the customer's OTHER orders placed inside its 60-day
+# follow-up window [o_orderdate, o_orderdate + 60d).  A genuine interval
+# join (a point order can fall inside SEVERAL overlapping windows), not a
+# PK join with a filter.  The per-window aggregate runs inside the join
+# buckets via range_join's merge_fn, so the pair blowup never leaves the
+# task; prices are integer-scaled per row BEFORE the sum so the reduction
+# is associative (a float sum's order would differ engine vs SQL).
+# ---------------------------------------------------------------------------
+def q_order_followups(sf_dir: str):
+    from pynomaly_ray.functions.exchange import range_join
+
+    def pts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "f_orderkey": t["o_orderkey"],
+                "f_date": t["o_orderdate"],
+                "f_price": t["o_totalprice"],
+            }
+        )
+
+    def wins(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "o_custkey": df["o_custkey"],
+                    "o_orderkey": df["o_orderkey"],
+                    "win_lo": df["o_orderdate"],
+                    "win_hi": df["o_orderdate"] + pd.Timedelta(days=60),
+                }
+            )
+        )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    left = _pq(sf_dir, "orders", cols).map_batches(pts, batch_format="pyarrow")
+    right = _pq(sf_dir, "orders", cols).map_batches(wins, batch_format="pyarrow")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["f_orderkey"] != df["o_orderkey"]]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype=np.int64),
+                    "n_followups": pd.Series(dtype=np.int64),
+                    "sum_followup_price_e2": pd.Series(dtype=np.int64),
+                }
+            )
+        e2 = np.floor(df["f_price"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = (
+            df.assign(price_e2=e2)
+            .groupby("o_orderkey", sort=False)
+            .agg(
+                n_followups=("price_e2", "size"),
+                sum_followup_price_e2=("price_e2", "sum"),
+            )
+            .reset_index()
+        )
+        g["n_followups"] = g["n_followups"].astype(np.int64)
+        return g
+
+    # each o_orderkey belongs to exactly one o_custkey, so the per-bucket
+    # aggregate is already FINAL — no second exchange needed
+    out = range_join(
+        left,
+        right,
+        by="o_custkey",
+        left_on="f_date",
+        right_lo="win_lo",
+        right_hi="win_hi",
+        merge_fn=agg,
+    )
+    return collect_sorted(out, ["o_orderkey"])
+
+
+SQL_ORDER_FOLLOWUPS = """
+SELECT r.o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_followups,
+       CAST(SUM(CAST(FLOOR(l.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_followup_price_e2
+FROM orders l JOIN orders r
+  ON l.o_custkey = r.o_custkey
+ AND l.o_orderdate >= r.o_orderdate
+ AND l.o_orderdate < r.o_orderdate + INTERVAL 60 DAY
+ AND l.o_orderkey <> r.o_orderkey
+GROUP BY r.o_orderkey
+ORDER BY r.o_orderkey
+"""
+
+ORACLE_QUERIES["order_followups"] = (q_order_followups, SQL_ORDER_FOLLOWUPS)
+
+
+# ---------------------------------------------------------------------------
+# Q: knn_join — batch ANN join: top-5 cosine neighbors for EACH of the 10
+# lowest-vec_id query vectors in ONE corpus pass (the k-NN-graph shape of
+# embedding-based dedup / retrieval, vs knn_cosine's single query).  The
+# normalized query matrix is ray.put ONCE and read per batch; one GEMM
+# per batch scores all queries; local per-query top-5 is taken on the
+# integer e6 grid under the SAME total order (score_e6 desc, vec_id asc)
+# as the merge and the SQL twin, so local pruning cannot change the
+# global answer; the exchange-merge on query_id keeps driver traffic at
+# Q x k rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+_KNN_JOIN_Q = 10
+_KNN_JOIN_K = 5
+
+
+def q_knn_join(sf_dir: str):
+    import pyarrow.parquet as papq
+    import ray as _ray
+
+    from pynomaly_ray.stages.similarity import _embedding_matrix
+
+    qt = papq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _KNN_JOIN_Q)],
+    )
+    qids = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+    Q = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    o = np.argsort(qids, kind="stable")
+    qids, Q = qids[o], Q[o]
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qref = _ray.put((qids, Qn))
+    k = _KNN_JOIN_K
+    out_schema = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("score_e6", pa.int64())]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        qids_l, Qn_l = _ray.get(qref)
+        M = _embedding_matrix(batch)
+        norms = np.linalg.norm(M, axis=1)
+        S = (M / np.where(norms > 0, norms, 1.0)[:, None]) @ Qn_l.T  # (B, Q)
+        e6 = np.floor(S * 1_000_000 + 0.5).astype(np.int64)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = min(k, len(vec_ids))
+        qcol, vcol, scol = [], [], []
+        for qi in range(len(qids_l)):
+            col = e6[:, qi]
+            sel = np.lexsort((vec_ids, -col))[:kk]
+            qcol.append(np.full(kk, qids_l[qi], dtype=np.int64))
+            vcol.append(vec_ids[sel])
+            scol.append(col[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qcol), pa.int64()),
+                "vec_id": pa.array(np.concatenate(vcol), pa.int64()),
+                "score_e6": pa.array(np.concatenate(scol), pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["query_id", "score_e6", "vec_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("query_id", sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    survivors = _pq(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        score, batch_format="pyarrow", batch_size=8192
+    )
+    out = hash_aggregate(survivors, ["query_id"], merge)
+    return collect_sorted(out, ["query_id", "vec_id"])
+
+
+SQL_KNN_JOIN = """
+SELECT query_id, vec_id, score_e6 FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         CAST(FLOOR(list_cosine_similarity(
+             e.embedding::DOUBLE[], q.embedding::DOUBLE[]
+         ) * 1000000 + 0.5) AS BIGINT) AS score_e6,
+         ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(FLOOR(list_cosine_similarity(
+                 e.embedding::DOUBLE[], q.embedding::DOUBLE[]
+             ) * 1000000 + 0.5) AS BIGINT) DESC, e.vec_id
+         ) AS rn
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 10
+)
+WHERE rn <= 5
+ORDER BY query_id, vec_id
+"""
+
+ORACLE_QUERIES["knn_join"] = (q_knn_join, SQL_KNN_JOIN)
+
+
+# ---------------------------------------------------------------------------
 # Q: nation_revenue — three-way join (TPC-H Q5 shape): lineitem x orders
 # and then x customer, BOTH via the partitioned hash join — customer is
 # fact-scaled (SF x 150k) so it must flow through the exchange, never a

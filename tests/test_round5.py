@@ -347,3 +347,132 @@ def test_bench_regression_gate(tmp_path, monkeypatch):
     assert bench.find_regressions(timings, best) == ["q1"]
     assert bench.find_regressions({"q1": 1.4}, best) == []
     assert bench.load_best("sf_other") == {}
+
+
+# ---------------------------------------------------------------------------
+# range_join: distributed equi-key interval join
+# ---------------------------------------------------------------------------
+def _range_join_reference(ldf, rdf, by, on, lo, hi):
+    cand = ldf.merge(rdf, on=by, how="inner", suffixes=("", "_right"))
+    return (
+        cand[(cand[on] >= cand[lo]) & (cand[on] < cand[hi])]
+        .sort_values(list(cand.columns), kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_range_join_matches_pandas_reference(ray_session):
+    """Overlapping windows, half-open boundaries, multi-interval hits and
+    no-hit points, through the REAL multi-bucket exchange (p=4 == p=1)."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import range_join
+
+    rng = np.random.RandomState(7)
+    n_l, n_r = 400, 120
+    ldf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 20, n_l),
+            "t": rng.randint(0, 1000, n_l).astype(np.int64),
+            "lid": np.arange(n_l, dtype=np.int64),
+        }
+    )
+    lo = rng.randint(0, 900, n_r).astype(np.int64)
+    rdf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 20, n_r),
+            "lo": lo,
+            "hi": lo + rng.randint(1, 300, n_r),  # overlapping windows
+            "rid": np.arange(n_r, dtype=np.int64),
+        }
+    )
+    # plant exact boundary rows: t == lo (must match), t == hi (must not)
+    ldf.loc[0, ["k", "t"]] = [rdf.loc[0, "k"], rdf.loc[0, "lo"]]
+    ldf.loc[1, ["k", "t"]] = [rdf.loc[1, "k"], rdf.loc[1, "hi"]]
+
+    expect = _range_join_reference(ldf, rdf, "k", "t", "lo", "hi")
+    for p in (1, 4):
+        got = (
+            range_join(
+                rd.from_pandas(ldf),
+                rd.from_pandas(rdf),
+                by="k",
+                left_on="t",
+                right_lo="lo",
+                right_hi="hi",
+                num_partitions=p,
+            )
+            .to_pandas()
+        )
+        got = got[expect.columns].sort_values(
+            list(expect.columns), kind="mergesort"
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, expect)
+    # boundary semantics really exercised
+    assert (expect[["k", "t"]].values == ldf.loc[0, ["k", "t"]].values).all(
+        axis=1
+    ).any()
+
+
+def test_range_join_merge_fn_and_empty_buckets(ray_session):
+    """merge_fn collapses the pair blowup inside the bucket; a key-set
+    with zero matches yields a typed empty result (schema from merge_fn
+    output), not a crash."""
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import range_join
+
+    ldf = pd.DataFrame({"k": [1, 1, 2], "t": [5, 6, 100], "v": [10, 20, 30]})
+    rdf = pd.DataFrame({"k": [1, 1, 2], "lo": [0, 5, 0], "hi": [10, 7, 50]})
+
+    def agg(df):
+        if df.empty:
+            return pd.DataFrame(
+                {"k": pd.Series(dtype=np.int64), "n": pd.Series(dtype=np.int64)}
+            )
+        g = df.groupby("k", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    out = (
+        range_join(
+            rd.from_pandas(ldf),
+            rd.from_pandas(rdf),
+            by="k",
+            left_on="t",
+            right_lo="lo",
+            right_hi="hi",
+            merge_fn=agg,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1: t=5 hits [0,10) and [5,7); t=6 hits both too -> 4 pairs.
+    # k=2: t=100 outside [0,50) -> no row.
+    pd.testing.assert_frame_equal(out, pd.DataFrame({"k": [1], "n": [4]}).astype({"k": np.int64, "n": np.int64}))
+
+
+def test_knn_join_tie_break_on_duplicate_embeddings(ray_session, tmp_path):
+    """Exactly duplicated embeddings force score ties: the engine's local
+    e6-grid pruning + exchange merge must pick the LOWEST vec_ids, the
+    same total order the SQL twin's ROW_NUMBER uses."""
+    from pynomaly_ray.pipelines.queries import q_knn_join
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 8)
+    # vec_ids 20..27 duplicate vec 0's embedding exactly -> cosine 1.0 ties
+    base[20:28] = base[0]
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+            "embedding": pa.array(list(base), pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(emb, os.path.join(tmp_path, "embeddings.parquet"))
+    out = q_knn_join(str(tmp_path))
+    q0 = out[out.query_id == 0]
+    # ties at score 1.0: vec 0 and dup ids 20..27; top-5 = lowest ids
+    assert list(q0.vec_id) == [0, 20, 21, 22, 23]
+    assert (q0.score_e6 == 1_000_000).all()
