@@ -328,6 +328,86 @@ def q_simhash_fingerprints(sf_dir: str):
     return collect_sorted(df, ["doc_id"])
 
 
+def q_simhash_profile(sf_dir: str):
+    """Distributed profile of the SimHash/fingerprint surface: per
+    set-bit-count bucket of the 63-bit simhash, the doc count and the
+    DISTINCT full-content fingerprint count.
+
+    Same surface pattern as :func:`q_lang_id`: the per-doc simhash +
+    fingerprint rows (SipHash/CRC math — non-SQL-expressible, pinned by
+    the bit-parity and hypothesis pytests) are materialized to parquet,
+    and the DISTRIBUTED aggregation over that surface is what the DuckDB
+    oracle certifies — including popcount parity (numpy unpackbits ==
+    DuckDB ``bit_count`` on the same int64 values) and a map-side
+    combine: duplicate (n_bits, fingerprint) pairs collapse to partial
+    counts inside each batch before the exchange, so the reducer sums
+    counts and takes nunique over already-thinned rows."""
+    from pynomaly_ray.functions.exchange import hash_aggregate
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.stages.dedup import SimHasher
+    from pynomaly_ray.stages.text import Fingerprint
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    surf = _surface_dir("simhash")
+    docs.map_batches(SimHasher(), batch_format="pandas").map_batches(
+        Fingerprint(), batch_format="pandas"
+    ).map_batches(
+        lambda t: t.select(["doc_id", "simhash", "fingerprint"]),
+        batch_format="pyarrow",
+    ).write_parquet(surf)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = (
+            np.unpackbits(sh.view(np.uint64).view(np.uint8))
+            .reshape(len(sh), 64)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "n_bits": bits,
+                "fingerprint": t["fingerprint"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby(["n_bits", "fingerprint"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("n_bits", sort=False)
+            .agg(n_docs=("cnt", "sum"), n_distinct_fp=("fingerprint", "nunique"))
+            .reset_index()
+        )
+        return g.astype(
+            {"n_bits": np.int64, "n_docs": np.int64, "n_distinct_fp": np.int64}
+        )
+
+    out = hash_aggregate(
+        read_parquet_clean(surf).map_batches(partial, batch_format="pyarrow"),
+        ["n_bits"],
+        merge,
+    )
+    return collect_sorted(out, ["n_bits"])
+
+
+SQL_SIMHASH_PROFILE = """
+SELECT CAST(bit_count(simhash) AS BIGINT) AS n_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_distinct_fp
+FROM read_parquet('/tmp/pnr_oracle_surface/simhash/*.parquet')
+GROUP BY n_bits
+ORDER BY n_bits
+"""
+
+
 def _surface_dir(name: str) -> str:
     """Fixed scratch dir for a query's materialized per-doc surface.
 
@@ -745,6 +825,7 @@ ORACLE_QUERIES.update(
             q_validation_violations,
             SQL_VALIDATION_VIOLATIONS,
         ),
+        "simhash_profile": (q_simhash_profile, SQL_SIMHASH_PROFILE),
     }
 )
 

@@ -63,35 +63,27 @@ def project_doc_partition(batch: pa.Table, salt_buckets: int = 16) -> pa.Table:
                 "salt": pa.array(salt_of(part_id, salt_buckets)),
             }
         )
-    # nul_safe_key: a plain object-dtype groupby would alias doc_ids
-    # that differ only after an embedded NUL byte (pandas C-string
-    # compare), merging distinct docs into one count
-    df = pd.DataFrame(
+    # Arrow hash group-by, not a pandas object groupby: pandas compares
+    # object strings as C strings, so doc_ids that differ only after an
+    # embedded NUL byte would merge into one count; Arrow strings are
+    # length-prefixed (NUL-safe) and its C++ hash table is ~3x faster
+    # than the object groupby on this path.  use_threads=False keeps the
+    # first-appearance row order deterministic (resume-identity).
+    agg_t = pa.TableGroupBy(
+        pa.table({"doc_id": doc_id, "partition_id": part_id}),
+        ["doc_id", "partition_id"],
+        use_threads=False,
+    ).aggregate([([], "count_all")])
+    return pa.table(
         {
-            "doc_id": nul_safe_key(ser),
-            "partition_id": nul_safe_key(part_id.to_pandas()),
+            "doc_id": agg_t["doc_id"],
+            "partition_id": agg_t["partition_id"],
+            "cnt": agg_t["count_all"].cast(pa.int64()),
+            "doc_hash": pa.array(
+                hash_strings(agg_t["doc_id"]).view(np.int64)
+            ),
+            "salt": pa.array(salt_of(agg_t["partition_id"], salt_buckets)),
         }
-    )
-    agg = (
-        df.groupby(["doc_id", "partition_id"], sort=False, dropna=False)
-        .size()
-        .reset_index(name="cnt")
-    )
-    agg["doc_hash"] = hash_strings(agg["doc_id"]).view(np.int64)
-    agg["salt"] = salt_of(agg["partition_id"], salt_buckets)
-    t = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
-    # Arrow-backed pandas strings round-trip as large_string; cast back
-    # so slow-path blocks unify with the fast-path `string` blocks
-    return t.cast(
-        pa.schema(
-            [
-                pa.field(
-                    f.name,
-                    pa.string() if pa.types.is_large_string(f.type) else f.type,
-                )
-                for f in t.schema
-            ]
-        )
     )
 
 
