@@ -476,3 +476,24 @@ def test_knn_join_tie_break_on_duplicate_embeddings(ray_session, tmp_path):
     # ties at score 1.0: vec 0 and dup ids 20..27; top-5 = lowest ids
     assert list(q0.vec_id) == [0, 20, 21, 22, 23]
     assert (q0.score_e6 == 1_000_000).all()
+
+
+def test_simhash_profile_popcount_matches_duckdb(ray_session):
+    """q_simhash_profile's numpy popcount and distributed distinct-count
+    must agree with the DuckDB twin (bit_count + COUNT DISTINCT) over
+    the same materialized surface."""
+    import duckdb
+
+    from pynomaly_ray.pipelines.engine_queries import (
+        SQL_SIMHASH_PROFILE,
+        q_simhash_profile,
+    )
+
+    got = q_simhash_profile("/root/testdata/sf0.001")
+    sql = duckdb.connect().execute(SQL_SIMHASH_PROFILE).df()
+    got = got.sort_values("n_bits").reset_index(drop=True)
+    sql = sql.sort_values("n_bits").reset_index(drop=True)
+    assert got["n_bits"].tolist() == sql["n_bits"].tolist()
+    assert got["n_docs"].tolist() == sql["n_docs"].tolist()
+    assert got["n_distinct_fp"].tolist() == sql["n_distinct_fp"].tolist()
+    assert got["n_docs"].sum() == 500  # every doc profiled exactly once
