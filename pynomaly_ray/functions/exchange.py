@@ -359,8 +359,10 @@ def anti_membership(ds_left, ds_right, on: str, num_partitions: int | None = Non
     distinct under it) is resolved by a mergeable HLL estimate — one
     constant-size register vector per block, merged driver-side — so it
     still takes the cheap broadcast path instead of paying a full
-    left-side exchange.  Both paths are row-identical (forced-path
-    tests in tests/test_queries.py).
+    left-side exchange; in that case a key-only exchange dedups the
+    right side globally first, so the driver collect stays bounded at
+    ~distinct rows instead of n_blocks x cap.  Both paths are
+    row-identical (forced-path tests in tests/test_queries.py).
     """
     import pyarrow.compute as _pc
 
@@ -395,6 +397,19 @@ def anti_membership(ds_left, ds_right, on: str, num_partitions: int | None = Non
         # which of two correct paths runs, never the result
         if hll_estimate(hll_merge(regs)) > cap:
             return hash_anti_join(ds_left, mds_right, on, num_partitions)
+        # distinct is under the cap but the per-block-deduped rows are
+        # not (duplicates span blocks): a direct collect would pull
+        # n_blocks x up-to-cap rows onto the driver.  One key-only
+        # exchange dedups globally first, bounding the collect at
+        # ~distinct (<= ~cap) rows.  Arrow unique in the reducer — a
+        # pandas drop_duplicates would NUL-alias object keys.
+        def _dedup_keys(df: pd.DataFrame) -> pd.DataFrame:
+            u = _pc.unique(pa.Array.from_pandas(df[on]))
+            return pd.DataFrame({on: u.to_pandas()})
+
+        mds_right = hash_aggregate(
+            mds_right, [on], _dedup_keys, num_partitions
+        ).materialize()
     tables = ray.get(mds_right.to_arrow_refs())
     keys = _pc.drop_null(
         _pc.unique(

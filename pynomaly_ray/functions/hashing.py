@@ -55,8 +55,13 @@ def nul_safe_key(ser: pd.Series):
 
     Use this on any group key that can carry hostile crawl text
     (doc_ids, node ids, partition ids); numeric keys pass through free.
+    Python-backed ``string`` dtype goes through the same C-string table
+    as object, so it is converted too.
     """
-    if getattr(ser, "dtype", None) == object:
+    dt = getattr(ser, "dtype", None)
+    if dt == object or (
+        isinstance(dt, pd.StringDtype) and dt.storage == "python"
+    ):
         return ser.astype("string[pyarrow]")
     return ser
 

@@ -130,9 +130,13 @@ cand AS (
     FROM g WHERE sz > 256 AND doc_id <> rep
   )
 ),
+-- the char class below is EXACTLY Python str.split()'s whitespace set
+-- (all 29 White_Space/isspace codepoints), so SQL tokenization matches
+-- the engine's shingle kernel on ANY text, not just ASCII testdata
 tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+') AS w
+         regexp_extract_all(COALESCE(text, ''),
+         '[^\x{9}-\x{d}\x{1c}-\x{20}\x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}-\x{2029}\x{202f}\x{205f}\x{3000}]+') AS w
   FROM documents
 ),
 sh AS (
@@ -283,9 +287,13 @@ cand AS (
   SELECT DISTINCT doc_a, doc_b
   FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
 ),
+-- the char class below is EXACTLY Python str.split()'s whitespace set
+-- (all 29 White_Space/isspace codepoints), so SQL tokenization matches
+-- the engine's shingle kernel on ANY text, not just ASCII testdata
 tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+') AS w
+         regexp_extract_all(COALESCE(text, ''),
+         '[^\x{9}-\x{d}\x{1c}-\x{20}\x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}-\x{2029}\x{202f}\x{205f}\x{3000}]+') AS w
   FROM documents
 ),
 sh AS (
@@ -415,7 +423,12 @@ def _surface_dir(name: str) -> str:
     with no arguments), so the path cannot embed ``sf_dir`` — instead
     each invocation CLEARS and rewrites the surface, and the harness
     runs a query's SQL immediately after its Ray callable, so the SQL
-    always reads the surface the matching run just wrote.
+    always reads the surface the matching run just wrote.  Each query
+    owns a UNIQUE subdirectory, so harness ordering across queries is
+    irrelevant; the one unsupported shape is two CONCURRENT sessions
+    running the SAME query (a shared fixed path is the price of the
+    static SQL contract — surfaces are certification scaffolding, not
+    part of the production operators).
     """
     import shutil
 

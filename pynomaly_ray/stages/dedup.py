@@ -249,8 +249,16 @@ def bucket_candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
     empty = pd.array([], dtype="string")
     if not len(df):
         return pd.DataFrame({"doc_a": empty, "doc_b": empty})
-    d = df.drop_duplicates(["band_id", "band_hash", "doc_id"]).sort_values(
-        ["band_id", "band_hash", "doc_id"], kind="mergesort"
+    from pynomaly_ray.functions.hashing import nul_safe_key
+
+    # nul_safe_key: drop_duplicates routes object/python-string doc_ids
+    # through pandas' NUL-truncating C-string hash table, which would
+    # silently discard one of two colliding docs whose ids differ only
+    # after an embedded \x00 — losing their pair before verification
+    d = (
+        df.assign(doc_id=nul_safe_key(df["doc_id"]))
+        .drop_duplicates(["band_id", "band_hash", "doc_id"])
+        .sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
     )
     keys = ["band_id", "band_hash"]
     sizes = d.groupby(keys, sort=False)["doc_id"].transform("size")
@@ -444,10 +452,19 @@ def bucket_candidate_pairs_new_only(df: pd.DataFrame) -> pd.DataFrame:
     pairs = bucket_candidate_pairs(df)
     if not len(pairs):
         return pairs
-    prior_of = df.drop_duplicates("doc_id").set_index("doc_id")["is_prior"]
-    both_prior = (prior_of.reindex(pairs["doc_a"]).to_numpy() == 1) & (
-        prior_of.reindex(pairs["doc_b"]).to_numpy() == 1
+    from pynomaly_ray.functions.hashing import nul_safe_key
+
+    # nul_safe_key on BOTH the index and the probes: an object-keyed
+    # reindex uses the NUL-truncating hash table, which could mislabel
+    # a new doc as prior and suppress its pairs
+    prior_of = (
+        df.assign(doc_id=nul_safe_key(df["doc_id"]))
+        .drop_duplicates("doc_id")
+        .set_index("doc_id")["is_prior"]
     )
+    both_prior = (
+        prior_of.reindex(nul_safe_key(pairs["doc_a"])).to_numpy() == 1
+    ) & (prior_of.reindex(nul_safe_key(pairs["doc_b"])).to_numpy() == 1)
     return pairs[~both_prior].reset_index(drop=True)
 
 
@@ -496,11 +513,19 @@ def compact_minhash_state(state_dir: str) -> dict:
        into place (a crash leaves only an uncommitted — ignored — dir);
     2. the compacted run's ``.commit-`` marker is written (from here the
        merged state is authoritative);
-    3. only then are the source runs' markers and dirs removed.  A crash
-       inside step 3 leaves band rows duplicated between the compacted
-       and leftover source dirs — harmless: candidate generation dedups
+    3. only then are the source runs' band DIRS removed.  A crash inside
+       step 3 leaves band rows duplicated between the compacted and
+       leftover source dirs — harmless: candidate generation dedups
        (band, doc) rows (:func:`bucket_candidate_pairs`) and prior-prior
        pairs are suppressed regardless; re-running compaction converges.
+
+    The source runs' ``.commit-<run>`` MARKERS are deliberately KEPT
+    (only their dirs go): a marker means "this run's pairs were durably
+    delivered", which stays true after its bands fold into the compacted
+    dir — and the CLI ``--keep-list`` path trusts ``pairs/<run>/`` dirs
+    exactly by those markers, so deleting them would silently drop every
+    pre-compaction run's pairs from future drop-lists.  Dir scans skip
+    marker-without-dir entries, so the tombstones cost nothing.
 
     ``params.json`` / ``out_dir.txt`` pins are untouched.  Returns a
     summary dict (``compacted_runs``, ``target``).
@@ -545,8 +570,6 @@ def compact_minhash_state(state_dir: str) -> dict:
     read_parquet_clean(files).write_parquet(tmp)
     os.rename(tmp, os.path.join(root, cname))
     commit_minhash_state(state_dir, cname)
-    for d in committed:
-        os.remove(os.path.join(root, ".commit-" + d))
     for d in committed:
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return {"compacted_runs": len(committed), "target": cname}

@@ -391,10 +391,14 @@ def _verified_bucket_pairs(
     path removes the joins entirely).
 
     ``e6_grid``: threshold on the ROUNDED integer surface
-    floor(cos*1e6+0.5) instead of the raw float — removes the
-    [t-5e-7, t) boundary window where an external float recomputation
-    (the DuckDB oracle) could disagree with numpy's op order; same
-    rationale as q_embedding_neardup_exact's e6 cut."""
+    floor(cos*1e6+0.5) instead of the raw float — shrinks the window
+    where an external float recomputation (the DuckDB oracle) can
+    disagree from the [t-5e-7, t) threshold band to the ~1-ulp
+    neighborhoods of half-integer e6 boundaries (two double-precision
+    evaluations with different op order can still round a value within
+    ~1e-15 of k+0.5 to different integers — astronomically rare per
+    value, not impossible); same rationale as
+    q_embedding_neardup_exact's e6 cut."""
     t_e6 = int(np.floor(threshold * 1e6 + 0.5))
 
     def _keep(cosv: np.ndarray) -> np.ndarray:

@@ -42,6 +42,11 @@ def _to_df(res) -> pd.DataFrame:
 
 
 def _oracle_names():
+    # engine_queries registers its surface-certified entries into
+    # ORACLE_QUERIES at import time; without this import the 10
+    # surface oracles would silently get zero parity coverage here
+    import pynomaly_ray.pipelines.engine_queries  # noqa: F401
+
     from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
 
     return sorted(ORACLE_QUERIES)
@@ -49,6 +54,8 @@ def _oracle_names():
 
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(name, duck, ray_session):
+    import pynomaly_ray.pipelines.engine_queries  # noqa: F401
+
     from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
 
     fn, sql = ORACLE_QUERIES[name]

@@ -497,3 +497,111 @@ def test_simhash_profile_popcount_matches_duckdb(ray_session):
     assert got["n_docs"].tolist() == sql["n_docs"].tolist()
     assert got["n_distinct_fp"].tolist() == sql["n_distinct_fp"].tolist()
     assert got["n_docs"].sum() == 500  # every doc profiled exactly once
+
+
+def test_keep_list_survives_state_compaction(ray_session, tmp_path):
+    """Compaction keeps the per-run commit markers (only the band DIRS
+    fold away), so a post-compaction --keep-list still trusts and unions
+    pre-compaction runs' pair dirs.  Regression: marker deletion made
+    the keep-list silently drop every earlier run's duplicates."""
+    from pynomaly_ray.cli import main
+    from pynomaly_ray.stages.dedup import compact_minhash_state
+
+    # run 1 corpus has the a/b duplicate; run 2 only adds unique docs,
+    # so the a-b pair exists ONLY in run 1's pair dir
+    docs1 = pd.DataFrame(
+        {"doc_id": ["a", "b", "u"], "text": [BASE, BASE, "unique words " * 8]}
+    )
+    docs2 = pd.concat(
+        [docs1, pd.DataFrame({"doc_id": ["v"], "text": ["other words " * 9]})],
+        ignore_index=True,
+    )
+    p1 = str(tmp_path / "c1.parquet")
+    p2 = str(tmp_path / "c2.parquet")
+    pq.write_table(pa.Table.from_pandas(docs1, preserve_index=False), p1)
+    pq.write_table(pa.Table.from_pandas(docs2, preserve_index=False), p2)
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    base = ["dedup", "--out", out, "--method", "minhash", "--state-dir", state]
+    assert main(base + ["--input", p1, "--run-id", "r1"]) == 0
+    assert main(base + ["--input", p2, "--run-id", "r2"]) == 0
+
+    compact_minhash_state(state)
+    root = os.path.join(state, "bands")
+    # markers survive as tombstones; only the band dirs folded
+    assert os.path.exists(os.path.join(root, ".commit-r1"))
+    assert not os.path.isdir(os.path.join(root, "r1"))
+
+    docs3 = pd.concat(
+        [docs2, pd.DataFrame({"doc_id": ["w"], "text": ["final words " * 9]})],
+        ignore_index=True,
+    )
+    p3 = str(tmp_path / "c3.parquet")
+    pq.write_table(pa.Table.from_pandas(docs3, preserve_index=False), p3)
+    assert main(base + ["--input", p3, "--run-id", "r3", "--keep-list"]) == 0
+    drop = pq.read_table(os.path.join(out, "drop")).to_pandas()
+    # the a-b duplicate from PRE-compaction run 1 is still in the list
+    assert set(drop["doc_id"]) == {"b"}
+    assert set(drop["kept_doc_id"]) == {"a"}
+
+
+def test_bucket_candidate_pairs_nul_variant_doc_ids(ray_session):
+    """doc_ids differing only after an embedded NUL byte must survive
+    the candidate dedup and the cross-run prior labeling (pandas'
+    object hash table would alias them)."""
+    from pynomaly_ray.stages.dedup import (
+        bucket_candidate_pairs,
+        bucket_candidate_pairs_new_only,
+    )
+
+    band = pd.DataFrame(
+        {
+            "band_id": [0, 0, 0],
+            "band_hash": [5, 5, 5],
+            "doc_id": ["a\x00b", "a\x00c", "a\x00b"],  # dup row + NUL variant
+        }
+    )
+    pairs = bucket_candidate_pairs(band)
+    assert set(zip(pairs.doc_a, pairs.doc_b)) == {("a\x00b", "a\x00c")}
+
+    # prior labeling: the NUL-variant NEW doc must not inherit its
+    # prior sibling's flag
+    band2 = band.drop_duplicates("doc_id", keep="first").assign(
+        is_prior=[1, 0]
+    )
+    out = bucket_candidate_pairs_new_only(band2)
+    assert set(zip(out.doc_a, out.doc_b)) == {("a\x00b", "a\x00c")}
+    both_prior = band2.assign(is_prior=[1, 1])
+    assert len(bucket_candidate_pairs_new_only(both_prior)) == 0
+
+
+def test_minhash_sql_tokenizer_matches_python_split():
+    """The DuckDB char class in SQL_MINHASH_DEDUP must tokenize exactly
+    like the engine shingle kernel's str.split() — including every
+    non-ASCII whitespace codepoint Python splits on (NBSP, NEL, file/
+    group/record/unit separators, ideographic space, ...)."""
+    import re
+
+    import duckdb
+
+    from pynomaly_ray.pipelines.engine_queries import SQL_MINHASH_DEDUP
+
+    m = re.search(r"regexp_extract_all\(COALESCE\(text, ''\),\s*'([^']+)'", SQL_MINHASH_DEDUP)
+    assert m, "tokenizer regexp not found in SQL_MINHASH_DEDUP"
+    cls = m.group(1)
+    hostile = [
+        "foo\xa0bar\x85baz",          # NBSP + NEL
+        "a\x1cb\x1dc\x1ed\x1fe",      # FS GS RS US separators
+        "x y z",            # line/paragraph separators
+        "wide　space end",   # ideographic + math space
+        "plain ascii words here",
+        "\t\n mixed \v\f\r ws   thin",
+        "",
+    ]
+    con = duckdb.connect()
+    for text in hostile:
+        got = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [text, cls]
+        ).fetchone()[0]
+        assert got == text.split(), repr(text)
