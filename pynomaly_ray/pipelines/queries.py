@@ -2625,3 +2625,266 @@ ORDER BY c_custkey
 
 
 ORACLE_QUERIES["big_spenders"] = (q_big_spenders, SQL_BIG_SPENDERS)
+
+
+# ---------------------------------------------------------------------------
+# Q: decontaminate — benchmark n-gram decontamination (the eval-leak
+# check run before pretraining): training docs sharing >= 1 distinct
+# 4-word shingle with the benchmark corpus, with an exact-rational
+# "contaminated" cut at 20% of the doc's shingles.  The benchmark here
+# is the deterministic doc_id % 7 == 0 slice standing in for an eval
+# set.  Engine shape (stages/decontam.py): benchmark distinct-shingle
+# hashes reduced map-side, merged once on the driver under a cap, and
+# broadcast via ray.put — the training side streams through ONE
+# searchsorted per batch, no exchange, no per-doc Python.  Shingles use
+# the ONE shared kernel (stages/dedup.shingles_from_token_lists) the
+# MinHash/Jaccard oracles already certify; the SQL reconstructs them
+# textually, so a hash collision or kernel drift breaks the hash match.
+# ---------------------------------------------------------------------------
+_DECONTAM_K = 4
+_DECONTAM_MOD = 7
+
+
+def q_decontaminate(sf_dir: str):
+    from pynomaly_ray.stages.decontam import (
+        benchmark_shingle_hashes,
+        decontaminate,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(t: pa.Table, want_bench: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        is_bench = (ids % _DECONTAM_MOD) == 0
+        return t.filter(pa.array(is_bench if want_bench else ~is_bench))
+
+    bench = docs.map_batches(
+        lambda t: side(t, True), batch_format="pyarrow"
+    )
+    train = docs.map_batches(
+        lambda t: side(t, False), batch_format="pyarrow"
+    )
+    ref = benchmark_shingle_hashes(bench, k=_DECONTAM_K)
+    counted = decontaminate(train, ref, k=_DECONTAM_K)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["n_overlap"] >= 1]
+        n_sh = df["n_sh"].to_numpy(dtype=np.int64)
+        ov = df["n_overlap"].to_numpy(dtype=np.int64)
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                    "n_sh": n_sh,
+                    "n_overlap": ov,
+                    "contaminated": (ov * 5 >= n_sh).astype(np.int64),
+                }
+            )
+        )
+
+    out = _collect(
+        counted.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_sh", pa.int64()),
+                ("n_overlap", pa.int64()),
+                ("contaminated", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_DECONTAMINATE = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+3], CHR(30)) AS s
+  FROM tok, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+),
+b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0),
+tr AS (
+  SELECT doc_id, COUNT(*) AS n_sh,
+         SUM(CASE WHEN s IN (SELECT s FROM b) THEN 1 ELSE 0 END) AS ov
+  FROM sh WHERE doc_id % 7 <> 0 GROUP BY doc_id
+)
+SELECT doc_id, n_sh, CAST(ov AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN ov * 5 >= n_sh THEN 1 ELSE 0 END AS BIGINT)
+           AS contaminated
+FROM tr WHERE ov >= 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: repetition_profile — within-doc repeated-bigram fraction, the
+# C4/Gopher-style boilerplate signal: per doc, total vs distinct 2-word
+# shingles and rep_e6 = floor((n-d)*1e6/n + 0.5).  Embarrassingly
+# parallel map-side kernel (docs are whole per batch): one lexsort over
+# the batch's flat shingle array — no exchange, no per-doc loop.
+# ---------------------------------------------------------------------------
+def q_repetition_profile(sf_dir: str):
+    from pynomaly_ray.stages.decontam import repetition_profile
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        repetition_profile(docs, k=2),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_sh", pa.int64()),
+                ("n_distinct", pa.int64()),
+                ("rep_e6", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_REPETITION_PROFILE = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(w[i:i+1], CHR(30)) AS s
+  FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+r AS (
+  SELECT doc_id, COUNT(*) AS n_sh, COUNT(DISTINCT s) AS n_distinct
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, n_sh, n_distinct,
+       CAST(FLOOR((n_sh - n_distinct) * 1000000.0 / n_sh + 0.5) AS BIGINT)
+           AS rep_e6
+FROM r
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: domain_mix — per-source weighted sampling (domain-mixture
+# construction): each source tier keeps a power-of-two fraction of its
+# docs (tier = source index mod 4 -> rates 1, 1/2, 1/4, 1/8) via the
+# same Knuth multiplicative hash as hash_sample, so the keep decision
+# is exact integer arithmetic on BOTH sides (h < 2^32 >> tier) — fully
+# deterministic, resumable, and skew-free (the hash is uniform whatever
+# the doc_id distribution).  One streaming map pass, no exchange.
+# ---------------------------------------------------------------------------
+def q_domain_mix(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df["doc_id"].to_numpy(dtype=np.uint64)
+        m32 = np.uint64(4294967296)
+        h = ((ids % m32) * np.uint64(_KNUTH)) % m32
+        tier = (
+            df["source"].str.slice(3).astype(np.int64).to_numpy() % 4
+        ).astype(np.uint64)
+        keep = h < (m32 >> tier)
+        return _from_pandas(df.loc[keep, ["doc_id", "source"]])
+
+    out = _collect(
+        ds.map_batches(pick, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_DOMAIN_MIX = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296
+              AS BIGINT) AS h,
+         CAST(SUBSTR(source, 4) AS BIGINT) % 4 AS tier
+  FROM documents
+)
+SELECT doc_id, source FROM t
+WHERE h < (4294967296 >> tier)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: pack_sequences — GPT-style concat-and-chunk packing PLACEMENT: the
+# global exclusive prefix sum of n_tok in doc-id order, mapped to
+# 256-token training sequences (stages/packing.pack_offsets: range_sort
+# by doc_id -> per-block totals -> P-row driver prefix -> per-block
+# cumsum; the driver never holds data rows).  The SQL twin is the
+# window cumsum — certifying that an ordered scan the Dataset API can't
+# express was decomposed correctly.  pack_tokens (the payload move) is
+# pinned by a token-array-equality pytest on top of these offsets.
+# ---------------------------------------------------------------------------
+_PACK_CHUNK = 256
+
+
+def q_pack_sequences(sf_dir: str):
+    from pynomaly_ray.stages.packing import pack_offsets
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def ntok(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("")
+        n = s.str.count(_ASCII_TOKEN_RE).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tok": pa.array(n),
+            }
+        )
+
+    placed = pack_offsets(
+        docs.map_batches(ntok, batch_format="pyarrow"), chunk=_PACK_CHUNK
+    )
+    out = _collect(
+        placed,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tok", pa.int64()),
+                ("seq_first", pa.int64()),
+                ("seq_last", pa.int64()),
+                ("off_in_seq", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS n_tok
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tok AS off
+  FROM t
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(off // 256 AS BIGINT) AS seq_first,
+       CAST((off + n_tok - 1) // 256 AS BIGINT) AS seq_last,
+       CAST(off % 256 AS BIGINT) AS off_in_seq
+FROM o WHERE n_tok >= 1
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "repetition_profile": (q_repetition_profile, SQL_REPETITION_PROFILE),
+        "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
+        "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    }
+)

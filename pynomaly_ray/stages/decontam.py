@@ -1,0 +1,217 @@
+"""Benchmark decontamination + within-doc repetition profiling.
+
+Two standard training-data hygiene operators for LLM corpora, built on
+the engine's ONE shingle kernel (stages/dedup.py
+``shingles_from_token_lists`` — the same 64-bit polynomial word-hash
+fold the MinHash/LSH and exact-Jaccard paths use, so a perturbation
+there breaks all of their oracles at once):
+
+- **decontamination**: flag training documents whose k-word shingles
+  overlap an evaluation/benchmark corpus, the leak check run before
+  pretraining (n-gram overlap decontamination as described in the GPT-3
+  paper's appendix C and the C4 audit of Dodge et al. 2021).  The
+  benchmark side is SMALL by definition (eval sets are thousands of
+  docs, not billions): its distinct shingle-hash set is reduced
+  per-block, merged once on the driver, and broadcast via ``ray.put``
+  — read zero-copy by every filter task, never re-shipped per batch.
+  The training side STREAMS: one ``map_batches`` pass computes each
+  doc's distinct shingles and counts hits with a single
+  ``np.searchsorted`` over the batch's flat shingle array (no Python
+  loop over docs or shingles).  A cap guard refuses benchmark sets
+  whose hash array would stop being broadcast-cheap; past it the right
+  shape is the key-partitioned anti/semi join
+  (functions/exchange.hash_anti_join on the shingle hash), same switch
+  ``anti_membership`` documents.
+
+- **repetition profile**: per-doc distinct-vs-total shingle counts, the
+  boilerplate/repetition quality signal (repeated n-gram fraction) used
+  by C4/Gopher-style filters.  Embarrassingly parallel — one map-side
+  pass, no exchange — because docs arrive whole per batch.
+
+Reference scope note: the reference engine (PyNomaly,
+reference/PyNomaly/loop.py) has no corpus operators; these belong to
+the LLM-data-pipeline family this engine adds on top of the reference's
+validation/LoOP surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from pynomaly_ray.stages.dedup import shingles_from_token_lists
+
+# Token class shared with the oracle SQL side (see queries.py
+# _ASCII_TOKEN_RE and the 29-codepoint note there): explicit whitespace
+# complement so DuckDB's regexp_extract_all tokenizes identically.
+_TOKEN_RE = r"[^ \t\n\r\f\v]+"
+
+# Above this many distinct benchmark shingle hashes (~400 MB as uint64)
+# a broadcast stops being the cheap side and the partitioned anti-join
+# is the right design; refuse loudly rather than degrade silently.
+_BENCH_HASH_CAP = 50_000_000
+
+
+def _doc_distinct_shingles(texts: pd.Series, ids: np.ndarray, k: int):
+    """(flat distinct shingle hashes, matching doc-id repeat) for one
+    batch.  Docs with < k tokens are EXCLUDED — the same contract as the
+    exact-Jaccard oracle query (SQL: ``WHERE len(w) >= k``), so both
+    sides of every oracle agree on short-doc handling."""
+    toks = texts.fillna("").str.findall(_TOKEN_RE)
+    keep = toks.str.len().to_numpy() >= k
+    lists = toks[keep].tolist()
+    ids = ids[keep]
+    if not lists:
+        return np.empty(0, np.uint64), ids[:0]
+    sh, soff = shingles_from_token_lists(lists, k)
+    doc_of = np.repeat(ids, np.diff(soff))
+    # per-doc DISTINCT via one lexsort over (doc, shingle) — no pandas
+    # hash table, no Python loop
+    order = np.lexsort((sh, doc_of))
+    sh, doc_of = sh[order], doc_of[order]
+    keep = np.ones(len(sh), bool)
+    if len(sh) > 1:
+        keep[1:] = (sh[1:] != sh[:-1]) | (doc_of[1:] != doc_of[:-1])
+    return sh[keep], doc_of[keep]
+
+
+def benchmark_shingle_hashes(bench_ds, k: int = 4, cap: int = _BENCH_HASH_CAP):
+    """Distinct shingle hashes of the benchmark corpus as ONE sorted
+    int64 array (uint64 bit-patterns) in the object store (``ray.put``
+    ref).
+
+    Per-block distinct runs map-side (so only unique hashes leave each
+    task); the driver merges block uniques with one ``np.unique``.  The
+    driver-side merge is the deliberate design for an eval set — it is
+    bounded by the cap, not by corpus size.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh, _ = _doc_distinct_shingles(
+            t["text"].to_pandas(),
+            np.arange(t.num_rows, dtype=np.int64),
+            k,
+        )
+        return pa.table({"sh": np.unique(sh).view(np.int64)})
+
+    blocks = [
+        ray.get(ref)
+        for ref in bench_ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).to_arrow_refs()
+    ]
+    arrs = [t["sh"].to_numpy(zero_copy_only=False) for t in blocks if t.num_rows]
+    # stay in int64 space end-to-end: the uint64 shingle hashes ride as
+    # their int64 bit-pattern and every sort/searchsorted uses the SAME
+    # int64 total order (a uint64 view of an int64-sorted array is NOT
+    # sorted once the top bit is set)
+    merged = (
+        np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+    )
+    if len(merged) > cap:
+        raise ValueError(
+            f"benchmark shingle set has {len(merged)} distinct hashes "
+            f"(cap {cap}); use the partitioned anti-join path instead of "
+            "a broadcast"
+        )
+    return ray.put(merged)
+
+
+class ContaminationCounter:
+    """Actor-pool stage: per-doc overlap counts against the broadcast
+    benchmark hash set.  ``ray.get`` of the shared array happens ONCE
+    per actor in ``__init__`` (zero-copy plasma read), then every batch
+    is one searchsorted + bincount."""
+
+    def __init__(self, bench_ref, k: int = 4):
+        self.bench = ray.get(bench_ref)  # int64 bit-patterns, sorted
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pandas().to_numpy()
+        sh, doc_of = _doc_distinct_shingles(t["text"].to_pandas(), ids, self.k)
+        sh = sh.view(np.int64)  # match the benchmark array's total order
+        bench = self.bench
+        if len(bench) and len(sh):
+            pos = np.searchsorted(bench, sh)
+            pos[pos == len(bench)] = 0  # any in-range index; equality check decides
+            hit = bench[pos] == sh
+        else:
+            hit = np.zeros(len(sh), bool)
+        uniq, inv = np.unique(doc_of, return_inverse=True) if len(doc_of) else (
+            np.empty(0, ids.dtype),
+            np.empty(0, np.int64),
+        )
+        n_hit = np.bincount(inv[hit], minlength=len(uniq)).astype(np.int64)
+        n_tot = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq),
+                "n_sh": pa.array(n_tot),
+                "n_overlap": pa.array(n_hit),
+            }
+        )
+
+
+def decontaminate(train_ds, bench_ref, k: int = 4, concurrency=(1, 4)):
+    """Per-training-doc (doc_id, n_sh, n_overlap) vs the broadcast
+    benchmark shingle set; downstream filters cut on n_overlap (absolute
+    or as a fraction of n_sh).  Streaming, one pass, no exchange.
+
+    ``concurrency`` defaults to an AUTOSCALING (1, 4) actor pool: a
+    fixed pool sized at the session CPU count deadlocks against its own
+    upstream stage on small hosts (all CPUs pinned by idle actors, the
+    feeding tasks never scheduled)."""
+    return train_ds.map_batches(
+        ContaminationCounter,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def repetition_profile(docs_ds, k: int = 2):
+    """Per-doc (doc_id, n_sh, n_distinct, rep_e6): repeated-shingle
+    fraction ``1 - distinct/total`` scaled to exact integer 1e6 (both
+    sides of the oracle compute ``floor((n-d)*1e6/n + 0.5)``).  Pure
+    map-side — each doc is whole within its batch."""
+
+    def profile(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pandas().to_numpy()
+        toks = t["text"].to_pandas().fillna("").str.findall(_TOKEN_RE)
+        keep = toks.str.len().to_numpy() >= k
+        lists = toks[keep].tolist()
+        ids = ids[keep]
+        if not lists:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_sh": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "rep_e6": pa.array([], pa.int64()),
+                }
+            )
+        sh, soff = shingles_from_token_lists(lists, k)
+        n = np.diff(soff).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(ids)), n)
+        order = np.lexsort((sh, doc_of))
+        sh_s, doc_s = sh[order], doc_of[order]
+        new = np.ones(len(sh_s), bool)
+        if len(sh_s) > 1:
+            new[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        d = np.bincount(doc_s[new], minlength=len(ids)).astype(np.int64)
+        rep = np.floor((n - d) * 1_000_000.0 / np.maximum(n, 1) + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_sh": pa.array(n),
+                "n_distinct": pa.array(d),
+                "rep_e6": pa.array(rep),
+            }
+        )
+
+    return docs_ds.map_batches(profile, batch_format="pyarrow")

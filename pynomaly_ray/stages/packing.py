@@ -1,0 +1,209 @@
+"""Sequence packing: concatenate a tokenized corpus in a deterministic
+global document order and chunk it into fixed-length training sequences
+(the standard GPT-style "concat-and-chunk" pretraining layout).
+
+Two operators:
+
+- :func:`pack_offsets` — the PLACEMENT math: for every doc, which
+  packed sequence(s) it lands in and at what offset.  This is a global
+  exclusive prefix sum over ``n_tok`` in doc-id order — an ordered scan
+  the Dataset API cannot express, so it runs as the engine's explicit
+  two-phase shape: :func:`~pynomaly_ray.functions.exchange.range_sort`
+  range-partitions the corpus by doc id (P globally-ordered blocks),
+  one tiny task per block reduces (min_id, total_weight), the driver
+  computes P exclusive bases from P rows (never data rows), and one
+  task per block adds base + in-block exclusive cumsum.  Fully
+  SQL-mirrorable (``SUM(n_tok) OVER (ORDER BY doc_id) - n_tok``), which
+  is what the ``pack_sequences`` oracle query certifies.
+
+- :func:`pack_tokens` — the PAYLOAD move: emit each doc's token array
+  as per-sequence pieces (seq_id, position, slice) and assemble full
+  sequences with a hash exchange on seq_id.  Piece emission is
+  vectorized over the whole block (repeat/cumsum range tricks + one
+  Arrow take of the flat token buffer — no Python loop over docs or
+  tokens); assembly concatenates each sequence's few pieces inside its
+  bucket reducer.  The invariant a pytest pins: concatenating the
+  packed sequences in seq order reproduces, token for token, the
+  concatenation of the docs in doc order (per-row token-array equality,
+  the same bar the flagship validation holds).
+
+Scale notes: the exchange volume is exactly one pass of the token
+payload (each token leaves its source block once, rides to one seq_id
+bucket) — the unavoidable minimum for global packing; doc ids must be
+unique (they are the corpus primary key; uniqueness is separately
+enforced by the validation engine's A5 stage).  Docs with
+``n_tok == 0`` contribute nothing and are dropped from the placement
+output (both sides of the oracle filter them identically).
+
+Reference scope note: the reference (PyNomaly) has no corpus operators;
+packing belongs to the LLM-data-pipeline family layered on top.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from pynomaly_ray.functions.exchange import hash_aggregate, range_sort
+
+
+def _block_prefix_bases(refs, weight_col: str):
+    """Driver-side exclusive prefix over per-block totals: returns one
+    int64 base per block (aligned with ``refs``), ordering blocks by
+    their min id — blocks hold disjoint id ranges after range_sort, so
+    min-id order IS global order regardless of ref order."""
+
+    @ray.remote
+    def _summary(t: pa.Table, idx: int):
+        if t.num_rows == 0:
+            return (idx, None, 0)
+        import pyarrow.compute as _pc
+
+        return (
+            idx,
+            _pc.min(t["doc_id"]).as_py(),
+            _pc.sum(_pc.fill_null(t[weight_col], 0)).as_py() or 0,
+        )
+
+    summaries = ray.get([_summary.remote(r, i) for i, r in enumerate(refs)])
+    bases = [0] * len(refs)
+    running = 0
+    for idx, _mn, total in sorted(
+        (s for s in summaries if s[1] is not None), key=lambda s: s[1]
+    ):
+        bases[idx] = running
+        running += int(total)
+    return bases
+
+
+def pack_offsets(ds, chunk: int, num_partitions: int | None = None):
+    """Per-doc packed placement over a (doc_id, n_tok[, ...]) Dataset:
+    (doc_id, n_tok, seq_first, seq_last, off_in_seq) where sequences are
+    ``chunk``-token windows of the doc-id-ordered token concatenation
+    and ``off_in_seq`` is the doc's start offset within seq_first."""
+    sorted_ds = range_sort(ds, "doc_id", num_partitions)
+    refs = sorted_ds.to_arrow_refs()
+    bases = _block_prefix_bases(refs, "n_tok")
+
+    @ray.remote
+    def _place(t: pa.Table, base: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                    "seq_first": pa.array([], pa.int64()),
+                    "seq_last": pa.array([], pa.int64()),
+                    "off_in_seq": pa.array([], pa.int64()),
+                }
+            )
+        import pyarrow.compute as _pc
+
+        w = _pc.fill_null(t["n_tok"], 0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        start = base + np.concatenate([[0], np.cumsum(w)[:-1]])
+        keep = w >= 1
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        w, start = w[keep], start[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tok": pa.array(w),
+                "seq_first": pa.array(start // chunk),
+                "seq_last": pa.array((start + w - 1) // chunk),
+                "off_in_seq": pa.array(start % chunk),
+            }
+        )
+
+    return ray.data.from_arrow_refs(
+        [_place.remote(r, b) for r, b in zip(refs, bases)]
+    )
+
+
+def pack_tokens(ds, chunk: int, num_partitions: int | None = None):
+    """Assemble the packed sequences themselves from a
+    (doc_id, tokens:list<int32>, n_tok) Dataset: returns a Dataset of
+    (seq_id, tokens:list<int32>) where every sequence holds exactly
+    ``chunk`` tokens except the final partial one."""
+    sorted_ds = range_sort(ds, "doc_id", num_partitions)
+    refs = sorted_ds.to_arrow_refs()
+    bases = _block_prefix_bases(refs, "n_tok")
+
+    @ray.remote
+    def _pieces(t: pa.Table, base: int) -> pa.Table:
+        empty = pa.table(
+            {
+                "seq_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "piece": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values  # zero-copy flat int32 buffer of the block
+        doc_off = np.asarray(toks.offsets)  # len n+1, into flat
+        w = np.diff(doc_off).astype(np.int64)
+        start = base + np.concatenate([[0], np.cumsum(w)[:-1]])
+        keep = w >= 1
+        w, start, lo = w[keep], start[keep], doc_off[:-1][keep].astype(np.int64)
+        if not len(w):
+            return empty
+        end = start + w
+        first = start // chunk
+        last = (end - 1) // chunk
+        spans = (last - first + 1).astype(np.int64)  # pieces per doc
+        n_pieces = int(spans.sum())
+        doc_of = np.repeat(np.arange(len(w)), spans)
+        # piece j of a doc covers global [max(start, (first+j)*chunk),
+        # min(end, (first+j+1)*chunk)) — all vectorized over pieces
+        j = np.arange(n_pieces) - np.repeat(
+            np.concatenate([[0], np.cumsum(spans)[:-1]]), spans
+        )
+        seq_id = first[doc_of] + j
+        g_lo = np.maximum(start[doc_of], seq_id * chunk)
+        g_hi = np.minimum(end[doc_of], (seq_id + 1) * chunk)
+        plen = g_hi - g_lo
+        # gather indices into flat: doc-local offset + per-piece ranges
+        src = lo[doc_of] + (g_lo - start[doc_of])
+        total = int(plen.sum())
+        # ranges trick: one arange minus per-piece base repeats
+        step = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(plen)[:-1]]), plen
+        )
+        gather = np.repeat(src, plen) + step
+        vals = flat.take(pa.array(gather, pa.int64()))
+        piece = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(plen)]), pa.int32()),
+            vals,
+        )
+        return pa.table(
+            {
+                "seq_id": pa.array(seq_id),
+                "pos": pa.array(g_lo % chunk),
+                "piece": piece,
+            }
+        )
+
+    pieces = ray.data.from_arrow_refs(
+        [_pieces.remote(r, b) for r, b in zip(refs, bases)]
+    )
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"seq_id": pd.Series(dtype=np.int64), "tokens": []})
+        df = df.sort_values(["seq_id", "pos"], kind="mergesort")
+        out_ids, out_toks = [], []
+        for sid, g in df.groupby("seq_id", sort=False):
+            out_ids.append(sid)
+            out_toks.append(
+                np.concatenate([np.asarray(p, dtype=np.int32) for p in g["piece"]])
+            )
+        return pd.DataFrame({"seq_id": np.asarray(out_ids, np.int64), "tokens": out_toks})
+
+    return hash_aggregate(pieces, ["seq_id"], assemble, num_partitions)

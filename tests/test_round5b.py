@@ -1,0 +1,198 @@
+"""Round-5 additions: decontamination, repetition profile, sequence
+packing (placement math + token payload assembly), domain-mix sampling.
+
+The oracle-parity side of these operators runs in test_queries.py (the
+parametrized DuckDB check); here are the kernel contracts the SQL can't
+see: token-array equality of the packed payload, short-doc exclusion,
+NUL-hostile ids/text, and the broadcast cap guard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+
+def _docs_ds(rows, blocks=3):
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def _token_ds(tok_lists, blocks=3, ids=None):
+    ids = list(range(len(tok_lists))) if ids is None else ids
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "tokens": pa.array(
+                [list(map(int, x)) for x in tok_lists], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([len(x) for x in tok_lists], pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+# ---------------------------------------------------------------- decontam
+
+
+def test_decontaminate_counts_and_short_doc_exclusion(ray_session):
+    from pynomaly_ray.stages.decontam import (
+        benchmark_shingle_hashes,
+        decontaminate,
+    )
+
+    bench = _docs_ds([(100, "w x y z q")])  # shingles: "w x y z", "x y z q"
+    train = _docs_ds(
+        [
+            (1, "w x y z other words here"),  # shares "w x y z"
+            (2, "completely different text body"),
+            (3, "x y z"),  # < k tokens -> excluded entirely
+            (4, "w x y z q tail"),  # shares both benchmark shingles
+        ]
+    )
+    ref = benchmark_shingle_hashes(bench, k=4)
+    out = (
+        decontaminate(train, ref, k=4, concurrency=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 4]  # doc 3 excluded (short)
+    assert out.loc[1, "n_overlap"] == 1
+    assert out.loc[2, "n_overlap"] == 0
+    assert out.loc[4, "n_overlap"] == 2
+    assert out.loc[4, "n_sh"] == 3  # 6 tokens -> 3 distinct 4-shingles
+
+
+def test_decontaminate_nul_tokens_distinct(ray_session):
+    """Tokens differing only after an embedded NUL must not alias
+    (the round-5 hash_strings fix, exercised through the shingle path)."""
+    from pynomaly_ray.stages.decontam import (
+        benchmark_shingle_hashes,
+        decontaminate,
+    )
+
+    bench = _docs_ds([(0, "a\x00b x y z")])
+    train = _docs_ds([(1, "a\x00c x y z")])  # same except after the NUL
+    ref = benchmark_shingle_hashes(bench, k=4)
+    out = decontaminate(train, ref, k=4).to_pandas()
+    assert int(out["n_overlap"].iloc[0]) == 0
+
+
+def test_benchmark_cap_guard(ray_session):
+    from pynomaly_ray.stages.decontam import benchmark_shingle_hashes
+
+    bench = _docs_ds([(0, "one two three four five six seven")])
+    with pytest.raises(ValueError, match="cap"):
+        benchmark_shingle_hashes(bench, k=4, cap=1)
+
+
+def test_repetition_profile_exact(ray_session):
+    from pynomaly_ray.stages.decontam import repetition_profile
+
+    docs = _docs_ds(
+        [
+            (1, "a a a"),  # bigrams: (a,a) x2 -> n=2 d=1 rep=0.5
+            (2, "a b c"),  # bigrams distinct -> rep 0
+            (3, "solo"),  # < 2 tokens -> excluded
+        ]
+    )
+    out = repetition_profile(docs, k=2).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [1, 2]
+    assert (
+        out.loc[1, "n_sh"] == 2
+        and out.loc[1, "n_distinct"] == 1
+        and out.loc[1, "rep_e6"] == 500_000
+    )
+    assert out.loc[2, "rep_e6"] == 0
+
+
+# ----------------------------------------------------------------- packing
+
+
+def test_pack_offsets_matches_numpy_prefix(ray_session):
+    from pynomaly_ray.stages.packing import pack_offsets
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ids = rng.permutation(n).astype(np.int64)  # scrambled across blocks
+    w = rng.integers(0, 9, n).astype(np.int64)  # includes zero-weight docs
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "n_tok": pa.array(w)})
+    ).repartition(5)
+    chunk = 17
+    got = (
+        pack_offsets(ds, chunk=chunk, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(ids, kind="stable")
+    w_sorted = w[order]
+    start = np.concatenate([[0], np.cumsum(w_sorted)[:-1]])
+    keep = w_sorted >= 1
+    exp = pd.DataFrame(
+        {
+            "doc_id": ids[order][keep],
+            "n_tok": w_sorted[keep],
+            "seq_first": start[keep] // chunk,
+            "seq_last": (start[keep] + w_sorted[keep] - 1) // chunk,
+            "off_in_seq": start[keep] % chunk,
+        }
+    )
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+
+def test_pack_tokens_token_array_equality(ray_session):
+    """The flagship-grade invariant: concatenating the packed sequences
+    in seq order reproduces the doc-order token concatenation exactly,
+    and every sequence is full except the final partial one."""
+    from pynomaly_ray.stages.packing import pack_tokens
+
+    rng = np.random.default_rng(11)
+    tok_lists = [
+        rng.integers(0, 1000, int(rng.integers(0, 60))).astype(np.int32)
+        for _ in range(120)
+    ]
+    ids = rng.permutation(len(tok_lists)).astype(np.int64)
+    ds = _token_ds(tok_lists, blocks=4, ids=list(ids))
+    chunk = 16
+    out = pack_tokens(ds, chunk=chunk, num_partitions=3).to_pandas()
+    out = out.sort_values("seq_id").reset_index(drop=True)
+
+    order = np.argsort(ids, kind="stable")
+    flat = np.concatenate([tok_lists[i] for i in order]) if len(order) else []
+    total = len(flat)
+    n_seqs = (total + chunk - 1) // chunk
+    assert list(out["seq_id"]) == list(range(n_seqs))
+    lens = out["tokens"].map(len).to_numpy()
+    assert (lens[:-1] == chunk).all()
+    assert lens[-1] == total - chunk * (n_seqs - 1)
+    packed_flat = np.concatenate([np.asarray(x) for x in out["tokens"]])
+    np.testing.assert_array_equal(packed_flat, flat)
+
+
+def test_pack_tokens_doc_spanning_many_sequences(ray_session):
+    from pynomaly_ray.stages.packing import pack_tokens
+
+    big = np.arange(40, dtype=np.int32)
+    ds = _token_ds([np.array([7, 8], np.int32), big], blocks=2, ids=[2, 5])
+    out = (
+        pack_tokens(ds, chunk=8, num_partitions=2)
+        .to_pandas()
+        .sort_values("seq_id")
+    )
+    flat = np.concatenate([np.asarray(x) for x in out["tokens"]])
+    np.testing.assert_array_equal(
+        flat, np.concatenate([[7, 8], np.arange(40)]).astype(np.int32)
+    )
