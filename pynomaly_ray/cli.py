@@ -363,6 +363,78 @@ def cmd_loop(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Concat-and-chunk sequence packing over a tokenized sequence table."""
+    import os
+
+    _ensure_ray(args.num_cpus)
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.stages.packing import pack_offsets, pack_tokens
+
+    ds = read_parquet_clean(
+        args.input, columns=["doc_id", "tokens", "n_tok"]
+    )
+    os.makedirs(args.out, exist_ok=True)
+    if args.offsets_only:
+        out = pack_offsets(
+            ds.select_columns(["doc_id", "n_tok"]), chunk=args.chunk
+        ).materialize()
+        n_seq = None
+    else:
+        out = pack_tokens(ds, chunk=args.chunk).materialize()
+        n_seq = out.count()
+    out.write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "rows": int(out.count()),
+                "chunk": args.chunk,
+                "sequences": n_seq,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_decontam(args) -> int:
+    """Flag training docs overlapping a benchmark corpus' n-grams."""
+    import os
+
+    import pyarrow.compute as pc
+
+    _ensure_ray(args.num_cpus)
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.stages.decontam import (
+        benchmark_shingle_hashes,
+        decontaminate,
+    )
+
+    train = read_parquet_clean(args.input, columns=["doc_id", "text"])
+    bench = read_parquet_clean(args.benchmark, columns=["doc_id", "text"])
+    ref = benchmark_shingle_hashes(bench, k=args.k)
+    counted = decontaminate(train, ref, k=args.k).materialize()
+    os.makedirs(args.out, exist_ok=True)
+    counted.write_parquet(args.out)
+    min_overlap = args.min_overlap
+    flagged = counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_overlap"], min_overlap)),
+        batch_format="pyarrow",
+    ).count()
+    print(
+        json.dumps(
+            {
+                "rows": int(counted.count()),
+                "flagged": int(flagged),
+                "k": args.k,
+                "min_overlap": args.min_overlap,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pynomaly_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -460,6 +532,38 @@ def main(argv=None) -> int:
     )
     lo.add_argument("--num-cpus", type=int, default=None)
     lo.set_defaults(fn=cmd_loop)
+
+    pk = sub.add_parser(
+        "pack", help="concat-and-chunk packing of a tokenized sequence table"
+    )
+    pk.add_argument("--input", required=True, help="sequence parquet file/dir")
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--chunk", type=int, default=2048)
+    pk.add_argument(
+        "--offsets-only",
+        action="store_true",
+        help="emit per-doc placement (seq_first/seq_last/off_in_seq) "
+        "instead of assembled token sequences",
+    )
+    pk.add_argument("--num-cpus", type=int, default=None)
+    pk.set_defaults(fn=cmd_pack)
+
+    dc = sub.add_parser(
+        "decontam",
+        help="flag training docs sharing k-word shingles with a benchmark",
+    )
+    dc.add_argument("--input", required=True, help="training documents parquet")
+    dc.add_argument("--benchmark", required=True, help="benchmark documents parquet")
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--k", type=int, default=4, help="shingle width in words")
+    dc.add_argument(
+        "--min-overlap",
+        type=int,
+        default=1,
+        help="flag threshold on overlapping distinct shingles",
+    )
+    dc.add_argument("--num-cpus", type=int, default=None)
+    dc.set_defaults(fn=cmd_decontam)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -87,12 +87,15 @@ def pack_offsets(ds, chunk: int, num_partitions: int | None = None):
     refs = sorted_ds.to_arrow_refs()
     bases = _block_prefix_bases(refs, "n_tok")
 
+    sch = ds.schema()  # Ray Data Schema wrapper: .names / .types (Arrow)
+    id_type = sch.types[sch.names.index("doc_id")]
+
     @ray.remote
     def _place(t: pa.Table, base: int) -> pa.Table:
         if t.num_rows == 0:
             return pa.table(
                 {
-                    "doc_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], id_type),
                     "n_tok": pa.array([], pa.int64()),
                     "seq_first": pa.array([], pa.int64()),
                     "seq_last": pa.array([], pa.int64()),
@@ -106,11 +109,13 @@ def pack_offsets(ds, chunk: int, num_partitions: int | None = None):
         )
         start = base + np.concatenate([[0], np.cumsum(w)[:-1]])
         keep = w >= 1
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        # ids stay in Arrow (string OR integer doc ids — the corpus
+        # primary key's type is the caller's business, not packing's)
+        ids = t["doc_id"].filter(pa.array(keep))
         w, start = w[keep], start[keep]
         return pa.table(
             {
-                "doc_id": pa.array(ids),
+                "doc_id": ids,
                 "n_tok": pa.array(w),
                 "seq_first": pa.array(start // chunk),
                 "seq_last": pa.array((start + w - 1) // chunk),
@@ -125,9 +130,24 @@ def pack_offsets(ds, chunk: int, num_partitions: int | None = None):
 
 def pack_tokens(ds, chunk: int, num_partitions: int | None = None):
     """Assemble the packed sequences themselves from a
-    (doc_id, tokens:list<int32>, n_tok) Dataset: returns a Dataset of
+    (doc_id, tokens:list<int32>) Dataset: returns a Dataset of
     (seq_id, tokens:list<int32>) where every sequence holds exactly
-    ``chunk`` tokens except the final partial one."""
+    ``chunk`` tokens except the final partial one.
+
+    Lengths are derived from the token arrays THEMSELVES (one Arrow
+    ``list_value_length`` per batch), never from a stored ``n_tok``
+    column — a corrupted n_tok (exactly the violation the validation
+    engine's M-constraints exist to flag) must not be able to overlap
+    two docs' packed spans."""
+    import pyarrow.compute as pc
+
+    def with_len(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.list_value_length(t["tokens"]), 0).cast(pa.int64())
+        return pa.table(
+            {"doc_id": t["doc_id"], "tokens": t["tokens"], "n_tok": n}
+        )
+
+    ds = ds.map_batches(with_len, batch_format="pyarrow")
     sorted_ds = range_sort(ds, "doc_id", num_partitions)
     refs = sorted_ds.to_arrow_refs()
     bases = _block_prefix_bases(refs, "n_tok")

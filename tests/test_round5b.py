@@ -196,3 +196,50 @@ def test_pack_tokens_doc_spanning_many_sequences(ray_session):
     np.testing.assert_array_equal(
         flat, np.concatenate([[7, 8], np.arange(40)]).astype(np.int32)
     )
+
+
+# --------------------------------------------------------------------- CLI
+
+
+def test_cli_pack_and_decontam(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pynomaly_ray.cli import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+
+    seq = str(tmp_path / "seq")
+    # --clean: the default gen PLANTS violations (n_tok != len(tokens),
+    # duplicate ids) for the validation pipeline; packing's contract is
+    # a validated corpus
+    assert (
+        main(["gen", "--out", seq, "--parts", "2", "--rows", "50", "--clean"])
+        == 0
+    )
+    out = str(tmp_path / "packed")
+    assert main(["pack", "--input", seq, "--out", out, "--chunk", "64"]) == 0
+    packed = pq.read_table(out).to_pandas().sort_values("seq_id")
+    lens = packed["tokens"].map(len).to_numpy()
+    src_tok = pq.read_table(seq, columns=["n_tok"])["n_tok"]
+    assert lens.sum() == src_tok.to_pandas().sum()  # token conservation
+    assert (lens[:-1] == 64).all()  # all full except the final sequence
+
+    out2 = str(tmp_path / "offsets")
+    assert (
+        main(["pack", "--input", seq, "--out", out2, "--chunk", "64",
+              "--offsets-only"]) == 0
+    )
+    off = pq.read_table(out2).to_pandas()
+    assert {"doc_id", "seq_first", "seq_last", "off_in_seq"} <= set(off)
+
+    out3 = str(tmp_path / "decontam")
+    assert (
+        main(["decontam", "--input", docs, "--benchmark", docs, "--out", out3])
+        == 0
+    )
+    prof = pq.read_table(out3).to_pandas()
+    # benchmark == train -> every doc fully overlaps itself
+    assert (prof["n_overlap"] == prof["n_sh"]).all() and len(prof) > 0
+    assert os.path.isdir(out3)
