@@ -54,27 +54,31 @@ _TOKEN_RE = r"[^ \t\n\r\f\v]+"
 _BENCH_HASH_CAP = 50_000_000
 
 
-def _doc_distinct_shingles(texts: pd.Series, ids: np.ndarray, k: int):
-    """(flat distinct shingle hashes, matching doc-id repeat) for one
-    batch.  Docs with < k tokens are EXCLUDED — the same contract as the
-    exact-Jaccard oracle query (SQL: ``WHERE len(w) >= k``), so both
-    sides of every oracle agree on short-doc handling."""
+def _doc_distinct_shingles(texts: pd.Series, k: int):
+    """(flat distinct shingle hashes, doc POSITION per hash, kept-doc
+    mask) for one batch.  Docs with < k tokens are EXCLUDED — the same
+    contract as the exact-Jaccard oracle query (SQL: ``WHERE len(w) >=
+    k``), so both sides of every oracle agree on short-doc handling.
+
+    Positions (0..n_kept-1) instead of doc ids keep every sort/bincount
+    on int64 arrays — string doc ids through np.lexsort/np.unique would
+    fall back to Python-object compares (the slow path the round-5
+    NUL-safe key work measured at ~60x)."""
     toks = texts.fillna("").str.findall(_TOKEN_RE)
-    keep = toks.str.len().to_numpy() >= k
-    lists = toks[keep].tolist()
-    ids = ids[keep]
+    kept = toks.str.len().to_numpy() >= k
+    lists = toks[kept].tolist()
     if not lists:
-        return np.empty(0, np.uint64), ids[:0]
+        return np.empty(0, np.uint64), np.empty(0, np.int64), kept
     sh, soff = shingles_from_token_lists(lists, k)
-    doc_of = np.repeat(ids, np.diff(soff))
-    # per-doc DISTINCT via one lexsort over (doc, shingle) — no pandas
-    # hash table, no Python loop
-    order = np.lexsort((sh, doc_of))
-    sh, doc_of = sh[order], doc_of[order]
-    keep = np.ones(len(sh), bool)
+    pos = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(soff))
+    # per-doc DISTINCT via one lexsort over (position, shingle) — no
+    # pandas hash table, no Python loop
+    order = np.lexsort((sh, pos))
+    sh, pos = sh[order], pos[order]
+    first = np.ones(len(sh), bool)
     if len(sh) > 1:
-        keep[1:] = (sh[1:] != sh[:-1]) | (doc_of[1:] != doc_of[:-1])
-    return sh[keep], doc_of[keep]
+        first[1:] = (sh[1:] != sh[:-1]) | (pos[1:] != pos[:-1])
+    return sh[first], pos[first], kept
 
 
 def benchmark_shingle_hashes(bench_ds, k: int = 4, cap: int = _BENCH_HASH_CAP):
@@ -89,11 +93,7 @@ def benchmark_shingle_hashes(bench_ds, k: int = 4, cap: int = _BENCH_HASH_CAP):
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        sh, _ = _doc_distinct_shingles(
-            t["text"].to_pandas(),
-            np.arange(t.num_rows, dtype=np.int64),
-            k,
-        )
+        sh, _pos, _kept = _doc_distinct_shingles(t["text"].to_pandas(), k)
         return pa.table({"sh": np.unique(sh).view(np.int64)})
 
     blocks = [
@@ -130,25 +130,22 @@ class ContaminationCounter:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pandas().to_numpy()
-        sh, doc_of = _doc_distinct_shingles(t["text"].to_pandas(), ids, self.k)
+        sh, pos, kept = _doc_distinct_shingles(t["text"].to_pandas(), self.k)
         sh = sh.view(np.int64)  # match the benchmark array's total order
+        ids = t["doc_id"].filter(pa.array(kept))  # original Arrow type
+        n_kept = len(ids)
         bench = self.bench
         if len(bench) and len(sh):
-            pos = np.searchsorted(bench, sh)
-            pos[pos == len(bench)] = 0  # any in-range index; equality check decides
-            hit = bench[pos] == sh
+            at = np.searchsorted(bench, sh)
+            at[at == len(bench)] = 0  # any in-range index; equality decides
+            hit = bench[at] == sh
         else:
             hit = np.zeros(len(sh), bool)
-        uniq, inv = np.unique(doc_of, return_inverse=True) if len(doc_of) else (
-            np.empty(0, ids.dtype),
-            np.empty(0, np.int64),
-        )
-        n_hit = np.bincount(inv[hit], minlength=len(uniq)).astype(np.int64)
-        n_tot = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_hit = np.bincount(pos[hit], minlength=n_kept).astype(np.int64)
+        n_tot = np.bincount(pos, minlength=n_kept).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(uniq),
+                "doc_id": ids,
                 "n_sh": pa.array(n_tot),
                 "n_overlap": pa.array(n_hit),
             }
@@ -179,15 +176,14 @@ def repetition_profile(docs_ds, k: int = 2):
     map-side — each doc is whole within its batch."""
 
     def profile(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pandas().to_numpy()
         toks = t["text"].to_pandas().fillna("").str.findall(_TOKEN_RE)
-        keep = toks.str.len().to_numpy() >= k
-        lists = toks[keep].tolist()
-        ids = ids[keep]
+        kept = toks.str.len().to_numpy() >= k
+        lists = toks[kept].tolist()
+        ids = t["doc_id"].filter(pa.array(kept))  # original Arrow type
         if not lists:
             return pa.table(
                 {
-                    "doc_id": pa.array([], pa.int64()),
+                    "doc_id": ids,
                     "n_sh": pa.array([], pa.int64()),
                     "n_distinct": pa.array([], pa.int64()),
                     "rep_e6": pa.array([], pa.int64()),
@@ -195,19 +191,19 @@ def repetition_profile(docs_ds, k: int = 2):
             )
         sh, soff = shingles_from_token_lists(lists, k)
         n = np.diff(soff).astype(np.int64)
-        doc_of = np.repeat(np.arange(len(ids)), n)
-        order = np.lexsort((sh, doc_of))
-        sh_s, doc_s = sh[order], doc_of[order]
+        pos = np.repeat(np.arange(len(lists), dtype=np.int64), n)
+        order = np.lexsort((sh, pos))
+        sh_s, pos_s = sh[order], pos[order]
         new = np.ones(len(sh_s), bool)
         if len(sh_s) > 1:
-            new[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
-        d = np.bincount(doc_s[new], minlength=len(ids)).astype(np.int64)
+            new[1:] = (sh_s[1:] != sh_s[:-1]) | (pos_s[1:] != pos_s[:-1])
+        d = np.bincount(pos_s[new], minlength=len(lists)).astype(np.int64)
         rep = np.floor((n - d) * 1_000_000.0 / np.maximum(n, 1) + 0.5).astype(
             np.int64
         )
         return pa.table(
             {
-                "doc_id": pa.array(ids),
+                "doc_id": ids,
                 "n_sh": pa.array(n),
                 "n_distinct": pa.array(d),
                 "rep_e6": pa.array(rep),

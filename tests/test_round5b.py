@@ -243,3 +243,39 @@ def test_cli_pack_and_decontam(ray_session, tmp_path):
     # benchmark == train -> every doc fully overlaps itself
     assert (prof["n_overlap"] == prof["n_sh"]).all() and len(prof) > 0
     assert os.path.isdir(out3)
+
+
+def test_decontam_and_repetition_string_ids(ray_session):
+    """The stages are id-type-agnostic: string doc ids ride through
+    Arrow filters (never numpy object sorts) and keep their type."""
+    from pynomaly_ray.stages.decontam import (
+        benchmark_shingle_hashes,
+        decontaminate,
+        repetition_profile,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["web-1", "web-2", "books-9"], pa.string()),
+            "text": pa.array(["w x y z a", "w x y z b", "p q"], pa.string()),
+        }
+    )
+    docs = rd.from_arrow(t).repartition(2)
+    ref = benchmark_shingle_hashes(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(["bench-1"], pa.string()),
+                    "text": pa.array(["w x y z"], pa.string()),
+                }
+            )
+        ),
+        k=4,
+    )
+    out = decontaminate(docs, ref, k=4).to_pandas().set_index("doc_id")
+    assert out.loc["web-1", "n_overlap"] == 1
+    assert out.loc["web-2", "n_overlap"] == 1
+    assert "books-9" not in out.index  # short doc excluded
+
+    rep = repetition_profile(docs, k=2).to_pandas()
+    assert set(rep["doc_id"]) == {"web-1", "web-2", "books-9"}
