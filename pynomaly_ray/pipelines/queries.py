@@ -2888,3 +2888,50 @@ ORACLE_QUERIES.update(
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: epoch_shuffle — deterministic training-epoch permutation: every doc
+# gets a Knuth-hash shuffle key from (doc_id + seed) and a dense global
+# position in (key, id) order (stages/packing.epoch_shuffle: key stamp ->
+# range_sort -> P-row driver prefix -> per-block rank).  The reproducible
+# replacement for random_shuffle: same seed => identical order on any
+# cluster shape, restarts re-derive the permutation.  The SQL twin's
+# ROW_NUMBER certifies the distributed rank assignment end-to-end.
+# ---------------------------------------------------------------------------
+_EPOCH_SEED = 17
+
+
+def q_epoch_shuffle(sf_dir: str):
+    from pynomaly_ray.stages.packing import epoch_shuffle
+
+    docs = _pq(sf_dir, "documents", ["doc_id"])
+    out = _collect(
+        epoch_shuffle(docs, seed=_EPOCH_SEED),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("shuffle_key", pa.int64()),
+                ("pos", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_EPOCH_SHUFFLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST((((doc_id + 17) % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 AS BIGINT) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+           AS pos
+FROM t
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["epoch_shuffle"] = (q_epoch_shuffle, SQL_EPOCH_SHUFFLE)

@@ -49,11 +49,12 @@ import ray
 from pynomaly_ray.functions.exchange import hash_aggregate, range_sort
 
 
-def _block_prefix_bases(refs, weight_col: str):
-    """Driver-side exclusive prefix over per-block totals: returns one
-    int64 base per block (aligned with ``refs``), ordering blocks by
-    their min id — blocks hold disjoint id ranges after range_sort, so
-    min-id order IS global order regardless of ref order."""
+def _block_prefix_bases(refs, weight_col: str | None, key_col: str = "doc_id"):
+    """Driver-side exclusive prefix over per-block totals (row counts
+    when ``weight_col`` is None): returns one int64 base per block
+    (aligned with ``refs``), ordering blocks by their min key — blocks
+    hold disjoint key ranges after range_sort, so min-key order IS
+    global order regardless of ref order."""
 
     @ray.remote
     def _summary(t: pa.Table, idx: int):
@@ -61,11 +62,12 @@ def _block_prefix_bases(refs, weight_col: str):
             return (idx, None, 0)
         import pyarrow.compute as _pc
 
-        return (
-            idx,
-            _pc.min(t["doc_id"]).as_py(),
-            _pc.sum(_pc.fill_null(t[weight_col], 0)).as_py() or 0,
+        total = (
+            t.num_rows
+            if weight_col is None
+            else (_pc.sum(_pc.fill_null(t[weight_col], 0)).as_py() or 0)
         )
+        return (idx, _pc.min(t[key_col]).as_py(), total)
 
     summaries = ray.get([_summary.remote(r, i) for i, r in enumerate(refs)])
     bases = [0] * len(refs)
@@ -227,3 +229,69 @@ def pack_tokens(ds, chunk: int, num_partitions: int | None = None):
         return pd.DataFrame({"seq_id": np.asarray(out_ids, np.int64), "tokens": out_toks})
 
     return hash_aggregate(pieces, ["seq_id"], assemble, num_partitions)
+
+
+_M32 = np.uint64(4294967296)
+_KNUTH64 = np.uint64(2654435761)
+
+
+def epoch_shuffle(ds, seed: int, num_partitions: int | None = None):
+    """Deterministic training-epoch shuffle: every doc gets a
+    pseudo-random ``shuffle_key`` from the Knuth multiplicative hash of
+    ``(doc_id + seed) mod 2^32`` and a dense global ``pos`` (0..n-1) in
+    ``(shuffle_key, doc_id)`` order — the reproducible, resumable
+    replacement for ``Dataset.random_shuffle`` in a training-data
+    pipeline (same epoch + seed => identical order on any cluster
+    shape, and a restart re-derives the permutation instead of
+    re-materializing it).
+
+    Shape: one map pass stamps keys (pure integer arithmetic, so a SQL
+    oracle computes identical values), :func:`range_sort` co-locates
+    each key range (equal keys land in ONE range by construction), a
+    P-row driver prefix assigns block bases, and each block emits
+    ``base + arange`` positions after an in-block (key, id) lexsort for
+    the tie-break.  Requires integer non-null doc ids (hash string ids
+    to int64 first — functions/hashing.hash_strings — if needed).
+    """
+
+    def stamp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (((ids + np.uint64(seed)) % _M32) * _KNUTH64) % _M32
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "shuffle_key": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(stamp, batch_format="pyarrow")
+    sorted_ds = range_sort(keyed, "shuffle_key", num_partitions)
+    refs = sorted_ds.to_arrow_refs()
+    bases = _block_prefix_bases(refs, None, key_col="shuffle_key")
+
+    @ray.remote
+    def _rank(t: pa.Table, base: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shuffle_key": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = t["shuffle_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, keys))  # key-major, id tie-break
+        pos = np.empty(len(ids), np.int64)
+        pos[order] = base + np.arange(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "shuffle_key": pa.array(keys),
+                "pos": pa.array(pos),
+            }
+        )
+
+    return ray.data.from_arrow_refs(
+        [_rank.remote(r, b) for r, b in zip(refs, bases)]
+    )

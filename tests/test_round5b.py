@@ -279,3 +279,77 @@ def test_decontam_and_repetition_string_ids(ray_session):
 
     rep = repetition_profile(docs, k=2).to_pandas()
     assert set(rep["doc_id"]) == {"web-1", "web-2", "books-9"}
+
+
+# ----------------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_is_permutation_and_deterministic(ray_session):
+    from pynomaly_ray.stages.packing import epoch_shuffle
+
+    ids = np.random.default_rng(3).permutation(300).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(4)
+    a = (
+        epoch_shuffle(ds, seed=9, num_partitions=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # pos is a dense permutation of 0..n-1
+    assert sorted(a["pos"]) == list(range(len(ids)))
+    # in-order walk of pos is (shuffle_key, doc_id)-sorted
+    w = a.sort_values("pos")
+    assert (
+        w[["shuffle_key", "doc_id"]].values.tolist()
+        == w.sort_values(["shuffle_key", "doc_id"])[
+            ["shuffle_key", "doc_id"]
+        ].values.tolist()
+    )
+    # same seed reproduces; different seed permutes differently
+    b = (
+        epoch_shuffle(ds, seed=9, num_partitions=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    c = epoch_shuffle(ds, seed=10, num_partitions=3).to_pandas()
+    merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (merged["pos_a"] != merged["pos_c"]).any()
+
+
+# ------------------------------------------------ pack_offsets property
+
+
+def test_pack_offsets_property_spans_partition_token_stream(ray_session):
+    """Hypothesis-style sweep without per-example Ray datasets (one
+    session-scoped cluster, many weight vectors): packed spans must
+    partition [0, total) exactly — contiguous, disjoint, doc-ordered."""
+    from pynomaly_ray.stages.packing import pack_offsets
+
+    rng = np.random.default_rng(21)
+    for trial in range(6):
+        n = int(rng.integers(1, 200))
+        chunk = int(rng.integers(1, 40))
+        w = rng.integers(0, 7, n).astype(np.int64)
+        ids = rng.permutation(n).astype(np.int64)
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids), "n_tok": pa.array(w)})
+        ).repartition(int(rng.integers(1, 6)))
+        got = (
+            pack_offsets(ds, chunk=chunk, num_partitions=int(rng.integers(1, 5)))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        order = np.argsort(ids, kind="stable")
+        w_s = w[order]
+        start = np.concatenate([[0], np.cumsum(w_s)[:-1]])
+        keep = w_s >= 1
+        # reconstruct spans from the operator's output and compare
+        got = got.set_index("doc_id")
+        for did, st_, ww in zip(ids[order][keep], start[keep], w_s[keep]):
+            row = got.loc[did]
+            assert row["seq_first"] == st_ // chunk
+            assert row["seq_last"] == (st_ + ww - 1) // chunk
+            assert row["off_in_seq"] == st_ % chunk
+        assert len(got) == int(keep.sum())
