@@ -171,6 +171,13 @@ def pack_tokens(ds, chunk: int, num_partitions: int | None = None):
         flat = toks.values  # zero-copy flat int32 buffer of the block
         doc_off = np.asarray(toks.offsets)  # len n+1, into flat
         w = np.diff(doc_off).astype(np.int64)
+        # a NULL list slot is marked by the validity bit, not by its
+        # offsets — its offset span is arbitrary bytes and must not be
+        # packed (mirrors with_len's fill_null(.., 0) placement weights)
+        if toks.null_count:
+            import pyarrow.compute as _pc
+
+            w[~_pc.is_valid(toks).to_numpy(zero_copy_only=False)] = 0
         start = base + np.concatenate([[0], np.cumsum(w)[:-1]])
         keep = w >= 1
         w, start, lo = w[keep], start[keep], doc_off[:-1][keep].astype(np.int64)

@@ -353,3 +353,25 @@ def test_pack_offsets_property_spans_partition_token_stream(ray_session):
             assert row["seq_last"] == (st_ + ww - 1) // chunk
             assert row["off_in_seq"] == st_ % chunk
         assert len(got) == int(keep.sum())
+
+
+def test_pack_tokens_null_token_rows_skipped(ray_session):
+    """NULL token slots (validity-bit nulls whose offsets may span
+    arbitrary bytes) contribute nothing — neither placement weight nor
+    payload."""
+    from pynomaly_ray.stages.packing import pack_tokens
+
+    toks = pa.array([[1, 2, 3], None, [4, 5]], pa.list_(pa.int32()))
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "tokens": toks,
+        }
+    )
+    out = (
+        pack_tokens(rd.from_arrow(t), chunk=4, num_partitions=1)
+        .to_pandas()
+        .sort_values("seq_id")
+    )
+    flat = np.concatenate([np.asarray(x) for x in out["tokens"]])
+    np.testing.assert_array_equal(flat, np.array([1, 2, 3, 4, 5], np.int32))
