@@ -371,16 +371,14 @@ def cmd_pack(args) -> int:
     from pynomaly_ray.sources.parquet import read_parquet_clean
     from pynomaly_ray.stages.packing import pack_offsets, pack_tokens
 
-    ds = read_parquet_clean(
-        args.input, columns=["doc_id", "tokens", "n_tok"]
-    )
     os.makedirs(args.out, exist_ok=True)
     if args.offsets_only:
-        out = pack_offsets(
-            ds.select_columns(["doc_id", "n_tok"]), chunk=args.chunk
-        ).materialize()
+        # placement never needs the token payload — prune it at the read
+        ds = read_parquet_clean(args.input, columns=["doc_id", "n_tok"])
+        out = pack_offsets(ds, chunk=args.chunk).materialize()
         n_seq = None
     else:
+        ds = read_parquet_clean(args.input, columns=["doc_id", "tokens"])
         out = pack_tokens(ds, chunk=args.chunk).materialize()
         n_seq = out.count()
     out.write_parquet(args.out)
@@ -413,7 +411,9 @@ def cmd_decontam(args) -> int:
     train = read_parquet_clean(args.input, columns=["doc_id", "text"])
     bench = read_parquet_clean(args.benchmark, columns=["doc_id", "text"])
     ref = benchmark_shingle_hashes(bench, k=args.k)
-    counted = decontaminate(train, ref, k=args.k).materialize()
+    counted = decontaminate(
+        train, ref, k=args.k, concurrency=(1, args.concurrency)
+    ).materialize()
     os.makedirs(args.out, exist_ok=True)
     counted.write_parquet(args.out)
     min_overlap = args.min_overlap
@@ -561,6 +561,13 @@ def main(argv=None) -> int:
         type=int,
         default=1,
         help="flag threshold on overlapping distinct shingles",
+    )
+    dc.add_argument(
+        "--concurrency",
+        type=int,
+        default=4,
+        help="max actors in the counting pool (autoscales from 1; raise "
+        "on large hosts — the default caps at 4 CPUs)",
     )
     dc.add_argument("--num-cpus", type=int, default=None)
     dc.set_defaults(fn=cmd_decontam)

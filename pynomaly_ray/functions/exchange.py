@@ -156,7 +156,7 @@ def _split_block(table: pa.Table, key_cols, p: int):
 
 
 @ray.remote
-def _merge_bucket(merge_fn, *pieces: pa.Table) -> pa.Table:
+def _merge_bucket(merge_fn, arrow, *pieces: pa.Table) -> pa.Table:
     tables = [t for t in pieces if t.num_rows]
     if not tables:
         if not pieces:
@@ -165,8 +165,15 @@ def _merge_bucket(merge_fn, *pieces: pa.Table) -> pa.Table:
         # bucket's block has merge_fn's OUTPUT schema, matching the
         # non-empty buckets
         tables = [pieces[0]]
-    df = pa.concat_tables(tables, promote_options="permissive").to_pandas()
-    out = merge_fn(df)
+    cat = pa.concat_tables(tables, promote_options="permissive")
+    if arrow:
+        # Arrow-native reducer: merge_fn takes AND returns a pa.Table.
+        # Required when the output carries nested types (list columns) —
+        # a pandas round-trip of an EMPTY object column loses the list
+        # type (infers float64) and desynchronizes empty buckets' schema
+        # from their non-empty siblings.
+        return merge_fn(cat)
+    out = merge_fn(cat.to_pandas())
     return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
         None
     )
@@ -194,6 +201,7 @@ def hash_aggregate(
     key_cols: Sequence[str],
     merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int | None = None,
+    arrow: bool = False,
 ):
     """Key-co-located reduction over a Dataset of (pre-aggregated) rows.
 
@@ -202,12 +210,17 @@ def hash_aggregate(
     merged rows.  ``num_partitions`` defaults to size-adaptive (see
     :func:`auto_num_partitions`): one bucket per ~64 MB of exchanged
     partials, so a reducer's bucket always fits in worker memory.
+    With ``arrow=True`` the reducer takes and returns a ``pa.Table``
+    instead — the right mode for nested (list-typed) outputs, whose
+    empty-bucket schema a pandas round-trip cannot preserve.
     """
     refs, nbytes = _materialized(ds)
     p = num_partitions or auto_num_partitions(nbytes)
     split_cols = _partitioned_refs(refs, key_cols, p)
     merged = [
-        _merge_bucket.remote(merge_fn, *[split_cols[i][b] for i in range(len(split_cols))])
+        _merge_bucket.remote(
+            merge_fn, arrow, *[split_cols[i][b] for i in range(len(split_cols))]
+        )
         for b in range(p)
     ]
     return ray.data.from_arrow_refs(merged)

@@ -84,3 +84,22 @@ def digest_floats(arr: np.ndarray) -> str:
 
     b = np.ascontiguousarray(arr, dtype=np.float64).tobytes()
     return hashlib.sha256(b).hexdigest()[:16]
+
+
+_M32 = np.uint64(4294967296)
+_KNUTH32 = np.uint64(2654435761)  # floor(2^32 / golden ratio)
+
+
+def knuth32(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Knuth multiplicative hash of integer ids -> int64 in [0, 2^32).
+
+    ``((ids + seed) mod 2^32) * 2654435761 mod 2^32`` — computed in
+    uint64 so the product never wraps, making the value bit-identical
+    to the SQL twin ``((doc_id + seed) % 4294967296) * 2654435761 %
+    4294967296`` at any id magnitude.  The ONE implementation behind
+    hash_sample priorities, domain_mix keep decisions, and
+    epoch_shuffle keys: the formula must stay in lock-step with
+    multiple DuckDB oracle strings, so it lives here exactly once.
+    """
+    u = np.asarray(ids).astype(np.uint64)
+    return ((((u + np.uint64(seed)) % _M32) * _KNUTH32) % _M32).astype(np.int64)

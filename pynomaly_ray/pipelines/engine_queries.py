@@ -140,11 +140,11 @@ tok AS (
   FROM documents
 ),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], CHR(30)) AS shingle
+  SELECT DISTINCT doc_id, array_to_string(list_transform(w[i:i+4], t -> CONCAT(len(t), ':', t)), '') AS shingle
   FROM tok, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
   WHERE len(w) >= 5
   UNION
-  SELECT doc_id, array_to_string(w, CHR(30)) AS shingle
+  SELECT doc_id, array_to_string(list_transform(w, t -> CONCAT(len(t), ':', t)), '') AS shingle
   FROM tok WHERE len(w) < 5
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -297,11 +297,11 @@ tok AS (
   FROM documents
 ),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], CHR(30)) AS shingle
+  SELECT DISTINCT doc_id, array_to_string(list_transform(w[i:i+4], t -> CONCAT(len(t), ':', t)), '') AS shingle
   FROM tok, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
   WHERE len(w) >= 5
   UNION
-  SELECT doc_id, array_to_string(w, CHR(30)) AS shingle
+  SELECT doc_id, array_to_string(list_transform(w, t -> CONCAT(len(t), ':', t)), '') AS shingle
   FROM tok WHERE len(w) < 5
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

@@ -1798,7 +1798,7 @@ WITH tok AS (
   FROM documents
 ),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], CHR(30)) AS shingle
+  SELECT DISTINCT doc_id, array_to_string(list_transform(w[i:i+4], t -> CONCAT(len(t), ':', t)), '') AS shingle
   FROM tok, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
   WHERE len(w) >= 5
 ),
@@ -2024,17 +2024,14 @@ def q_hash_sample(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "source"])
 
     def prio(batch: pa.Table) -> pa.Table:
+        from pynomaly_ray.functions.hashing import knuth32
+
         df = batch.to_pandas()
-        # reduce mod 2^32 BEFORE multiplying: the product then fits both
-        # numpy uint64 and DuckDB HUGEINT exactly, so the formula stays
-        # engine/SQL-identical at any doc_id magnitude (a bare
-        # doc_id * K wraps silently in int64 past ~3.5e9 while the SQL
-        # side overflows BIGINT)
-        ids = df["doc_id"].to_numpy(dtype=np.uint64)
-        m32 = np.uint64(4294967296)
-        df["priority"] = (
-            ((ids % m32) * np.uint64(_KNUTH)) % m32
-        ).astype(np.int64)
+        # knuth32 reduces mod 2^32 BEFORE multiplying, keeping the value
+        # engine/SQL-identical at any doc_id magnitude (shared helper —
+        # hash_sample / domain_mix / epoch_shuffle must stay in lock-step
+        # with their DuckDB twins through the ONE implementation)
+        df["priority"] = knuth32(df["doc_id"].to_numpy(dtype=np.uint64))
         return _from_pandas(df)
 
     scored = ds.map_batches(prio, batch_format="pyarrow")
@@ -2703,7 +2700,7 @@ WITH tok AS (
   FROM documents
 ),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+3], CHR(30)) AS s
+  SELECT DISTINCT doc_id, array_to_string(list_transform(w[i:i+3], t -> CONCAT(len(t), ':', t)), '') AS s
   FROM tok, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
   WHERE len(w) >= 4
 ),
@@ -2752,7 +2749,7 @@ WITH tok AS (
   FROM documents
 ),
 sh AS (
-  SELECT doc_id, array_to_string(w[i:i+1], CHR(30)) AS s
+  SELECT doc_id, array_to_string(list_transform(w[i:i+1], t -> CONCAT(len(t), ':', t)), '') AS s
   FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
   WHERE len(w) >= 2
 ),
@@ -2781,14 +2778,14 @@ def q_domain_mix(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "source"])
 
     def pick(t: pa.Table) -> pa.Table:
+        from pynomaly_ray.functions.hashing import knuth32
+
         df = t.to_pandas()
-        ids = df["doc_id"].to_numpy(dtype=np.uint64)
-        m32 = np.uint64(4294967296)
-        h = ((ids % m32) * np.uint64(_KNUTH)) % m32
+        h = knuth32(df["doc_id"].to_numpy(dtype=np.uint64)).astype(np.uint64)
         tier = (
             df["source"].str.slice(3).astype(np.int64).to_numpy() % 4
         ).astype(np.uint64)
-        keep = h < (m32 >> tier)
+        keep = h < (np.uint64(4294967296) >> tier)
         return _from_pandas(df.loc[keep, ["doc_id", "source"]])
 
     out = _collect(

@@ -56,21 +56,26 @@ _BENCH_HASH_CAP = 50_000_000
 
 def _doc_distinct_shingles(texts: pd.Series, k: int):
     """(flat distinct shingle hashes, doc POSITION per hash, kept-doc
-    mask) for one batch.  Docs with < k tokens are EXCLUDED — the same
-    contract as the exact-Jaccard oracle query (SQL: ``WHERE len(w) >=
-    k``), so both sides of every oracle agree on short-doc handling.
+    mask, per-doc TOTAL shingle counts) for one batch.  Docs with < k
+    tokens are EXCLUDED — the same contract as the exact-Jaccard oracle
+    query (SQL: ``WHERE len(w) >= k``), so both sides of every oracle
+    agree on short-doc handling.
 
     Positions (0..n_kept-1) instead of doc ids keep every sort/bincount
     on int64 arrays — string doc ids through np.lexsort/np.unique would
     fall back to Python-object compares (the slow path the round-5
-    NUL-safe key work measured at ~60x)."""
+    NUL-safe key work measured at ~60x).  This is the ONE per-doc
+    shingle-distinctness kernel in the module: decontamination,
+    benchmark-set construction, and the repetition profile all share it."""
     toks = texts.fillna("").str.findall(_TOKEN_RE)
     kept = toks.str.len().to_numpy() >= k
     lists = toks[kept].tolist()
     if not lists:
-        return np.empty(0, np.uint64), np.empty(0, np.int64), kept
+        e = np.empty(0, np.int64)
+        return np.empty(0, np.uint64), e, kept, e
     sh, soff = shingles_from_token_lists(lists, k)
-    pos = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(soff))
+    totals = np.diff(soff).astype(np.int64)
+    pos = np.repeat(np.arange(len(lists), dtype=np.int64), totals)
     # per-doc DISTINCT via one lexsort over (position, shingle) — no
     # pandas hash table, no Python loop
     order = np.lexsort((sh, pos))
@@ -78,7 +83,7 @@ def _doc_distinct_shingles(texts: pd.Series, k: int):
     first = np.ones(len(sh), bool)
     if len(sh) > 1:
         first[1:] = (sh[1:] != sh[:-1]) | (pos[1:] != pos[:-1])
-    return sh[first], pos[first], kept
+    return sh[first], pos[first], kept, totals
 
 
 def benchmark_shingle_hashes(bench_ds, k: int = 4, cap: int = _BENCH_HASH_CAP):
@@ -93,16 +98,26 @@ def benchmark_shingle_hashes(bench_ds, k: int = 4, cap: int = _BENCH_HASH_CAP):
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        sh, _pos, _kept = _doc_distinct_shingles(t["text"].to_pandas(), k)
+        sh, _pos, _kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), k)
         return pa.table({"sh": np.unique(sh).view(np.int64)})
 
-    blocks = [
-        ray.get(ref)
-        for ref in bench_ds.map_batches(
-            partial, batch_format="pyarrow"
-        ).to_arrow_refs()
-    ]
+    blocks = ray.get(
+        bench_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    )
     arrs = [t["sh"].to_numpy(zero_copy_only=False) for t in blocks if t.num_rows]
+    # refuse BEFORE the driver concatenates: the sum of per-block unique
+    # counts upper-bounds the merged distinct size, so a grossly
+    # over-cap benchmark raises here instead of OOM-killing the driver
+    # mid-np.unique.  2x slack tolerates cross-block overlap (the true
+    # distinct count can be well under the per-block sum); the exact
+    # post-merge check below still enforces the cap itself.
+    upper = sum(len(a) for a in arrs)
+    if upper > 2 * cap:
+        raise ValueError(
+            f"benchmark shingle set has up to {upper} distinct hashes "
+            f"(cap {cap}); use the partitioned anti-join path instead of "
+            "a broadcast"
+        )
     # stay in int64 space end-to-end: the uint64 shingle hashes ride as
     # their int64 bit-pattern and every sort/searchsorted uses the SAME
     # int64 total order (a uint64 view of an int64-sorted array is NOT
@@ -130,7 +145,7 @@ class ContaminationCounter:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        sh, pos, kept = _doc_distinct_shingles(t["text"].to_pandas(), self.k)
+        sh, pos, kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), self.k)
         sh = sh.view(np.int64)  # match the benchmark array's total order
         ids = t["doc_id"].filter(pa.array(kept))  # original Arrow type
         n_kept = len(ids)
@@ -176,28 +191,11 @@ def repetition_profile(docs_ds, k: int = 2):
     map-side — each doc is whole within its batch."""
 
     def profile(t: pa.Table) -> pa.Table:
-        toks = t["text"].to_pandas().fillna("").str.findall(_TOKEN_RE)
-        kept = toks.str.len().to_numpy() >= k
-        lists = toks[kept].tolist()
+        _sh, pos, kept, n = _doc_distinct_shingles(t["text"].to_pandas(), k)
         ids = t["doc_id"].filter(pa.array(kept))  # original Arrow type
-        if not lists:
-            return pa.table(
-                {
-                    "doc_id": ids,
-                    "n_sh": pa.array([], pa.int64()),
-                    "n_distinct": pa.array([], pa.int64()),
-                    "rep_e6": pa.array([], pa.int64()),
-                }
-            )
-        sh, soff = shingles_from_token_lists(lists, k)
-        n = np.diff(soff).astype(np.int64)
-        pos = np.repeat(np.arange(len(lists), dtype=np.int64), n)
-        order = np.lexsort((sh, pos))
-        sh_s, pos_s = sh[order], pos[order]
-        new = np.ones(len(sh_s), bool)
-        if len(sh_s) > 1:
-            new[1:] = (sh_s[1:] != sh_s[:-1]) | (pos_s[1:] != pos_s[:-1])
-        d = np.bincount(pos_s[new], minlength=len(lists)).astype(np.int64)
+        # the kernel already deduped per doc: pos holds one entry per
+        # DISTINCT (doc, shingle), so its bincount IS n_distinct
+        d = np.bincount(pos, minlength=len(ids)).astype(np.int64)
         rep = np.floor((n - d) * 1_000_000.0 / np.maximum(n, 1) + 0.5).astype(
             np.int64
         )

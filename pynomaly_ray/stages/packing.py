@@ -80,11 +80,20 @@ def _block_prefix_bases(refs, weight_col: str | None, key_col: str = "doc_id"):
     return bases
 
 
+def _check_chunk(chunk: int) -> None:
+    """Fail fast on a non-positive chunk: numpy's int floor-division by
+    zero only WARNS and yields 0, which would write all-zero placements
+    instead of erroring."""
+    if not isinstance(chunk, (int, np.integer)) or chunk < 1:
+        raise ValueError(f"chunk must be a positive integer, got {chunk!r}")
+
+
 def pack_offsets(ds, chunk: int, num_partitions: int | None = None):
     """Per-doc packed placement over a (doc_id, n_tok[, ...]) Dataset:
     (doc_id, n_tok, seq_first, seq_last, off_in_seq) where sequences are
     ``chunk``-token windows of the doc-id-ordered token concatenation
     and ``off_in_seq`` is the doc's start offset within seq_first."""
+    _check_chunk(chunk)
     sorted_ds = range_sort(ds, "doc_id", num_partitions)
     refs = sorted_ds.to_arrow_refs()
     bases = _block_prefix_bases(refs, "n_tok")
@@ -141,6 +150,7 @@ def pack_tokens(ds, chunk: int, num_partitions: int | None = None):
     column — a corrupted n_tok (exactly the violation the validation
     engine's M-constraints exist to flag) must not be able to overlap
     two docs' packed spans."""
+    _check_chunk(chunk)
     import pyarrow.compute as pc
 
     def with_len(t: pa.Table) -> pa.Table:
@@ -223,23 +233,40 @@ def pack_tokens(ds, chunk: int, num_partitions: int | None = None):
         [_pieces.remote(r, b) for r, b in zip(refs, bases)]
     )
 
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"seq_id": pd.Series(dtype=np.int64), "tokens": []})
-        df = df.sort_values(["seq_id", "pos"], kind="mergesort")
-        out_ids, out_toks = [], []
-        for sid, g in df.groupby("seq_id", sort=False):
-            out_ids.append(sid)
-            out_toks.append(
-                np.concatenate([np.asarray(p, dtype=np.int32) for p in g["piece"]])
-            )
-        return pd.DataFrame({"seq_id": np.asarray(out_ids, np.int64), "tokens": out_toks})
+    def assemble(t: pa.Table) -> pa.Table:
+        # Arrow-native reducer (hash_aggregate arrow=True): a pandas
+        # round-trip would lose the list<int32> type on empty buckets
+        # AND loop Python over sequences; here the whole bucket is one
+        # multi-key sort + list_flatten + reduceat.
+        empty = pa.table(
+            {
+                "seq_id": pa.array([], pa.int64()),
+                "tokens": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(
+            t, sort_keys=[("seq_id", "ascending"), ("pos", "ascending")]
+        )
+        t = t.take(idx)
+        piece = t["piece"]
+        if isinstance(piece, pa.ChunkedArray):
+            piece = piece.combine_chunks()
+        flat = pc.list_flatten(piece)  # order-preserving concat of pieces
+        plen = pc.list_value_length(piece).to_numpy(zero_copy_only=False)
+        seq = t["seq_id"].to_numpy(zero_copy_only=False)
+        starts = np.ones(len(seq), bool)
+        starts[1:] = seq[1:] != seq[:-1]
+        run_at = np.nonzero(starts)[0]
+        tok_counts = np.add.reduceat(plen, run_at)
+        offsets = np.concatenate([[0], np.cumsum(tok_counts)]).astype(np.int32)
+        tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        return pa.table(
+            {"seq_id": pa.array(seq[run_at], pa.int64()), "tokens": tokens}
+        )
 
-    return hash_aggregate(pieces, ["seq_id"], assemble, num_partitions)
-
-
-_M32 = np.uint64(4294967296)
-_KNUTH64 = np.uint64(2654435761)
+    return hash_aggregate(pieces, ["seq_id"], assemble, num_partitions, arrow=True)
 
 
 def epoch_shuffle(ds, seed: int, num_partitions: int | None = None):
@@ -261,13 +288,14 @@ def epoch_shuffle(ds, seed: int, num_partitions: int | None = None):
     to int64 first — functions/hashing.hash_strings — if needed).
     """
 
+    from pynomaly_ray.functions.hashing import knuth32
+
     def stamp(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (((ids + np.uint64(seed)) % _M32) * _KNUTH64) % _M32
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "doc_id": t["doc_id"].cast(pa.int64()),
-                "shuffle_key": pa.array(h.astype(np.int64)),
+                "shuffle_key": pa.array(knuth32(ids, seed)),
             }
         )
 

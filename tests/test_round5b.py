@@ -375,3 +375,51 @@ def test_pack_tokens_null_token_rows_skipped(ray_session):
     )
     flat = np.concatenate([np.asarray(x) for x in out["tokens"]])
     np.testing.assert_array_equal(flat, np.array([1, 2, 3, 4, 5], np.int32))
+
+
+def test_shingle_sql_twins_injective_on_rs_separator(ray_session, tmp_path):
+    """The oracle SQL joins shingle words through a length-prefixed
+    encoding, so tokens containing the old CHR(30) separator cannot
+    alias textually: ['a\\x1eb','c','d','e'] and ['a','b\\x1ec','d','e']
+    must NOT count as an overlap (the engine's word-wise hashes never
+    did).  Runs BOTH sides over a hostile corpus and diffs."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),  # 0 -> benchmark
+            "text": pa.array(
+                [
+                    "a\x1eb c d e",   # benchmark: tokens [a\x1eb, c, d, e]
+                    "a b\x1ec d e",   # would alias under a CHR(30) join
+                    "a\x1eb c d e tail",  # true overlap with benchmark
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["src0"] * 3),
+            "n_chars": pa.array([13, 13, 18], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, str(sf / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    for name in ("decontaminate", "repetition_profile"):
+        fn, sql = ORACLE_QUERIES[name]
+        mine = fn(str(sf))
+        theirs = con.sql(sql).df()
+        mine = mine[sorted(mine.columns)].reset_index(drop=True)
+        theirs = theirs[sorted(theirs.columns)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+    # and the engine's answer is the RIGHT one: only doc 2 overlaps
+    out = ORACLE_QUERIES["decontaminate"][0](str(sf))
+    assert list(out["doc_id"]) == [2]
