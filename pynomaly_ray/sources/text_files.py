@@ -1,0 +1,59 @@
+"""CSV / JSON-lines -> Dataset readers for corpus interchange formats.
+
+Crawl snapshots and annotation drops commonly arrive as CSV or JSONL
+before they are compacted to parquet; these readers give those formats
+the same two fixes ``read_parquet_clean`` applies (schema-metadata strip
+for Ray's schema-dedup fast path, caller-controlled block sizing), plus
+explicit-schema support so a 100-TB ingest never trusts type inference
+(CSV inference samples the head of each file — an all-digits doc_id
+column in one shard and an alphanumeric one in another would otherwise
+produce blocks with CONFLICTING column types mid-pipeline).
+
+Scale note: both formats are row-oriented and uncompressed-column-blind
+— the engine treats them as INGEST-ONLY edges.  The first pipeline step
+after reading should be a projection to the needed columns and a
+``write_parquet`` compaction; every repeated-scan operator reads the
+parquet.  (The reference engine ingests ndarrays/DataFrames only —
+reference/PyNomaly/loop.py:300-340 — so file-format sources are engine
+surface, not ported behavior.)
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from pynomaly_ray.sources.parquet import strip_schema_metadata
+
+
+def read_csv_clean(
+    paths,
+    *,
+    schema=None,
+    override_num_blocks: int | None = None,
+):
+    """CSV -> Dataset.  ``schema``: optional pyarrow.Schema applied at
+    the Arrow CSV parser (``convert_options.column_types``), making
+    column types explicit instead of per-file-inferred."""
+    from pyarrow import csv as pacsv
+
+    kwargs = {}
+    if schema is not None:
+        kwargs["convert_options"] = pacsv.ConvertOptions(
+            column_types={f.name: f.type for f in schema}
+        )
+    ds = rd.read_csv(paths, override_num_blocks=override_num_blocks, **kwargs)
+    return ds.map_batches(
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def read_json_clean(
+    paths,
+    *,
+    override_num_blocks: int | None = None,
+):
+    """JSON-lines -> Dataset (pyarrow JSON parser via Ray's reader)."""
+    ds = rd.read_json(paths, override_num_blocks=override_num_blocks)
+    return ds.map_batches(
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
