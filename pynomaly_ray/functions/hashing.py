@@ -100,6 +100,12 @@ def knuth32(ids: np.ndarray, seed: int = 0) -> np.ndarray:
     hash_sample priorities, domain_mix keep decisions, and
     epoch_shuffle keys: the formula must stay in lock-step with
     multiple DuckDB oracle strings, so it lives here exactly once.
+
+    Contract: ids must be NON-NEGATIVE for SQL parity — numpy's uint64
+    cast wraps a negative id to 2^64+x while DuckDB's ``%`` keeps the
+    sign, so the two sides diverge below zero (corpus ids are unsigned
+    by construction; callers hashing arbitrary integers must shift them
+    first).
     """
     u = np.asarray(ids).astype(np.uint64)
     return ((((u + np.uint64(seed)) % _M32) * _KNUTH32) % _M32).astype(np.int64)
