@@ -127,13 +127,21 @@ def find_regressions(
     timings: dict, best: dict, factor: float = GATE_FACTOR
 ) -> list[str]:
     """Queries whose wall exceeds factor x their recorded best (queries
-    without a recorded best — e.g. newly added — never gate)."""
+    without a recorded best — e.g. newly added — never gate).
+
+    A >= 1 s ABSOLUTE excess over best is also required: this host has
+    been observed swinging 3.2x run-to-run on identical code, and the
+    relative noise concentrates in sub-second walls (scheduling
+    overhead dominates them) — a 0.1 s query at 0.5 s is noise, not a
+    regression, while a real slowdown big enough to matter at sf0.1
+    always clears one absolute second."""
     return sorted(
         name
         for name, wall in timings.items()
         if wall is not None
         and best.get(name) is not None
         and wall > factor * best[name]
+        and wall - best[name] > 1.0
     )
 
 

@@ -346,6 +346,12 @@ def test_bench_regression_gate(tmp_path, monkeypatch):
     timings = {"q1": 1.6, "q2": 1.1, "q_new": 99.0, "q4": None}
     assert bench.find_regressions(timings, best) == ["q1"]
     assert bench.find_regressions({"q1": 1.4}, best) == []
+    # sub-second swings are host noise, not regressions: 4x a tiny best
+    # without 1 s of absolute excess must NOT gate
+    bench.record_best("sf0.1", {"tiny": 0.1})
+    best2 = bench.load_best("sf0.1")
+    assert bench.find_regressions({"tiny": 0.5}, best2) == []
+    assert bench.find_regressions({"tiny": 1.2}, best2) == ["tiny"]
     assert bench.load_best("sf_other") == {}
 
 
