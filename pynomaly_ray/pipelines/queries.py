@@ -2932,3 +2932,121 @@ ORDER BY doc_id
 
 
 ORACLE_QUERIES["epoch_shuffle"] = (q_epoch_shuffle, SQL_EPOCH_SHUFFLE)
+
+# ---------------------------------------------------------------------------
+# Q: pii_scrub — ordered multi-pattern PII redaction (stages/pii.py):
+# emails, then IPv4, then phone numbers, each counted against the
+# previous pattern's output and replaced by a typed placeholder.  The
+# synthetic corpus contains no organic PII, so BOTH sides first augment
+# each doc deterministically from its doc_id (doc_id%4 selects email /
+# IPv4 / phone / none) — guaranteeing every pattern fires thousands of
+# times and the byte-exact redacted text, not just zero counts, is what
+# the value-hash certifies.  Patterns are restricted to the Python-re /
+# RE2 common dialect (see stages/pii.py docstring).  Engine shape: one
+# streaming map_batches pass, no exchange.
+# ---------------------------------------------------------------------------
+def q_pii_scrub(sf_dir: str):
+    from pynomaly_ray.stages.pii import pii_scrub
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t["text"].to_pandas().fillna("")
+        sid = pd.Series(ids.astype(str), index=text.index)
+        email = " contact user" + sid + "@example.com asap"
+        ip = (
+            " from "
+            + pd.Series((ids % 223 + 1).astype(str), index=text.index)
+            + "."
+            + pd.Series((ids % 256).astype(str), index=text.index)
+            + "."
+            + pd.Series((ids % 100).astype(str), index=text.index)
+            + "."
+            + pd.Series((ids % 250 + 1).astype(str), index=text.index)
+        )
+        phone = (
+            " call +1 "
+            + pd.Series((ids % 900 + 100).astype(str), index=text.index)
+            + " "
+            + pd.Series((ids * 7 % 900 + 100).astype(str), index=text.index)
+            + " "
+            + pd.Series((ids % 9000 + 1000).astype(str), index=text.index)
+        )
+        mod = ids % 4
+        aug = text.copy()
+        aug[mod == 0] = text[mod == 0] + email[mod == 0]
+        aug[mod == 1] = text[mod == 1] + ip[mod == 1]
+        aug[mod == 2] = text[mod == 2] + phone[mod == 2]
+        return pa.table(
+            {"doc_id": pa.array(ids), "text": pa.array(aug, type=pa.string())}
+        )
+
+    out = _collect(
+        pii_scrub(docs.map_batches(augment, batch_format="pyarrow")),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text_red", pa.string()),
+                ("n_email", pa.int64()),
+                ("n_ipv4", pa.int64()),
+                ("n_phone", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com asap'
+           WHEN 1 THEN text || ' from ' || CAST(doc_id % 223 + 1 AS VARCHAR)
+                        || '.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 100 AS VARCHAR)
+                        || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+           WHEN 2 THEN text || ' call +1 ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                        || ' ' || CAST(doc_id * 7 % 900 + 100 AS VARCHAR)
+                        || ' ' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+           ELSE text
+         END AS t0
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+i AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         regexp_replace(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM e
+),
+p AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t2,
+             '\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS n_phone,
+         regexp_replace(t2,
+             '\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g')
+             AS text_red
+  FROM i
+)
+SELECT doc_id, text_red,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_phone AS BIGINT) AS n_phone
+FROM p
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["pii_scrub"] = (q_pii_scrub, SQL_PII_SCRUB)

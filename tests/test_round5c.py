@@ -1,0 +1,106 @@
+"""Round-5 wave-4 operators: PII scrub, duplicate-span profile,
+embedding k-means clustering."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+def test_pii_scrub_counts_and_redaction():
+    from pynomaly_ray.stages.pii import scrub_batch
+
+    texts = pd.Series(
+        [
+            "mail a.b+c@x-y.co and d@e.org today",
+            "from 10.0.0.1 to 255.255.255.255 but not 1.2.3.4.5 tail",
+            "call +1 555 123 4567 or +44 201-555-0101",
+            "",
+            None,
+            "no pii here",
+        ]
+    )
+    red, counts = scrub_batch(texts)
+    assert list(counts["email"]) == [2, 0, 0, 0, 0, 0]
+    # 1.2.3.4.5 contains one embedded ipv4 match (1.2.3.4) like RE2
+    assert list(counts["ipv4"]) == [0, 3, 0, 0, 0, 0]
+    assert list(counts["phone"]) == [0, 0, 2, 0, 0, 0]
+    assert red[0] == "mail <EMAIL> and <EMAIL> today"
+    assert red[1] == "from <IP> to <IP> but not <IP>.5 tail"
+    assert red[2] == "call <PHONE> or <PHONE>"
+    assert red[4] == ""
+
+
+def test_pii_scrub_order_contract():
+    """An IPv4-looking email domain is consumed by the email pass and
+    must NOT be double-counted by the later IPv4 pass."""
+    from pynomaly_ray.stages.pii import scrub_batch
+
+    red, counts = scrub_batch(pd.Series(["bob@10.2.3.4.com then 9.9.9.9"]))
+    assert counts["email"][0] == 1
+    assert counts["ipv4"][0] == 1
+    assert red[0] == "<EMAIL> then <IP>"
+
+
+def test_pii_patterns_duckdb_parity_hostile():
+    """Every pattern evaluates identically in Python re and DuckDB RE2
+    on hostile inputs (boundary digits, NULs, adjacent matches) — the
+    dialect contract the oracle's value-hash depends on."""
+    import duckdb
+
+    from pynomaly_ray.stages.pii import PII_PATTERNS, scrub_batch
+
+    hostile = pd.Series(
+        [
+            "x1.2.3.4 5.6.7.8y 9.10.11.12",
+            "a@b.co@c.de",
+            "+1 234 567 8901+2 345 678 9012",
+            "nul\x00byte 10.0.0.1 a\x00b@c.io",
+            "....@....  @@ 1...2",
+            "+123 456 789 0123 trailing",
+        ]
+    )
+    red, counts = scrub_batch(hostile)
+    con = duckdb.connect()
+    s = hostile.tolist()
+    for i, txt in enumerate(s):
+        cur = txt
+        for name, pat, repl in PII_PATTERNS:
+            n_sql = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [cur, pat]
+            ).fetchone()[0]
+            assert n_sql == counts[name][i], (name, txt)
+            cur = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [cur, pat, repl]
+            ).fetchone()[0]
+        assert cur == red[i], txt
+
+
+def test_pii_scrub_stage_schema(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.pii import pii_scrub
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["a@b.co", None],
+            }
+        )
+    )
+    out = pii_scrub(docs).to_pandas().sort_values("doc_id")
+    assert list(out.columns) == [
+        "doc_id",
+        "text_red",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+    ]
+    assert out["text_red"].tolist() == ["<EMAIL>", ""]
+    assert out["n_email"].tolist() == [1, 0]
