@@ -3050,3 +3050,62 @@ ORDER BY doc_id
 
 
 ORACLE_QUERIES["pii_scrub"] = (q_pii_scrub, SQL_PII_SCRUB)
+
+# ---------------------------------------------------------------------------
+# Q: duplicate_spans — cross-doc duplicated k-gram profile, the corpus
+# substring-dedup signal (Lee et al. 2021 at 4-word-gram granularity;
+# stages/decontam.duplicate_span_profile).  Two int64-keyed exchanges:
+# shingle-hash buckets compute per-shingle distinct-doc counts and flag
+# rows, doc_id buckets fold flags into per-doc (n_sh, n_dup, dup_e6).
+# The SQL twin rebuilds shingles textually with the injective
+# length-prefixed encoding, so a shingle-hash collision or kernel drift
+# breaks the value-hash.  Docs with < k tokens excluded on both sides.
+# ---------------------------------------------------------------------------
+_DUPSPAN_K = 4
+
+
+def q_duplicate_spans(sf_dir: str):
+    from pynomaly_ray.stages.decontam import duplicate_span_profile
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        duplicate_span_profile(docs, k=_DUPSPAN_K),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_sh", pa.int64()),
+                ("n_dup", pa.int64()),
+                ("dup_e6", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_DUPLICATE_SPANS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_transform(w[i:i+3],
+                                        t -> CONCAT(len(t), ':', t)), '') AS s
+  FROM tok, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+),
+c AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s),
+p AS (
+  SELECT sh.doc_id, COUNT(*) AS n_sh,
+         SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM sh JOIN c USING (s) GROUP BY sh.doc_id
+)
+SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       CAST(FLOOR(n_dup * 1000000.0 / n_sh + 0.5) AS BIGINT) AS dup_e6
+FROM p
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["duplicate_spans"] = (q_duplicate_spans, SQL_DUPLICATE_SPANS)

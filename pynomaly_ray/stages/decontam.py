@@ -184,6 +184,75 @@ def decontaminate(train_ds, bench_ref, k: int = 4, concurrency=(1, 4)):
     )
 
 
+def duplicate_span_profile(docs_ds, k: int = 4, num_partitions: int | None = None):
+    """Cross-doc duplicated k-gram profile — the corpus-level substring
+    dedup signal (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", approximated at k-word-gram granularity):
+    per doc, how many of its distinct k-word shingles appear in at least
+    one OTHER document, plus the 1e6-scaled duplicated fraction.
+
+    Shape: two keyed exchanges, both on int64 keys, no broadcast and no
+    driver-side state —
+
+    1. one map pass emits the per-(doc, shingle) DISTINCT rows (shared
+       kernel :func:`_doc_distinct_shingles`); an exchange keyed on the
+       shingle hash lets each bucket compute per-shingle document counts
+       vectorized (rows are already (doc, shingle)-distinct, so a plain
+       ``groupby(sh).size`` IS the distinct-doc count) and flag each row
+       ``is_dup = count >= 2``;
+    2. a second exchange keyed on doc_id folds the flags into per-doc
+       (n_sh, n_dup) — n_sh is just the row count, since step 1 emits
+       exactly one row per distinct (doc, shingle).
+
+    Like every shingle consumer, counts are over the ONE shared 64-bit
+    shingle hash — a cross-shingle collision (~2^-64) would merge two
+    counts; the oracle (queries.SQL_DUPLICATE_SPANS) rebuilds shingles
+    textually, so such a collision, or kernel drift, breaks the hash
+    match.  Docs with < k tokens are excluded on both sides.
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    def emit(t: pa.Table) -> pa.Table:
+        sh, pos, kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), k)
+        ids = t["doc_id"].filter(pa.array(kept)).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sh": pa.array(sh.view(np.int64)),
+                "doc_id": pa.array(ids[pos]),
+            }
+        )
+
+    rows = docs_ds.map_batches(emit, batch_format="pyarrow")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby("sh", sort=False)["doc_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "dup": (n.to_numpy() >= 2).astype(np.int64),
+            }
+        )
+
+    flagged = hash_aggregate(rows, ["sh"], flag, num_partitions=num_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)["dup"].agg(["size", "sum"])
+        n_sh = g["size"].to_numpy(dtype=np.int64)
+        n_dup = g["sum"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g.index.to_numpy(),
+                "n_sh": n_sh,
+                "n_dup": n_dup,
+                "dup_e6": np.floor(
+                    n_dup * 1_000_000.0 / np.maximum(n_sh, 1) + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    return hash_aggregate(flagged, ["doc_id"], fold, num_partitions=num_partitions)
+
+
 def repetition_profile(docs_ds, k: int = 2):
     """Per-doc (doc_id, n_sh, n_distinct, rep_e6): repeated-shingle
     fraction ``1 - distinct/total`` scaled to exact integer 1e6 (both

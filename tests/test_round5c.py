@@ -104,3 +104,63 @@ def test_pii_scrub_stage_schema(ray_session):
     ]
     assert out["text_red"].tolist() == ["<EMAIL>", ""]
     assert out["n_email"].tolist() == [1, 0]
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span profile
+# ---------------------------------------------------------------------------
+def test_duplicate_span_profile_handcrafted(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.decontam import duplicate_span_profile
+
+    # k=2 bigrams. doc 1: "a b c"  -> {a b, b c}
+    #              doc 2: "a b x"  -> {a b, b x}   shares "a b" with doc 1
+    #              doc 3: "z z z"  -> {z z}        repeated within, unique across
+    #              doc 4: "q"      -> excluded (< k tokens)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": ["a b c", "a b x", "z z z", "q"],
+            }
+        )
+    )
+    out = (
+        duplicate_span_profile(docs, k=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_sh"].tolist() == [2, 2, 1]
+    assert out["n_dup"].tolist() == [1, 1, 0]
+    assert out["dup_e6"].tolist() == [500000, 500000, 0]
+
+
+def test_duplicate_span_profile_multi_partition(ray_session, monkeypatch):
+    """Forced multi-bucket exchange path: per-shingle doc counts must be
+    correct when (doc, shingle) rows spread across many blocks."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.decontam import duplicate_span_profile
+
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "4096")
+    n = 400
+    # every even doc shares the SAME text (all its shingles cross-doc);
+    # odd docs are unique
+    texts = [
+        "copy pasta boiler plate text" if i % 2 == 0 else f"unique u{i} v{i} w{i} x{i}"
+        for i in range(n)
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(n), pa.int64()), "text": texts}
+        )
+    ).repartition(16)
+    out = duplicate_span_profile(docs, k=2).to_pandas()
+    even = out[out["doc_id"] % 2 == 0]
+    odd = out[out["doc_id"] % 2 == 1]
+    assert len(out) == n
+    assert (even["dup_e6"] == 1_000_000).all()
+    assert (odd["dup_e6"] == 0).all()
