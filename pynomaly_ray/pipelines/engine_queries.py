@@ -1182,3 +1182,80 @@ ORDER BY event_type
 """
 
 ORACLE_QUERIES["approx_quantiles"] = (q_approx_quantiles, SQL_APPROX_QUANTILES)
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means corpus clustering over the embeddings table
+    (stages/clustering.py): deterministic hash-seeded init, 5 Lloyd's
+    rounds of broadcast-centroids + tiny (k x d) partial folds, then one
+    streaming assignment pass.
+
+    Oracle surface (the IVF pattern): the assignment pass writes every
+    (vec_id, cluster, dist_key) candidate row — dist_key the
+    order-isomorphic int64 bit pattern of the squared distance — and
+    the DuckDB twin reconstructs each vector's argmin with ROW_NUMBER
+    over the surface and re-aggregates per cluster, certifying the
+    assignment decision AND the distributed per-cluster aggregation
+    byte-exactly.  Lloyd's convergence itself is float-order dependent
+    across partitionings (documented in the stage), so it is pinned by
+    pytest, not SQL.
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate
+    from pynomaly_ray.stages.clustering import kmeans_assign, kmeans_fit
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=8, n_iter=5)
+    surf = _surface_dir("kmeans")
+    assigned = kmeans_assign(ds, cents, surface_sink=surf)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby("cluster", sort=False)
+            .agg(
+                n_vecs=("vec_id", "size"),
+                min_key=("dist_key", "min"),
+                max_key=("dist_key", "max"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("cluster", sort=False)
+            .agg(
+                n_vecs=("n_vecs", "sum"),
+                min_key=("min_key", "min"),
+                max_key=("max_key", "max"),
+            )
+            .reset_index()
+        )
+
+    out = hash_aggregate(
+        assigned.map_batches(partial, batch_format="pyarrow"), ["cluster"], merge
+    )
+    return collect_sorted(out, ["cluster"])
+
+
+SQL_KMEANS_CLUSTERS = """
+WITH a AS (
+  SELECT vec_id, cluster, dist_key,
+         ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY dist_key, cluster
+         ) AS rn
+  FROM read_parquet('/tmp/pnr_oracle_surface/kmeans/*.parquet')
+)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(dist_key) AS min_key,
+       MAX(dist_key) AS max_key
+FROM a
+WHERE rn = 1
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+ORACLE_QUERIES["kmeans_clusters"] = (q_kmeans_clusters, SQL_KMEANS_CLUSTERS)

@@ -164,3 +164,81 @@ def test_duplicate_span_profile_multi_partition(ray_session, monkeypatch):
     assert len(out) == n
     assert (even["dup_e6"] == 1_000_000).all()
     assert (odd["dup_e6"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering
+# ---------------------------------------------------------------------------
+def _blob_ds(rd, n_per=60, k=4, d=8, spread=0.05, seed=7):
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(-10, 10, size=(k, d))
+    X = np.concatenate(
+        [centers[i] + spread * rng.randn(n_per, d) for i in range(k)]
+    )
+    labels = np.repeat(np.arange(k), n_per)
+    order = rng.permutation(len(X))
+    X, labels = X[order], labels[order]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in X], pa.list_(pa.float32())
+            ),
+            "true": pa.array(labels.astype(np.int64)),
+        }
+    )
+    return rd.from_arrow(tbl).repartition(6), labels
+
+
+def test_kmeans_recovers_separated_blobs(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.clustering import kmeans_assign, kmeans_fit
+
+    ds, true = _blob_ds(rd)
+    cents = kmeans_fit(ds, k=4, n_iter=10)
+    assert cents.shape == (4, 8)
+    out = (
+        kmeans_assign(ds, cents)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = out["cluster"].to_numpy()
+    # perfect purity both ways: every true blob maps to exactly one
+    # fitted cluster and vice versa (farthest-point init spreads the
+    # seeds across blobs; plain hash bottom-k init failed this)
+    df = pd.DataFrame({"true": true, "got": got})
+    grp = df.groupby("true")["got"].nunique()
+    assert (grp == 1).all()
+    assert df.groupby("got")["true"].nunique().eq(1).all()
+
+
+def test_kmeans_init_partitioning_independent(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.clustering import kmeans_init
+
+    ds1, _ = _blob_ds(rd)
+    c1 = kmeans_init(ds1.repartition(1), 5)
+    c8 = kmeans_init(ds1.repartition(8), 5)
+    np.testing.assert_array_equal(c1, c8)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.clustering import kmeans_fit
+
+    # 3 distinct points, k=3 works; duplicate-heavy data with k=3 but
+    # only 2 distinct points leaves one cluster empty after round 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(10, dtype=np.int64)),
+            "embedding": pa.array(
+                [[0.0, 0.0]] * 5 + [[9.0, 9.0]] * 5, pa.list_(pa.float32())
+            ),
+        }
+    )
+    cents = kmeans_fit(rd.from_arrow(tbl), k=3, n_iter=4)
+    assert np.isfinite(cents).all()
