@@ -1259,3 +1259,53 @@ ORDER BY cluster
 """
 
 ORACLE_QUERIES["kmeans_clusters"] = (q_kmeans_clusters, SQL_KMEANS_CLUSTERS)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup semantic near-dup pairs: k-means clusters (5 Lloyd's
+    rounds, farthest-point init), then exact within-cluster pairwise
+    cosine on the e6 grid (stages/clustering.semantic_dedup_pairs).
+
+    Oracle: the assignment surface (own copy, 'kmeans_sd') gives SQL the
+    byte-exact cluster of every vector via ROW_NUMBER argmin; the twin
+    then self-joins embeddings WITHIN clusters and recomputes the cosine
+    cut with DuckDB's list_cosine_similarity on the same rounded-e6
+    grid (the embedding_neardup_exact float-parity pattern, green since
+    round 3).
+    """
+    from pynomaly_ray.stages.clustering import kmeans_fit, semantic_dedup_pairs
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=8, n_iter=5)
+    surf = _surface_dir("kmeans_sd")
+    pairs = semantic_dedup_pairs(ds, cents, e6_threshold=400_000, surface_sink=surf)
+    out = collect_sorted(pairs, ["vec_a", "vec_b"])
+    return out
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH a AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY dist_key, cluster
+           ) AS rn
+    FROM read_parquet('/tmp/pnr_oracle_surface/kmeans_sd/*.parquet')
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT a1.vec_id AS vec_a, a2.vec_id AS vec_b, a1.cluster AS cluster,
+         CAST(FLOOR(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                           e2.embedding::DOUBLE[])
+              * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+  FROM a a1
+  JOIN a a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+)
+SELECT vec_a, vec_b, cluster, cosine_e6
+FROM p WHERE cosine_e6 >= 400000
+ORDER BY vec_a, vec_b
+"""
+
+ORACLE_QUERIES["semantic_dedup"] = (q_semantic_dedup, SQL_SEMANTIC_DEDUP)

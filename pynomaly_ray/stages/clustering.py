@@ -168,6 +168,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     surface_sink: str | None = None,
+    keep_vec: bool = False,
 ):
     """Per-vector cluster assignment (one streaming pass).  Returns a
     Dataset of (id, cluster, dist_key) — dist_key is the
@@ -176,7 +177,9 @@ def kmeans_assign(
     set, each task also writes its full (id, cluster, dist_key)
     candidate rows, so a SQL oracle can reconstruct the argmin and
     certify the assignment + downstream aggregation byte-exactly
-    without re-deriving floats."""
+    without re-deriving floats.  ``keep_vec=True`` carries the
+    embedding column through (the semantic-dedup path, where vectors
+    ride the cluster exchange instead of being re-joined on)."""
     import os
 
     if surface_sink is not None:
@@ -188,13 +191,14 @@ def kmeans_assign(
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         X = _batch_matrix(t, vec_col)
         if not len(ids):
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    "cluster": pa.array([], pa.int64()),
-                    "dist_key": pa.array([], pa.int64()),
-                }
-            )
+            cols = {
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "dist_key": pa.array([], pa.int64()),
+            }
+            if keep_vec:
+                cols[vec_col] = t[vec_col]
+            return pa.table(cols)
         d2 = (
             (X * X).sum(axis=1)[:, None]
             - 2.0 * X @ C.T
@@ -223,12 +227,113 @@ def kmeans_assign(
                 surf, os.path.join(surface_sink, f"{uuid.uuid4().hex}.parquet")
             )
         chosen = d2[np.arange(len(ids)), a]
-        return pa.table(
-            {
-                id_col: pa.array(ids),
-                "cluster": pa.array(a.astype(np.int64)),
-                "dist_key": pa.array(chosen.view(np.int64)),
-            }
-        )
+        cols = {
+            id_col: pa.array(ids),
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist_key": pa.array(chosen.view(np.int64)),
+        }
+        if keep_vec:
+            cols[vec_col] = t[vec_col]
+        return pa.table(cols)
 
     return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup_pairs(
+    emb_ds,
+    centroids: np.ndarray,
+    e6_threshold: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    surface_sink: str | None = None,
+    num_partitions: int | None = None,
+    pair_chunk_cells: int = 4_000_000,
+):
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster first, then exact pairwise cosine ONLY
+    within each cluster — the cluster partitioning turns the corpus-wide
+    O(n^2) into O(sum cluster_size^2).
+
+    Vectors ride the cluster-keyed exchange (``keep_vec=True`` on the
+    assignment pass) so no re-join ships them twice; each bucket holds
+    whole clusters and computes the within-cluster upper-triangle cosine
+    with one normalized GEMM per cluster, row-chunked to
+    ``pair_chunk_cells`` score cells so the transient (chunk x n_c)
+    matrix stays bounded regardless of cluster size.  The threshold cut
+    happens on the ROUNDED integer e6 grid, matching the SQL twin's cut
+    exactly.
+
+    Scale contract: within-cluster pairwise is inherently quadratic in
+    cluster size — at 100 TB pick k so clusters stay ~10^4-10^5 vectors
+    (SemDeDup's own recipe: k grows with the corpus, cluster size stays
+    fixed).  Pairs emit distributed (one bucket task per cluster set);
+    nothing corpus-sized reaches the driver.
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    assigned = kmeans_assign(
+        emb_ds,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        surface_sink=surface_sink,
+        keep_vec=True,
+    )
+
+    empty = pa.schema(
+        [
+            ("vec_a", pa.int64()),
+            ("vec_b", pa.int64()),
+            ("cluster", pa.int64()),
+            ("cosine_e6", pa.int64()),
+        ]
+    )
+
+    def cluster_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _batch_matrix(t, vec_col)
+        n = np.linalg.norm(M, axis=1)
+        M = M / np.where(n > 0, n, 1.0)[:, None]
+        outs = []
+        # O(#clusters-in-bucket) Python; all pair math is vectorized
+        for c in np.unique(cl):
+            sel = np.nonzero(cl == c)[0]
+            if len(sel) < 2:
+                continue
+            ids_c, X = ids[sel], M[sel]
+            n_c = len(sel)
+            step = max(1, int(pair_chunk_cells) // n_c)
+            for s in range(0, n_c, step):
+                e = min(s + step, n_c)
+                S = X[s:e] @ X.T
+                e6 = np.floor(S * 1_000_000 + 0.5)
+                mask = (e6 >= e6_threshold) & (
+                    ids_c[s:e, None] < ids_c[None, :]
+                )
+                bi, cj = np.nonzero(mask)
+                if len(bi):
+                    outs.append(
+                        pa.table(
+                            {
+                                "vec_a": pa.array(ids_c[s:e][bi]),
+                                "vec_b": pa.array(ids_c[cj]),
+                                "cluster": pa.array(
+                                    np.full(len(bi), c, np.int64)
+                                ),
+                                "cosine_e6": pa.array(
+                                    e6[bi, cj].astype(np.int64)
+                                ),
+                            }
+                        )
+                    )
+        if not outs:
+            return empty.empty_table()
+        return pa.concat_tables(outs)
+
+    return hash_aggregate(
+        assigned, ["cluster"], cluster_pairs, num_partitions=num_partitions, arrow=True
+    )

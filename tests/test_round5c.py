@@ -242,3 +242,63 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     )
     cents = kmeans_fit(rd.from_arrow(tbl), k=3, n_iter=4)
     assert np.isfinite(cents).all()
+
+
+def test_semantic_dedup_pairs_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.uniform(-10, 10, size=(3, 6))
+    X = np.concatenate([centers[i] + 0.5 * rng.randn(40, 6) for i in range(3)])
+    # plant exact duplicates and near-duplicates inside blobs
+    X[5] = X[4]
+    X[50] = X[49] * 1.0001
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+            "embedding": pa.array(
+                [r.astype(np.float32) for r in X], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    cents = kmeans_fit(ds, k=3, n_iter=6)
+    thr = 999_000
+
+    got = (
+        semantic_dedup_pairs(ds, cents, e6_threshold=thr)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    # chunked GEMM path must emit the identical pair set
+    got_chunked = (
+        semantic_dedup_pairs(ds, cents, e6_threshold=thr, pair_chunk_cells=64)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got_chunked)
+
+    # brute-force reference: within-cluster upper-triangle cosine
+    assign = (
+        kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")["cluster"]
+        .to_numpy()
+    )
+    Xf = X.astype(np.float32).astype(np.float64)
+    N = Xf / np.linalg.norm(Xf, axis=1)[:, None]
+    S = np.floor(N @ N.T * 1_000_000 + 0.5)
+    ii, jj = np.nonzero(
+        (S >= thr)
+        & (np.arange(len(X))[:, None] < np.arange(len(X))[None, :])
+        & (assign[:, None] == assign[None, :])
+    )
+    want = set(zip(ii.tolist(), jj.tolist()))
+    assert set(zip(got["vec_a"], got["vec_b"])) == want
+    assert (4, 5) in want and (49, 50) in want
