@@ -435,6 +435,86 @@ def cmd_decontam(args) -> int:
     return 0
 
 
+def cmd_scrub(args) -> int:
+    """PII-redact a documents table (emails / IPv4 / phones)."""
+    import os
+
+    _ensure_ray(args.num_cpus)
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.stages.pii import pii_scrub
+
+    docs = read_parquet_clean(args.input, columns=[args.id_col, args.text_col])
+    out = pii_scrub(docs, text_col=args.text_col, id_col=args.id_col).materialize()
+    os.makedirs(args.out, exist_ok=True)
+    out.write_parquet(args.out)
+    import pyarrow.compute as pc
+
+    hits = out.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.add(pc.add(t["n_email"], t["n_ipv4"]), t["n_phone"]), 0
+            )
+        ),
+        batch_format="pyarrow",
+    ).count()
+    print(
+        json.dumps(
+            {"rows": int(out.count()), "docs_with_pii": int(hits), "out": args.out}
+        )
+    )
+    return 0
+
+
+def cmd_cluster(args) -> int:
+    """k-means over an embedding table; optional semantic near-dup pairs."""
+    import os
+
+    _ensure_ray(args.num_cpus)
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.stages.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    ds = read_parquet_clean(args.input, columns=[args.id_col, args.vec_col])
+    cents = kmeans_fit(
+        ds, k=args.k, n_iter=args.iters, id_col=args.id_col, vec_col=args.vec_col
+    )
+    os.makedirs(args.out, exist_ok=True)
+    summary = {"k": args.k, "iters": args.iters, "out": args.out}
+    if args.semantic_dedup_e6 is not None:
+        pairs = semantic_dedup_pairs(
+            ds,
+            cents,
+            e6_threshold=args.semantic_dedup_e6,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        ).materialize()
+        pairs.write_parquet(os.path.join(args.out, "pairs"))
+        summary["pairs"] = int(pairs.count())
+    else:
+        assigned = kmeans_assign(
+            ds, cents, id_col=args.id_col, vec_col=args.vec_col
+        ).materialize()
+        assigned.write_parquet(os.path.join(args.out, "assign"))
+        summary["rows"] = int(assigned.count())
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    papq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(range(len(cents)), pa.int64()),
+                "centroid": pa.array(list(cents), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(args.out, "centroids.parquet"),
+    )
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pynomaly_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -571,6 +651,37 @@ def main(argv=None) -> int:
     )
     dc.add_argument("--num-cpus", type=int, default=None)
     dc.set_defaults(fn=cmd_decontam)
+
+    sc = sub.add_parser(
+        "scrub", help="PII-redact a documents table (emails/IPv4/phones)"
+    )
+    sc.add_argument("--input", required=True, help="documents parquet")
+    sc.add_argument("--out", required=True)
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--num-cpus", type=int, default=None)
+    sc.set_defaults(fn=cmd_scrub)
+
+    cl = sub.add_parser(
+        "cluster",
+        help="k-means over an embedding table; --semantic-dedup-e6 emits "
+        "within-cluster near-dup pairs instead of assignments",
+    )
+    cl.add_argument("--input", required=True, help="embeddings parquet")
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--k", type=int, default=8)
+    cl.add_argument("--iters", type=int, default=5)
+    cl.add_argument("--vec-col", default="embedding")
+    cl.add_argument("--id-col", default="vec_id")
+    cl.add_argument(
+        "--semantic-dedup-e6",
+        type=int,
+        default=None,
+        help="cosine threshold on the 1e6 integer grid (e.g. 950000); "
+        "when set, write pairs/ instead of assign/",
+    )
+    cl.add_argument("--num-cpus", type=int, default=None)
+    cl.set_defaults(fn=cmd_cluster)
 
     args = p.parse_args(argv)
     return args.fn(args)

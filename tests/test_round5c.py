@@ -302,3 +302,48 @@ def test_semantic_dedup_pairs_matches_bruteforce(ray_session):
     want = set(zip(ii.tolist(), jj.tolist()))
     assert set(zip(got["vec_a"], got["vec_b"])) == want
     assert (4, 5) in want and (49, 50) in want
+
+
+def test_cli_scrub_and_cluster(ray_session, tmp_path):
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.cli import main
+
+    src = tmp_path / "docs.parquet"
+    papq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["mail me a@b.co", "ip 10.0.0.1 x", "clean"],
+            }
+        ),
+        str(src),
+    )
+    out = tmp_path / "scrubbed"
+    assert main(["scrub", "--input", str(src), "--out", str(out)]) == 0
+    got = papq.read_table(str(out)).to_pandas().sort_values("doc_id")
+    assert got["text_red"].tolist() == ["mail me <EMAIL>", "ip <IP> x", "clean"]
+
+    emb = tmp_path / "emb.parquet"
+    rng = np.random.RandomState(0)
+    X = np.concatenate([rng.randn(30, 4), 50 + rng.randn(30, 4)])
+    papq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.astype(np.float32) for r in X], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(emb),
+    )
+    cout = tmp_path / "clusters"
+    assert main(["cluster", "--input", str(emb), "--out", str(cout), "--k", "2"]) == 0
+    a = papq.read_table(str(cout / "assign")).to_pandas().sort_values("vec_id")
+    # the two far-separated halves land in two distinct clusters
+    assert a["cluster"].iloc[:30].nunique() == 1
+    assert a["cluster"].iloc[30:].nunique() == 1
+    assert a["cluster"].iloc[0] != a["cluster"].iloc[59]
+    cents = papq.read_table(str(cout / "centroids.parquet"))
+    assert cents.num_rows == 2
