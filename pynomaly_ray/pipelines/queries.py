@@ -3109,3 +3109,64 @@ ORDER BY doc_id
 
 
 ORACLE_QUERIES["duplicate_spans"] = (q_duplicate_spans, SQL_DUPLICATE_SPANS)
+
+# ---------------------------------------------------------------------------
+# Q: tfidf_top_terms — per-doc top TF-IDF term (stages/text.py
+# tfidf_top_terms): per-(doc,token) tf via an Arrow NUL-safe groupby,
+# df computed AND joined inside ONE token-keyed exchange (rows of a
+# token are co-located, so df is the bucket row count), then a
+# doc-keyed top-1 by (score_e6 DESC, token ASC) on the exact integer
+# grid.  N (docs with >= 1 token) folds as one int per block.
+# ---------------------------------------------------------------------------
+def q_tfidf_top_terms(sf_dir: str):
+    from pynomaly_ray.stages.text import tfidf_top_terms
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        tfidf_top_terms(docs),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("top_term", pa.string()),
+                ("tf", pa.int64()),
+                ("df", pa.int64()),
+                ("score_e6", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, t.tok AS token, COUNT(*) AS tf
+  FROM tok, UNNEST(w) AS t(tok)
+  GROUP BY doc_id, t.tok
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(FLOOR(tf.tf * LN(CAST((SELECT nd FROM n) AS DOUBLE) / df.df)
+              * 1000000 + 0.5) AS BIGINT) AS score_e6
+  FROM tf JOIN df USING (token)
+),
+r AS (
+  SELECT doc_id, token, tf, df, score_e6,
+         ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY score_e6 DESC, token
+         ) AS rn
+  FROM s
+)
+SELECT doc_id, token AS top_term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score_e6
+FROM r WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["tfidf_top_terms"] = (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS)

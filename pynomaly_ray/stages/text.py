@@ -176,3 +176,117 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column(
         "ws_tokens", pa.array(ws.to_numpy(), pa.int64())
     ).append_column("bpe_tokens", pa.array(bpe.to_numpy(), pa.int64()))
+
+
+_WS_TOKEN_RE = r"[^ \t\n\r\f\v]+"
+
+
+def tfidf_top_terms(docs_ds, num_partitions: int | None = None):
+    """Per-doc top TF-IDF term — the classic distinctive-term signal
+    (corpus indexing / topic labeling in curation pipelines).
+
+    Three stages, two int-or-string-keyed exchanges:
+
+    1. map pass: per-(doc, token) term frequencies via one Arrow
+       ``TableGroupBy`` over the exploded token stream (NUL-safe hash
+       table, no pandas factorize — see the round-5 NUL-key work), plus
+       a driver-folded scalar N = number of docs with >= 1 token (one
+       int per block);
+    2. a token-keyed exchange whose reducer sees every (doc, token, tf)
+       row of a token together, so the document frequency is just the
+       per-token row count — df is computed AND joined onto the tf rows
+       in the same bucket pass (no second shuffle for the join);
+       ``score_e6 = floor(tf * ln(N/df) * 1e6 + 0.5)`` on the exact
+       integer grid;
+    3. a doc-keyed exchange picking each doc's max by
+       (score_e6 DESC, token ASC) — ties break on the ROUNDED integer
+       surface, so engine and SQL agree byte-exactly (ulp risk exists
+       only for a score landing on a .5e-6 boundary, the accepted
+       cosine_e6-class risk).
+
+    Token strings ride the exchanges; at 100 TB you would dictionary-
+    encode or hash tokens and carry the string only to the final top-1
+    emit (documented trade: this operator reports the term itself).
+    """
+    import ray as _ray
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        toks = texts.str.findall(_WS_TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = [w for lst in toks for w in lst]
+        rep = np.repeat(ids, lens)
+        pairs = pa.table(
+            {"doc_id": pa.array(rep), "token": pa.array(flat, pa.string())}
+        )
+        g = pairs.group_by(["doc_id", "token"]).aggregate([("token", "count")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "token": g["token"],
+                "tf": g["token_count"].cast(pa.int64()),
+            }
+        )
+
+    rows = docs_ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    # N = docs with >= 1 token: one distinct-count per block (docs are
+    # whole per batch), folded on the driver as a handful of ints
+    n_docs = int(
+        sum(
+            _ray.get(
+                [
+                    _count_distinct_docs.remote(r)
+                    for r in rows.to_arrow_refs()
+                ]
+            )
+        )
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from pynomaly_ray.functions.hashing import nul_safe_key
+
+        # nul_safe_key: a plain object-dtype groupby would alias tokens
+        # differing only after an embedded NUL (C-string hash table)
+        cnt = df.groupby(nul_safe_key(df["token"]), sort=False)[
+            "doc_id"
+        ].transform("size")
+        dfv = cnt.to_numpy(dtype=np.int64)
+        tf = df["tf"].to_numpy(dtype=np.int64)
+        e6 = np.floor(
+            tf * np.log(float(n_docs) / dfv) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "token": df["token"],
+                "tf": tf,
+                "df": dfv,
+                "score_e6": e6,
+            }
+        )
+
+    scored = hash_aggregate(rows, ["token"], score, num_partitions=num_partitions)
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["doc_id", "score_e6", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.drop_duplicates("doc_id", keep="first")
+        return out.rename(columns={"token": "top_term"}).reset_index(drop=True)
+
+    return hash_aggregate(scored, ["doc_id"], top1, num_partitions=num_partitions)
+
+
+import ray as _ray_mod
+
+
+@_ray_mod.remote
+def _count_distinct_docs(t: pa.Table) -> int:
+    import pyarrow.compute as _pc
+
+    return len(_pc.unique(t["doc_id"]))

@@ -347,3 +347,68 @@ def test_cli_scrub_and_cluster(ray_session, tmp_path):
     assert a["cluster"].iloc[0] != a["cluster"].iloc[59]
     cents = papq.read_table(str(cout / "centroids.parquet"))
     assert cents.num_rows == 2
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms
+# ---------------------------------------------------------------------------
+def test_tfidf_top_terms_handcrafted(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.text import tfidf_top_terms
+
+    # 3 docs, N=3.  "rare" appears only in doc 1 (df=1, idf=ln 3);
+    # "common" in all three (idf=0).
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "common rare rare common",
+                    "common mid mid",
+                    "common mid zz",
+                ],
+            }
+        )
+    )
+    out = (
+        tfidf_top_terms(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["top_term"].tolist() == ["rare", "mid", "zz"]
+    assert out.loc[0, "tf"] == 2 and out.loc[0, "df"] == 1
+    n = 3
+    assert out.loc[0, "score_e6"] == int(
+        np.floor(2 * np.log(n / 1) * 1_000_000 + 0.5)
+    )
+    # doc 3: "mid" (tf=1, df=2) vs "zz" (tf=1, df=1) -> zz wins
+    assert out.loc[2, "df"] == 1
+
+
+def test_tfidf_nul_token_safety(ray_session):
+    """Tokens differing only after an embedded NUL must stay distinct
+    through the Arrow groupby and the exchange (the round-5 NUL class)."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.text import tfidf_top_terms
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["a\x00b a\x00b a\x00c", "a\x00c plain"],
+            }
+        )
+    )
+    out = (
+        tfidf_top_terms(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1: a\x00b tf=2 df=1 beats a\x00c (df=2); a NUL-truncating hash
+    # would conflate them into tf=3
+    assert out.loc[0, "top_term"] == "a\x00b"
+    assert out.loc[0, "tf"] == 2 and out.loc[0, "df"] == 1
