@@ -412,3 +412,26 @@ def test_tfidf_nul_token_safety(ray_session):
     # would conflate them into tf=3
     assert out.loc[0, "top_term"] == "a\x00b"
     assert out.loc[0, "tf"] == 2 and out.loc[0, "df"] == 1
+
+
+def test_bench_gate_host_normalized(tmp_path, monkeypatch):
+    """A uniform suite-wide slowdown (host stall) must not gate; a query
+    slow relative to the suite's median ratio must."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    best = {f"q{i}": 1.0 for i in range(10)}
+    # whole suite at 3.5x: host effect, nothing flags
+    uniform = {k: 3.5 for k in best}
+    assert bench.find_regressions(uniform, best) == []
+    # same host effect plus one genuine 15x outlier: only it flags
+    uniform["q3"] = 15.0
+    assert bench.find_regressions(uniform, best) == ["q3"]
+    # small suites keep absolute semantics (median not believable)
+    small = {"a": 3.5, "b": 3.6}
+    assert bench.find_regressions(small, {"a": 1.0, "b": 1.0}) == ["a", "b"]
