@@ -784,3 +784,58 @@ def topk(ds, sort_cols: Sequence[str], k: int, descending: Sequence[bool]):
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def global_kth_smallest(
+    ds,
+    col: str,
+    k: int,
+    num_partitions: int | None = None,
+    distinct_cap: int = 2_000_000,
+):
+    """Exact k-th smallest (1-indexed) value of an integer column — the
+    global order statistic behind percentile-threshold filters ("drop
+    the bottom decile").
+
+    Shape: per-block (value, count) histogram partials (Arrow hash
+    groupby), one value-keyed exchange folding them, and a driver-side
+    cumsum over the DISTINCT values only.  Sound whenever the value
+    domain is bounded (e6-scaled scores have <= 1e6+1 distinct values
+    regardless of corpus size); ``distinct_cap`` refuses loudly when the
+    column's distinct count exceeds what the driver should hold — past
+    it the right tool is a KLL sketch (functions/sketches.py) or a
+    multi-round range partition.
+    """
+    import pyarrow.compute as _pc
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.select([col]).group_by(col).aggregate([(col, "count")])
+        return pa.table(
+            {col: g[col], "n": g[f"{col}_count"].cast(pa.int64())}
+        )
+
+    folded = hash_aggregate(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        [col],
+        lambda df: df.groupby(col, sort=False).sum().reset_index(),
+        num_partitions=num_partitions,
+    )
+    tabs = [ray.get(r) for r in folded.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows]
+    n_distinct = sum(t.num_rows for t in tabs)
+    if n_distinct > distinct_cap:
+        raise ValueError(
+            f"{col} has {n_distinct} distinct values (cap {distinct_cap}); "
+            "use a KLL sketch or range partitioning for the quantile"
+        )
+    if not tabs:
+        raise ValueError(f"empty input: no values in column {col}")
+    hdf = pa.concat_tables(tabs).to_pandas().sort_values(col)
+    counts = hdf["n"].to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    if k > total:
+        raise ValueError(f"k={k} exceeds the row count {total}")
+    return int(hdf[col].to_numpy()[np.searchsorted(counts.cumsum(), k)])

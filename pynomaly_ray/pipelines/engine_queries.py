@@ -1309,3 +1309,81 @@ ORDER BY vec_a, vec_b
 """
 
 ORACLE_QUERIES["semantic_dedup"] = (q_semantic_dedup, SQL_SEMANTIC_DEDUP)
+
+
+def q_quality_filter(sf_dir: str):
+    """Bottom-decile quality filter with an EXACT global threshold — the
+    corpus-curation cut "drop the worst 10% by quality score" where the
+    threshold is a global order statistic, not a per-partition guess.
+
+    Distributed shape: per-doc quality_e6 (surface parquet, the
+    q_quality_scores pattern) -> per-block (value, count) histogram
+    partials -> one value-keyed exchange -> the driver folds a BOUNDED
+    result (quality_e6 has <= 1e6+1 distinct values, independent of
+    corpus size — the reason the driver may hold it at 100 TB) and takes
+    thr = the ceil(N/10)-th smallest score; the filter pass then streams
+    with the scalar threshold.  Dropped = quality_e6 strictly below thr
+    (deterministic under ties on the integer grid).  The SQL twin
+    recomputes the order statistic with ROW_NUMBER over the surface.
+    """
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.stages.text import QualityScore
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def to_e6(df: pd.DataFrame) -> pd.DataFrame:
+        df["quality_e6"] = np.floor(
+            df.pop("quality").to_numpy() * 1_000_000 + 0.5
+        ).astype(np.int64)
+        return df[["doc_id", "source", "quality_e6"]]
+
+    scored = docs.map_batches(QualityScore(), batch_format="pandas").map_batches(
+        to_e6, batch_format="pandas"
+    )
+    surf = _surface_dir("quality_filter")
+    scored.write_parquet(surf)
+    back = read_parquet_clean(surf, columns=["doc_id", "source", "quality_e6"])
+
+    from pynomaly_ray.functions.exchange import global_kth_smallest
+
+    total = back.count()
+    thr = global_kth_smallest(back, "quality_e6", -(-total // 10))
+
+    def drop_set(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.less(t["quality_e6"], thr))
+
+    from pynomaly_ray.pipelines.queries import _collect
+
+    out = _collect(
+        back.map_batches(drop_set, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("source", pa.string()),
+                ("quality_e6", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_QUALITY_FILTER = """
+WITH s AS (
+  SELECT doc_id, source, quality_e6
+  FROM read_parquet('/tmp/pnr_oracle_surface/quality_filter/*.parquet')
+),
+r AS (
+  SELECT quality_e6,
+         ROW_NUMBER() OVER (ORDER BY quality_e6) AS rn,
+         COUNT(*) OVER () AS n
+  FROM s
+),
+t AS (SELECT MIN(quality_e6) AS thr FROM r WHERE rn >= CEIL(n / 10.0))
+SELECT doc_id, source, quality_e6
+FROM s WHERE quality_e6 < (SELECT thr FROM t)
+ORDER BY doc_id
+"""
+
+ORACLE_QUERIES["quality_filter"] = (q_quality_filter, SQL_QUALITY_FILTER)

@@ -435,3 +435,24 @@ def test_bench_gate_host_normalized(tmp_path, monkeypatch):
     # small suites keep absolute semantics (median not believable)
     small = {"a": 3.5, "b": 3.6}
     assert bench.find_regressions(small, {"a": 1.0, "b": 1.0}) == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# exact global order statistic
+# ---------------------------------------------------------------------------
+def test_global_kth_smallest_exact_with_ties(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import global_kth_smallest
+
+    vals = np.array([5, 1, 3, 3, 3, 9, 1, 7], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(4)
+    srt = np.sort(vals)
+    for k in range(1, len(vals) + 1):
+        assert global_kth_smallest(ds, "v", k) == srt[k - 1], k
+    with pytest.raises(ValueError):
+        global_kth_smallest(ds, "v", 0)
+    with pytest.raises(ValueError):
+        global_kth_smallest(ds, "v", len(vals) + 1)
+    with pytest.raises(ValueError, match="distinct"):
+        global_kth_smallest(ds, "v", 1, distinct_cap=2)
