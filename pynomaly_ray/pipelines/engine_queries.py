@@ -1387,3 +1387,36 @@ ORDER BY doc_id
 """
 
 ORACLE_QUERIES["quality_filter"] = (q_quality_filter, SQL_QUALITY_FILTER)
+
+
+def q_decontaminate_bloom(sf_dir: str):
+    """Bloom-broadcast decontamination (rows-only: the Bloom filter's
+    false-positive overcount is probabilistic by design, so there is no
+    SQL twin; the superset-of-exact and planted-copy contracts are
+    pytest-pinned).  Same benchmark split as the oracle-checked
+    q_decontaminate: doc_id % 7 == 0 is the eval set."""
+    import pyarrow.compute as pc
+
+    from pynomaly_ray.stages.decontam import (
+        benchmark_shingle_bloom,
+        decontaminate_bloom,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(t: pa.Table, want_bench: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        is_bench = (ids % 7) == 0
+        return t.filter(pa.array(is_bench if want_bench else ~is_bench))
+
+    bench = docs.map_batches(lambda t: side(t, True), batch_format="pyarrow")
+    train = docs.map_batches(lambda t: side(t, False), batch_format="pyarrow")
+    ref = benchmark_shingle_bloom(bench, k=4)
+    counted = decontaminate_bloom(train, ref, k=4).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_overlap"], 1)),
+        batch_format="pyarrow",
+    )
+    return collect_sorted(counted, ["doc_id"])
+
+
+ENGINE_QUERIES["decontaminate_bloom"] = q_decontaminate_bloom

@@ -278,3 +278,84 @@ def repetition_profile(docs_ds, k: int = 2):
         )
 
     return docs_ds.map_batches(profile, batch_format="pyarrow")
+
+
+def benchmark_shingle_bloom(
+    bench_ds, k: int = 4, m_bits: int = 1 << 24, n_hashes: int = 4
+):
+    """Constant-size Bloom variant of :func:`benchmark_shingle_hashes` —
+    the broadcast path past ``_BENCH_HASH_CAP``: the shipped state is
+    ``m_bits`` REGARDLESS of benchmark size (16 MB at 2^27 bits covers
+    ~10^7 shingles at 4 bits set each with <1% FP), vs 8 bytes per
+    distinct shingle for the exact array.  One-sided error: a true
+    overlap always probes positive (a leak can never be MISSED); false
+    positives only ever OVER-count, so the filter is conservative in the
+    safe direction for decontamination.  Per-block Bloom partials merge
+    by OR on the driver (associative, idempotent, retry-safe)."""
+    from pynomaly_ray.functions.sketches import bloom_merge, bloom_partial
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh, _pos, _kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), k)
+        bits = bloom_partial(np.unique(sh), m_bits=m_bits, k=n_hashes)
+        return pa.table({"bits": pa.array([bits], pa.list_(pa.uint64()))})
+
+    blocks = ray.get(
+        bench_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    parts = [
+        np.asarray(t["bits"][i].as_py(), dtype=np.uint64)
+        for t in blocks
+        for i in range(t.num_rows)
+    ]
+    return ray.put(bloom_merge(parts, m_bits=m_bits))
+
+
+class BloomContaminationCounter:
+    """Actor-pool stage: per-doc overlap counts probed against a
+    broadcast Bloom filter (``ray.get`` once per actor); same output
+    contract as :class:`ContaminationCounter`, with n_overlap an UPPER
+    bound (never an undercount) of the true distinct-shingle overlap."""
+
+    def __init__(self, bloom_ref, k: int = 4, n_hashes: int = 4):
+        self.bits = ray.get(bloom_ref)
+        self.k = k
+        self.n_hashes = n_hashes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from pynomaly_ray.functions.sketches import bloom_contains
+
+        sh, pos, kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), self.k)
+        ids = t["doc_id"].filter(pa.array(kept))
+        n_kept = len(ids)
+        hit = (
+            bloom_contains(self.bits, sh, k=self.n_hashes)
+            if len(sh)
+            else np.zeros(0, bool)
+        )
+        n_hit = np.bincount(pos[hit], minlength=n_kept).astype(np.int64)
+        n_tot = np.bincount(pos, minlength=n_kept).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_sh": pa.array(n_tot),
+                "n_overlap": pa.array(n_hit),
+            }
+        )
+
+
+def decontaminate_bloom(
+    train_ds, bloom_ref, k: int = 4, n_hashes: int = 4, concurrency=(1, 4)
+):
+    """Streaming contamination counts against a Bloom-compressed
+    benchmark set — drop-in for :func:`decontaminate` when the exact
+    hash array exceeds broadcast budget."""
+    return train_ds.map_batches(
+        BloomContaminationCounter,
+        fn_constructor_kwargs={
+            "bloom_ref": bloom_ref,
+            "k": k,
+            "n_hashes": n_hashes,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

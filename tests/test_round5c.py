@@ -456,3 +456,72 @@ def test_global_kth_smallest_exact_with_ties(ray_session):
         global_kth_smallest(ds, "v", len(vals) + 1)
     with pytest.raises(ValueError, match="distinct"):
         global_kth_smallest(ds, "v", 1, distinct_cap=2)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-broadcast decontamination
+# ---------------------------------------------------------------------------
+def test_decontaminate_bloom_superset_of_exact(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.decontam import (
+        benchmark_shingle_bloom,
+        benchmark_shingle_hashes,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(400)]
+    bench_texts = [
+        " ".join(rng.choice(vocab, 30)) for _ in range(40)
+    ]
+    train_texts = [" ".join(rng.choice(vocab, 30)) for _ in range(200)]
+    # plant full copies of benchmark docs in the training set
+    train_texts[7] = bench_texts[0]
+    train_texts[90] = bench_texts[5]
+
+    bench = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": bench_texts,
+            }
+        )
+    ).repartition(3)
+    train = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(200), pa.int64()),
+                "text": train_texts,
+            }
+        )
+    ).repartition(4)
+
+    exact_ref = benchmark_shingle_hashes(bench, k=4)
+    bloom_ref = benchmark_shingle_bloom(bench, k=4, m_bits=1 << 18)
+    exact = (
+        decontaminate(train, exact_ref, k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bloom = (
+        decontaminate_bloom(train, bloom_ref, k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert exact["doc_id"].tolist() == bloom["doc_id"].tolist()
+    assert (bloom["n_sh"] == exact["n_sh"]).all()
+    # one-sided error: bloom never undercounts a true overlap
+    assert (bloom["n_overlap"] >= exact["n_overlap"]).all()
+    # planted full copies are fully flagged on both sides
+    for did in (7, 90):
+        row_e = exact[exact["doc_id"] == did].iloc[0]
+        row_b = bloom[bloom["doc_id"] == did].iloc[0]
+        assert row_e["n_overlap"] == row_e["n_sh"]
+        assert row_b["n_overlap"] == row_b["n_sh"]
+    # false-positive overcount stays small at this fill factor
+    fp = (bloom["n_overlap"] - exact["n_overlap"]).sum()
+    assert fp <= 0.02 * exact["n_sh"].sum()
