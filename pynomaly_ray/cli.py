@@ -493,6 +493,26 @@ def cmd_cluster(args) -> int:
         ).materialize()
         pairs.write_parquet(os.path.join(args.out, "pairs"))
         summary["pairs"] = int(pairs.count())
+        if args.keep_list and summary["pairs"]:
+            # pairs -> connected components -> O(duplicates) drop list,
+            # the same recipe as `dedup --keep-list`
+            from pynomaly_ray.functions.graph import connected_components
+
+            edges = pairs.map_batches(
+                lambda t: t.select(["vec_a", "vec_b"]),
+                batch_format="pyarrow",
+            )
+            labels = connected_components(edges, col_a="vec_a", col_b="vec_b")
+
+            def drop_rows(df):
+                d = df[df["node"] != df["lbl"]]
+                return d.rename(columns={"node": "vec_id", "lbl": "kept_vec_id"})
+
+            drops = labels.map_batches(drop_rows, batch_format="pandas").materialize()
+            drops.write_parquet(os.path.join(args.out, "drop"))
+            summary["dropped_vecs"] = int(drops.count())
+        elif args.keep_list:
+            summary["dropped_vecs"] = 0
     else:
         assigned = kmeans_assign(
             ds, cents, id_col=args.id_col, vec_col=args.vec_col
@@ -679,6 +699,12 @@ def main(argv=None) -> int:
         default=None,
         help="cosine threshold on the 1e6 integer grid (e.g. 950000); "
         "when set, write pairs/ instead of assign/",
+    )
+    cl.add_argument(
+        "--keep-list",
+        action="store_true",
+        help="with --semantic-dedup-e6: also collapse pairs into "
+        "connected components and write a drop/ list (vec_id -> kept rep)",
     )
     cl.add_argument("--num-cpus", type=int, default=None)
     cl.set_defaults(fn=cmd_cluster)

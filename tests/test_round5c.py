@@ -525,3 +525,40 @@ def test_decontaminate_bloom_superset_of_exact(ray_session):
     # false-positive overcount stays small at this fill factor
     fp = (bloom["n_overlap"] - exact["n_overlap"]).sum()
     assert fp <= 0.02 * exact["n_sh"].sum()
+
+
+def test_cli_cluster_semantic_keep_list(ray_session, tmp_path):
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.cli import main
+
+    rng = np.random.RandomState(2)
+    X = np.concatenate([rng.randn(20, 4), 40 + rng.randn(20, 4)])
+    X[3] = X[2]
+    X[4] = X[2]
+    X[25] = X[24]
+    emb = tmp_path / "emb.parquet"
+    papq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.astype(np.float32) for r in X], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(emb),
+    )
+    out = tmp_path / "sd"
+    rc = main(
+        [
+            "cluster", "--input", str(emb), "--out", str(out),
+            "--k", "2", "--semantic-dedup-e6", "999999", "--keep-list",
+        ]
+    )
+    assert rc == 0
+    drops = papq.read_table(str(out / "drop")).to_pandas()
+    # {2,3,4} collapse to rep 2; {24,25} to rep 24
+    got = dict(zip(drops["vec_id"], drops["kept_vec_id"]))
+    assert got[3] == 2 and got[4] == 2 and got[25] == 24
+    assert 2 not in got and 24 not in got
