@@ -1420,3 +1420,92 @@ def q_decontaminate_bloom(sf_dir: str):
 
 
 ENGINE_QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
+
+
+def q_curriculum_pack(sf_dir: str):
+    """Curriculum-ordered packing: the pack_offsets placement scan run
+    in QUALITY order instead of doc-id order (easy->hard curriculum
+    construction) — quality-major, doc-id-minor via one composite int64
+    key, exercising pack_offsets' generalized sort_col.
+
+    Oracle surface: per-doc (doc_id, n_tok, key) with the heuristic's
+    quality_e6 folded into the key; the DuckDB twin recomputes the
+    placement as a window cumsum ORDER BY key, certifying the
+    distributed ordered scan under a non-identity order.
+    """
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.stages.packing import pack_offsets
+    from pynomaly_ray.stages.text import QualityScore
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df.pop("quality").to_numpy() * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        if (ids >= 10_000_000).any() or (ids < 0).any():
+            raise ValueError("composite curriculum key needs 0 <= doc_id < 1e7")
+        n_tok = (
+            df["text"]
+            .fillna("")
+            .str.count(r"[^ \t\n\r\f\v]+")
+            .to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tok": n_tok,
+                "key": q * 10_000_000 + ids,
+            }
+        )
+
+    scored = docs.map_batches(QualityScore(), batch_format="pandas").map_batches(
+        keyed, batch_format="pandas"
+    )
+    surf = _surface_dir("curriculum")
+    scored.write_parquet(surf)
+    back = read_parquet_clean(surf, columns=["doc_id", "n_tok", "key"])
+    placed = pack_offsets(back, chunk=256, sort_col="key")
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "n_tok", "seq_first", "seq_last", "off_in_seq"])
+
+    from pynomaly_ray.pipelines.queries import _collect
+
+    out = _collect(
+        placed.map_batches(strip, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tok", pa.int64()),
+                ("seq_first", pa.int64()),
+                ("seq_last", pa.int64()),
+                ("off_in_seq", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_CURRICULUM_PACK = """
+WITH s AS (
+  SELECT doc_id, n_tok, key
+  FROM read_parquet('/tmp/pnr_oracle_surface/curriculum/*.parquet')
+),
+o AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY key
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tok AS off
+  FROM s
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(off // 256 AS BIGINT) AS seq_first,
+       CAST((off + n_tok - 1) // 256 AS BIGINT) AS seq_last,
+       CAST(off % 256 AS BIGINT) AS off_in_seq
+FROM o WHERE n_tok >= 1
+ORDER BY doc_id
+"""
+
+ORACLE_QUERIES["curriculum_pack"] = (q_curriculum_pack, SQL_CURRICULUM_PACK)

@@ -88,13 +88,20 @@ def _check_chunk(chunk: int) -> None:
         raise ValueError(f"chunk must be a positive integer, got {chunk!r}")
 
 
-def pack_offsets(ds, chunk: int, num_partitions: int | None = None):
+def pack_offsets(
+    ds, chunk: int, num_partitions: int | None = None, sort_col: str = "doc_id"
+):
     """Per-doc packed placement over a (doc_id, n_tok[, ...]) Dataset:
     (doc_id, n_tok, seq_first, seq_last, off_in_seq) where sequences are
-    ``chunk``-token windows of the doc-id-ordered token concatenation
-    and ``off_in_seq`` is the doc's start offset within seq_first."""
+    ``chunk``-token windows of the ``sort_col``-ordered token
+    concatenation and ``off_in_seq`` is the doc's start offset within
+    seq_first.  ``sort_col`` defaults to doc-id order; a curriculum
+    pipeline passes a precomputed UNIQUE integer key instead (e.g.
+    quality-major, id-minor) — uniqueness is the caller's contract, a
+    duplicated key would make the global order, and with it every
+    offset, partition-dependent."""
     _check_chunk(chunk)
-    sorted_ds = range_sort(ds, "doc_id", num_partitions)
+    sorted_ds = range_sort(ds, sort_col, num_partitions)
     refs = sorted_ds.to_arrow_refs()
     bases = _block_prefix_bases(refs, "n_tok")
 

@@ -562,3 +562,27 @@ def test_cli_cluster_semantic_keep_list(ray_session, tmp_path):
     got = dict(zip(drops["vec_id"], drops["kept_vec_id"]))
     assert got[3] == 2 and got[4] == 2 and got[25] == 24
     assert 2 not in got and 24 not in got
+
+
+def test_pack_offsets_custom_sort_col(ray_session):
+    """Placement must follow sort_col order, not doc_id order."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.packing import pack_offsets
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "n_tok": pa.array([4, 4, 4], pa.int64()),
+            "key": pa.array([30, 10, 20], pa.int64()),  # order: 2, 3, 1
+        }
+    )
+    out = (
+        pack_offsets(rd.from_arrow(tbl).repartition(3), chunk=4, sort_col="key")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # concat order 2,3,1 at 4 tokens each: doc2 seq0, doc3 seq1, doc1 seq2
+    assert out["seq_first"].tolist() == [2, 0, 1]
+    assert out["off_in_seq"].tolist() == [0, 0, 0]
