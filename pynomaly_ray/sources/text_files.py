@@ -25,6 +25,23 @@ import ray.data as rd
 from pynomaly_ray.sources.parquet import strip_schema_metadata
 
 
+def _gzip_kwargs(paths) -> dict:
+    """``arrow_open_stream_args`` for gzip-compressed inputs (crawl
+    snapshots ship as .csv.gz / .jsonl.gz at least as often as plain) —
+    applied only when EVERY path is .gz, since the stream decompressor
+    is per-read-call, not per-file; mixed drops should be read in two
+    calls and unioned."""
+    ps = [paths] if isinstance(paths, str) else list(paths)
+    gz = [str(p).endswith(".gz") for p in ps]
+    if all(gz):
+        return {"arrow_open_stream_args": {"compression": "gzip"}}
+    if any(gz):
+        raise ValueError(
+            "mixed .gz and plain paths in one read call; split the call"
+        )
+    return {}
+
+
 def read_csv_clean(
     paths,
     *,
@@ -33,10 +50,11 @@ def read_csv_clean(
 ):
     """CSV -> Dataset.  ``schema``: optional pyarrow.Schema applied at
     the Arrow CSV parser (``convert_options.column_types``), making
-    column types explicit instead of per-file-inferred."""
+    column types explicit instead of per-file-inferred.  ``.gz`` paths
+    decompress on the fly."""
     from pyarrow import csv as pacsv
 
-    kwargs = {}
+    kwargs = _gzip_kwargs(paths)
     if schema is not None:
         kwargs["convert_options"] = pacsv.ConvertOptions(
             column_types={f.name: f.type for f in schema}
@@ -52,8 +70,11 @@ def read_json_clean(
     *,
     override_num_blocks: int | None = None,
 ):
-    """JSON-lines -> Dataset (pyarrow JSON parser via Ray's reader)."""
-    ds = rd.read_json(paths, override_num_blocks=override_num_blocks)
+    """JSON-lines -> Dataset (pyarrow JSON parser via Ray's reader).
+    ``.gz`` paths decompress on the fly."""
+    ds = rd.read_json(
+        paths, override_num_blocks=override_num_blocks, **_gzip_kwargs(paths)
+    )
     return ds.map_batches(
         strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
     )

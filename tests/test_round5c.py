@@ -586,3 +586,24 @@ def test_pack_offsets_custom_sort_col(ray_session):
     # concat order 2,3,1 at 4 tokens each: doc2 seq0, doc3 seq1, doc1 seq2
     assert out["seq_first"].tolist() == [2, 0, 1]
     assert out["off_in_seq"].tolist() == [0, 0, 0]
+
+
+def test_gzip_csv_jsonl_ingest(ray_session, tmp_path):
+    import gzip
+
+    from pynomaly_ray.sources.text_files import read_csv_clean, read_json_clean
+
+    jp = tmp_path / "d.jsonl.gz"
+    with gzip.open(jp, "wt") as f:
+        f.write('{"doc_id": 1, "text": "a b"}\n{"doc_id": 2, "text": "c"}\n')
+    cp = tmp_path / "d.csv.gz"
+    with gzip.open(cp, "wt") as f:
+        f.write("doc_id,text\n1,a b\n2,c\n")
+    sch = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    j = read_json_clean(str(jp)).to_pandas().sort_values("doc_id")
+    c = read_csv_clean(str(cp), schema=sch).to_pandas().sort_values("doc_id")
+    assert j["text"].tolist() == ["a b", "c"]
+    assert c["text"].tolist() == ["a b", "c"]
+    assert c["doc_id"].dtype == np.int64
+    with pytest.raises(ValueError, match="mixed"):
+        read_json_clean([str(jp), str(tmp_path / "plain.jsonl")])
