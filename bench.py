@@ -263,7 +263,21 @@ def single_run(emit=None) -> dict:
         out["queries"] = {}
     else:
         out["queries"] = run_queries(sf_dir, emit=lambda t: emit_queries(t))
-        out["regressions"] = find_regressions(out["queries"], load_best(sf_name))
+        best = load_best(sf_name)
+        out["regressions"] = find_regressions(out["queries"], best)
+        # surface the normalization factor the gate used: a high median
+        # with zero regressions reads "host slow today", while a high
+        # median after a shared-layer code change is the uniform-slowdown
+        # blind spot the gate docstring defers to the A/B protocol —
+        # recording it makes that call auditable instead of silent
+        ratios = sorted(
+            w / best[n]
+            for n, w in out["queries"].items()
+            if w is not None and best.get(n)
+        )
+        out["suite_median_ratio"] = (
+            round(ratios[len(ratios) // 2], 3) if ratios else None
+        )
     ray.shutdown()
     return out
 

@@ -246,8 +246,6 @@ def cmd_dedup(args) -> int:
             # (docs that are NOT their component's representative); the
             # keep set is everything else, so the list stays
             # O(duplicates) instead of O(corpus)
-            from pynomaly_ray.functions.graph import connected_components
-
             edge_ds = pairs_ds
             if getattr(args, "state_dir", None):
                 # incremental: components must span ALL runs' pairs, not
@@ -295,18 +293,10 @@ def cmd_dedup(args) -> int:
                     edge_ds = read_parquet_clean(
                         pair_files, columns=["doc_a", "doc_b"]
                     )
-            labels = connected_components(
-                edge_ds, col_a="doc_a", col_b="doc_b"
-            )
+            from pynomaly_ray.functions.graph import components_drop_list
 
-            def drop_rows(df):
-                d = df[df["node"] != df["lbl"]]
-                return d.rename(
-                    columns={"node": "doc_id", "lbl": "kept_doc_id"}
-                )
-
-            drops = labels.map_batches(
-                drop_rows, batch_format="pandas"
+            drops = components_drop_list(
+                edge_ds, "doc_a", "doc_b", "doc_id", "kept_doc_id"
             ).materialize()
             drops.write_parquet(_fresh("drop"))
             summary["dropped_docs"] = int(drops.count())
@@ -493,26 +483,35 @@ def cmd_cluster(args) -> int:
         ).materialize()
         pairs.write_parquet(os.path.join(args.out, "pairs"))
         summary["pairs"] = int(pairs.count())
-        if args.keep_list and summary["pairs"]:
-            # pairs -> connected components -> O(duplicates) drop list,
-            # the same recipe as `dedup --keep-list`
-            from pynomaly_ray.functions.graph import connected_components
+        if args.keep_list:
+            import pyarrow as pa
+            import pyarrow.parquet as papq
 
-            edges = pairs.map_batches(
-                lambda t: t.select(["vec_a", "vec_b"]),
-                batch_format="pyarrow",
-            )
-            labels = connected_components(edges, col_a="vec_a", col_b="vec_b")
+            drop_dir = os.path.join(args.out, "drop")
+            if summary["pairs"]:
+                from pynomaly_ray.functions.graph import components_drop_list
 
-            def drop_rows(df):
-                d = df[df["node"] != df["lbl"]]
-                return d.rename(columns={"node": "vec_id", "lbl": "kept_vec_id"})
-
-            drops = labels.map_batches(drop_rows, batch_format="pandas").materialize()
-            drops.write_parquet(os.path.join(args.out, "drop"))
-            summary["dropped_vecs"] = int(drops.count())
-        elif args.keep_list:
-            summary["dropped_vecs"] = 0
+                edges = pairs.map_batches(
+                    lambda t: t.select(["vec_a", "vec_b"]),
+                    batch_format="pyarrow",
+                )
+                drops = components_drop_list(
+                    edges, "vec_a", "vec_b", "vec_id", "kept_vec_id"
+                ).materialize()
+                drops.write_parquet(drop_dir)
+                summary["dropped_vecs"] = int(drops.count())
+            else:
+                # keep the output contract uniform: a no-duplicates run
+                # still writes an (empty, typed) drop table so a
+                # downstream step reading <out>/drop never missing-paths
+                os.makedirs(drop_dir, exist_ok=True)
+                papq.write_table(
+                    pa.schema(
+                        [("vec_id", pa.int64()), ("kept_vec_id", pa.int64())]
+                    ).empty_table(),
+                    os.path.join(drop_dir, "empty.parquet"),
+                )
+                summary["dropped_vecs"] = 0
     else:
         assigned = kmeans_assign(
             ds, cents, id_col=args.id_col, vec_col=args.vec_col

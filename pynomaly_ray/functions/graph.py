@@ -282,3 +282,19 @@ def connected_components(
         RuntimeWarning,
     )
     return labels
+
+
+def components_drop_list(edges_ds, col_a: str, col_b: str, id_name: str, rep_name: str):
+    """Near-dup pairs -> O(duplicates) drop list: connected components,
+    then every node that is NOT its component's representative, renamed
+    to the caller's id columns.  The one shared collapse recipe behind
+    both `dedup --keep-list` and `cluster --keep-list` (keeping the
+    node!=label filter and rename in a single place so edge-handling
+    fixes cannot diverge between the two CLIs)."""
+    labels = connected_components(edges_ds, col_a=col_a, col_b=col_b)
+
+    def drop_rows(df):
+        d = df[df["node"] != df["lbl"]]
+        return d.rename(columns={"node": id_name, "lbl": rep_name})
+
+    return labels.map_batches(drop_rows, batch_format="pandas")

@@ -28,12 +28,27 @@ from pynomaly_ray.sources.parquet import strip_schema_metadata
 def _gzip_kwargs(paths) -> dict:
     """``arrow_open_stream_args`` for gzip-compressed inputs (crawl
     snapshots ship as .csv.gz / .jsonl.gz at least as often as plain) —
-    applied only when EVERY path is .gz, since the stream decompressor
+    applied only when EVERY file is .gz, since the stream decompressor
     is per-read-call, not per-file; mixed drops should be read in two
-    calls and unioned."""
+    calls and unioned.  Directory paths are expanded one level so the
+    common crawl layout (a directory of .gz shards) decompresses instead
+    of feeding raw gzip bytes to the parser."""
+    import os
+
     ps = [paths] if isinstance(paths, str) else list(paths)
-    gz = [str(p).endswith(".gz") for p in ps]
-    if all(gz):
+    files: list[str] = []
+    for p in ps:
+        p = str(p)
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if not f.startswith(".")
+            )
+        else:
+            files.append(p)
+    gz = [f.endswith(".gz") for f in files]
+    if files and all(gz):
         return {"arrow_open_stream_args": {"compression": "gzip"}}
     if any(gz):
         raise ValueError(

@@ -43,14 +43,24 @@ from pynomaly_ray.functions.hashing import knuth32
 
 
 def _batch_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
-    """(n, d) float64 from a list<float> column — one copy, no Python
-    rows (to_pylist would build n*d boxed floats)."""
-    col = t[vec_col].combine_chunks()
-    if isinstance(col, pa.ChunkedArray):
-        col = col.chunk(0)
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    n = len(col)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    """(n, d) float64 from a list<float> column — delegates to the one
+    shared kernel (stages/similarity._embedding_matrix: offset-sliced
+    zero-copy flats + Ray tensor-extension support), with a loud null
+    guard: a null embedding row would otherwise silently reshape into a
+    wrong-dimension matrix whenever the value count happens to divide
+    evenly."""
+    from pynomaly_ray.stages.similarity import _embedding_matrix
+
+    col = t[vec_col]
+    nulls = (
+        col.null_count if hasattr(col, "null_count") else 0
+    )
+    if nulls:
+        raise ValueError(
+            f"{vec_col!r} contains {nulls} null embedding(s); drop or "
+            "impute them before clustering"
+        )
+    return _embedding_matrix(t, col=vec_col)
 
 
 _INIT_OVERSAMPLE = 32
@@ -114,7 +124,16 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Lloyd's iterations; returns the final (k, d) centroid matrix."""
+    """Lloyd's iterations; returns the final (k, d) centroid matrix.
+
+    The input is materialized ONCE up front: without it, the lazy
+    upstream pipeline (parquet read + map stages) would re-execute per
+    Lloyd's round plus init — n_iter+1 redundant scans.  Fit inputs are
+    bounded by construction (at 100 TB you fit on a hash-sampled subset
+    and run only :func:`kmeans_assign` over the full corpus, per the
+    module docstring), so holding the fit set in the object store is the
+    intended shape."""
+    emb_ds = emb_ds.materialize()
     cents = kmeans_init(emb_ds, k, id_col=id_col, vec_col=vec_col)
     for _ in range(n_iter):
         ref = ray.put(cents)

@@ -232,16 +232,26 @@ def tfidf_top_terms(docs_ds, num_partitions: int | None = None):
         )
 
     rows = docs_ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
-    # N = docs with >= 1 token: one distinct-count per block (docs are
-    # whole per batch), folded on the driver as a handful of ints
+    # N = docs with >= 1 token, via a DEDICATED count pass whose output
+    # is one int per input batch.  Counting distinct doc_ids per
+    # materialized BLOCK of `rows` would be wrong at scale: Ray splits
+    # oversized map outputs at arbitrary row boundaries
+    # (target_max_block_size), so one doc's tf rows can straddle two
+    # blocks and be counted twice — batches are whole-doc, blocks are
+    # not.  1-row count tables can never split mid-doc.
+    def doc_count(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        n = int((texts.str.count(_WS_TOKEN_RE) >= 1).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
     n_docs = int(
         sum(
-            _ray.get(
-                [
-                    _count_distinct_docs.remote(r)
-                    for r in rows.to_arrow_refs()
-                ]
+            t["n"].to_numpy(zero_copy_only=False).sum()
+            for t in _ray.get(
+                docs_ds.map_batches(doc_count, batch_format="pyarrow")
+                .to_arrow_refs()
             )
+            if t.num_rows
         )
     )
 
@@ -280,13 +290,3 @@ def tfidf_top_terms(docs_ds, num_partitions: int | None = None):
         return out.rename(columns={"token": "top_term"}).reset_index(drop=True)
 
     return hash_aggregate(scored, ["doc_id"], top1, num_partitions=num_partitions)
-
-
-import ray as _ray_mod
-
-
-@_ray_mod.remote
-def _count_distinct_docs(t: pa.Table) -> int:
-    import pyarrow.compute as _pc
-
-    return len(_pc.unique(t["doc_id"]))

@@ -418,9 +418,11 @@ def test_bench_gate_host_normalized(tmp_path, monkeypatch):
     """A uniform suite-wide slowdown (host stall) must not gate; a query
     slow relative to the suite's median ratio must."""
     import importlib.util
+    import os
 
     spec = importlib.util.spec_from_file_location(
-        "bench_mod", "/root/repo/bench.py"
+        "bench_mod",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
@@ -607,3 +609,33 @@ def test_gzip_csv_jsonl_ingest(ray_session, tmp_path):
     assert c["doc_id"].dtype == np.int64
     with pytest.raises(ValueError, match="mixed"):
         read_json_clean([str(jp), str(tmp_path / "plain.jsonl")])
+
+
+def test_gzip_dir_ingest_and_null_embedding_guard(ray_session, tmp_path):
+    import gzip
+
+    from pynomaly_ray.sources.text_files import read_json_clean
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i in range(2):
+        with gzip.open(d / f"s{i}.jsonl.gz", "wt") as f:
+            f.write('{"doc_id": %d, "text": "x"}\n' % i)
+    got = read_json_clean(str(d)).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 1]
+
+    import ray.data as rd
+
+    from pynomaly_ray.stages.clustering import kmeans_fit
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 2.0, 3.0], None, [4.0, 5.0, 6.0], [7.0, 8.0, 9.0]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    with pytest.raises(Exception, match="null embedding"):
+        kmeans_fit(rd.from_arrow(tbl), k=2, n_iter=1)
