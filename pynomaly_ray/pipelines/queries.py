@@ -3170,3 +3170,55 @@ ORDER BY doc_id
 
 
 ORACLE_QUERIES["tfidf_top_terms"] = (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS)
+
+# ---------------------------------------------------------------------------
+# Q: chunk_documents — fixed 32-token context-window chunking (the
+# RAG/training chunk step; stages/text.chunk_documents): one flat_map
+# pass, the flat token stream joined per chunk by ONE Arrow binary_join
+# kernel.  The SQL twin rebuilds every window with 1-based inclusive
+# list slicing, certifying window boundaries, the short final window,
+# and the space-normalized chunk text byte-exactly.
+# ---------------------------------------------------------------------------
+_CHUNK_WORDS = 32
+
+
+def q_chunk_documents(sf_dir: str):
+    from pynomaly_ray.stages.text import chunk_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        chunk_documents(docs, chunk_words=_CHUNK_WORDS),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("chunk_idx", pa.int64()),
+                ("chunk_text", pa.string()),
+                ("n_tok", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id", "chunk_idx"])
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[(i * 32 + 1):(LEAST((i + 1) * 32, len(w)))], ' ')
+             AS chunk_text,
+         LEAST(len(w) - i * 32, 32) AS n_tok
+  FROM tok,
+       UNNEST(generate_series(0,
+              CAST(CEIL(len(w) / 32.0) AS BIGINT) - 1)) AS t(i)
+  WHERE len(w) >= 1
+)
+SELECT doc_id, chunk_idx, chunk_text, CAST(n_tok AS BIGINT) AS n_tok
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
+ORACLE_QUERIES["chunk_documents"] = (q_chunk_documents, SQL_CHUNK_DOCUMENTS)

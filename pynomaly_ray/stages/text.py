@@ -290,3 +290,68 @@ def tfidf_top_terms(docs_ds, num_partitions: int | None = None):
         return out.rename(columns={"token": "top_term"}).reset_index(drop=True)
 
     return hash_aggregate(scored, ["doc_id"], top1, num_partitions=num_partitions)
+
+
+def chunk_documents(docs_ds, chunk_words: int = 32):
+    """Fixed-width context-window chunking: each doc split into
+    ``chunk_words``-token windows (the RAG / training chunking step),
+    emitting (doc_id, chunk_idx, chunk_text, n_tok) per window with
+    space-normalized chunk text.
+
+    Fully vectorized flat_map shape: one regexp findall per batch, the
+    flat token stream rides ONE Arrow ListArray built from computed
+    chunk offsets, and ``pc.binary_join`` materializes every chunk
+    string in a single C++ kernel — no Python loop over docs or chunks.
+    Streaming map-side only (docs are whole per batch); zero-token docs
+    emit nothing.
+    """
+    if chunk_words < 1:
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+
+    import pyarrow.compute as pc
+
+    def chunks(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_tok": pa.array([], pa.int64()),
+            }
+        )
+        texts = t["text"].to_pandas().fillna("")
+        toks = texts.str.findall(_WS_TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lens >= 1
+        if not keep.any():
+            return empty
+        ids, lens = ids[keep], lens[keep]
+        flat = pa.array(
+            [w for lst in toks[keep] for w in lst], pa.string()
+        )
+        n_chunks = -(-lens // chunk_words)  # ceil
+        doc_starts = np.concatenate([[0], np.cumsum(lens)])
+        # chunk offsets: per doc, starts at doc_start + j*chunk_words,
+        # final boundary at doc_start + len
+        rep = np.repeat(np.arange(len(ids)), n_chunks)
+        idx_in_doc = (
+            np.arange(len(rep)) - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        )
+        starts = doc_starts[rep] + idx_in_doc * chunk_words
+        ends = np.minimum(starts + chunk_words, doc_starts[rep] + lens[rep])
+        offsets = np.concatenate([starts, [doc_starts[-1]]]).astype(np.int64)
+        # ListArray wants monotone offsets: starts are monotone because
+        # chunks are emitted in (doc, window) order over the flat stream
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        joined = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rep]),
+                "chunk_idx": pa.array(idx_in_doc),
+                "chunk_text": joined,
+                "n_tok": pa.array(ends - starts),
+            }
+        )
+
+    return docs_ds.map_batches(chunks, batch_format="pyarrow")

@@ -639,3 +639,56 @@ def test_gzip_dir_ingest_and_null_embedding_guard(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="null embedding"):
         kmeans_fit(rd.from_arrow(tbl), k=2, n_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+def test_chunk_documents_boundaries(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.text import chunk_documents
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    "a b c d e",   # 5 tokens -> [a b c], [d e] at cw=3
+                    "x",           # 1 token  -> [x]
+                    "",            # empty -> nothing
+                    None,          # null -> nothing
+                ],
+            }
+        )
+    )
+    out = (
+        chunk_documents(docs, chunk_words=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 1, 2]
+    assert out["chunk_idx"].tolist() == [0, 1, 0]
+    assert out["chunk_text"].tolist() == ["a b c", "d e", "x"]
+    assert out["n_tok"].tolist() == [3, 2, 1]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_words=0)
+
+
+def test_chunk_documents_exact_multiple(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.text import chunk_documents
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([9], pa.int64()),
+                "text": ["t0 t1 t2 t3 t4 t5"],  # 6 tokens, cw=3 -> exactly 2
+            }
+        )
+    )
+    out = chunk_documents(docs, chunk_words=3).to_pandas()
+    assert out["n_tok"].tolist() == [3, 3]
+    assert out["chunk_text"].tolist() == ["t0 t1 t2", "t3 t4 t5"]
