@@ -243,3 +243,44 @@ def hll_estimate(regs: np.ndarray) -> float:
         if zeros:
             return m * np.log(m / zeros)
     return float(est)
+
+
+def cms_partial(values, width: int = 4096, depth: int = 4) -> np.ndarray:
+    """Count-min sketch partial for one batch of keys: a (depth, width)
+    int64 counter grid using the same double-hashing index kernel as the
+    Bloom filter (h1 + j*h2 mod width per row).  The heavy-hitter /
+    frequency-estimate sketch completing the family (HLL cardinality,
+    KLL quantiles, Bloom membership): constant size regardless of key
+    cardinality, one-sided error (estimate >= true count, over-count
+    bounded by ~2n/width per row whp).  Partials merge by elementwise
+    SUM — associative and commutative, but NOT idempotent: a retried
+    task's partial must replace, not re-add (the exchange layer's
+    one-ref-per-block contract already guarantees that)."""
+    counts = np.zeros((depth, width), dtype=np.int64)
+    if len(values) == 0:
+        return counts
+    idx = _bloom_indices(values, width, depth)  # (depth, n)
+    for d in range(depth):  # depth is 4-8; the adds are C-speed
+        np.add.at(counts[d], idx[d], 1)
+    return counts
+
+
+def cms_merge(parts) -> np.ndarray:
+    """Elementwise sum of CMS partials."""
+    out = None
+    for p in parts:
+        arr = np.asarray(p, dtype=np.int64)
+        out = arr.copy() if out is None else out + arr
+    if out is None:
+        raise ValueError("no CMS partials to merge")
+    return out
+
+
+def cms_query(cms: np.ndarray, values) -> np.ndarray:
+    """Frequency estimates: min over depth rows at each key's indices."""
+    cms = np.asarray(cms, dtype=np.int64)
+    depth, width = cms.shape
+    if len(values) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = _bloom_indices(values, width, depth)
+    return np.min(cms[np.arange(depth)[:, None], idx], axis=0)

@@ -1509,3 +1509,144 @@ ORDER BY doc_id
 """
 
 ORACLE_QUERIES["curriculum_pack"] = (q_curriculum_pack, SQL_CURRICULUM_PACK)
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-min-sketch frequency estimates for the corpus' top-10
+    tokens (functions/sketches.cms_*): constant-size (depth x width)
+    counter partials per batch, merged by a (row, col)-keyed exchange,
+    probed with the same double-hash index kernel the Bloom filter uses.
+
+    Oracle surfaces (the HLL pattern): the per-batch SPARSE partial
+    cells (row, col, cnt) and the probe index rows (token, row, col)
+    are parquet-materialized; the DuckDB twin re-sums the cells, takes
+    each probe's MIN over its depth cells (COALESCE 0 for untouched
+    cells), and recomputes the EXACT counts from documents — so the
+    result certifies the distributed merge, the query math, and the
+    one-sided overestimate property (est >= exact by construction) in
+    one hash match.
+    """
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.functions.exchange import hash_aggregate, topk
+    from pynomaly_ray.functions.hashing import nul_safe_key
+    from pynomaly_ray.functions.sketches import _bloom_indices, cms_query
+    from pynomaly_ray.stages.text import _WS_TOKEN_RE
+
+    WIDTH, DEPTH = 4096, 4
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        toks = texts.str.findall(_WS_TOKEN_RE)
+        flat = pa.array([w for lst in toks for w in lst], pa.string())
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return pa.table(
+            {"token": g["token"], "cnt": g["token_count"].cast(pa.int64())}
+        )
+
+    counted = docs.map_batches(tok_rows, batch_format="pyarrow")
+
+    surf = _surface_dir("cms_cells")
+    os.makedirs(surf, exist_ok=True)
+
+    def cms_rows(t: pa.Table) -> pa.Table:
+        toks = t["token"].to_pandas()
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = _bloom_indices(toks, WIDTH, DEPTH)  # (depth, n)
+        rows = np.repeat(np.arange(DEPTH, dtype=np.int64), len(toks))
+        cols = idx.reshape(-1)
+        cnts = np.tile(cnt, DEPTH)
+        df = pd.DataFrame({"row": rows, "col": cols, "cnt": cnts})
+        g = df.groupby(["row", "col"], sort=False).sum().reset_index()
+        out = pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+        import uuid
+
+        papq.write_table(out, os.path.join(surf, f"{uuid.uuid4().hex}.parquet"))
+        return out
+
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    counted.map_batches(cms_rows, batch_format="pyarrow").materialize()
+    cells = hash_aggregate(
+        read_parquet_clean(surf, columns=["row", "col", "cnt"]),
+        ["row", "col"],
+        lambda df: df.groupby(["row", "col"], sort=False).sum().reset_index(),
+    )
+    import ray
+
+    grid = np.zeros((DEPTH, WIDTH), dtype=np.int64)
+    for t in (ray.get(r) for r in cells.to_arrow_refs()):
+        if t.num_rows:
+            grid[
+                t["row"].to_numpy(zero_copy_only=False),
+                t["col"].to_numpy(zero_copy_only=False),
+            ] += t["cnt"].to_numpy(zero_copy_only=False)
+
+    # exact top-10 tokens by (count DESC, token ASC) via one token-keyed
+    # exchange + the distributed topk
+    exact = hash_aggregate(
+        counted,
+        ["token"],
+        lambda df: df.groupby(nul_safe_key(df["token"]), sort=False)["cnt"]
+        .sum()
+        .rename_axis("token")
+        .reset_index(),
+    )
+    top = topk(exact, ["cnt", "token"], 10, descending=[True, False])
+    toks = top["token"].astype(str).to_numpy()
+
+    psurf = _surface_dir("cms_probes")
+    os.makedirs(psurf, exist_ok=True)
+    pidx = _bloom_indices(pd.Series(toks), WIDTH, DEPTH)
+    papq.write_table(
+        pa.table(
+            {
+                "token": pa.array(np.repeat(toks, DEPTH), pa.string()),
+                "row": pa.array(np.tile(np.arange(DEPTH, dtype=np.int64), len(toks))),
+                "col": pa.array(pidx.T.reshape(-1)),
+            }
+        ),
+        os.path.join(psurf, "probes.parquet"),
+    )
+    est = cms_query(grid, pd.Series(toks))
+    out = pd.DataFrame(
+        {
+            "token": toks,
+            "est": est.astype(np.int64),
+            "exact": top["cnt"].to_numpy(dtype=np.int64),
+        }
+    ).sort_values("token")
+    return out.reset_index(drop=True)
+
+
+SQL_CMS_HEAVY_HITTERS = r"""
+WITH cells AS (
+  SELECT row, col, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM read_parquet('/tmp/pnr_oracle_surface/cms_cells/*.parquet')
+  GROUP BY row, col
+),
+probes AS (
+  SELECT token, row, col
+  FROM read_parquet('/tmp/pnr_oracle_surface/cms_probes/*.parquet')
+),
+est AS (
+  SELECT p.token, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM probes p LEFT JOIN cells c USING (row, col)
+  GROUP BY p.token
+),
+tok AS (
+  SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
+  FROM documents
+),
+exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact FROM tok GROUP BY token)
+SELECT token, CAST(est.est AS BIGINT) AS est, exact.exact
+FROM est JOIN exact USING (token)
+ORDER BY token
+"""
+
+ORACLE_QUERIES["cms_heavy_hitters"] = (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS)

@@ -692,3 +692,32 @@ def test_chunk_documents_exact_multiple(ray_session):
     out = chunk_documents(docs, chunk_words=3).to_pandas()
     assert out["n_tok"].tolist() == [3, 3]
     assert out["chunk_text"].tolist() == ["t0 t1 t2", "t3 t4 t5"]
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+def test_cms_one_sided_and_exact_at_width():
+    import collections
+
+    from pynomaly_ray.functions.sketches import cms_merge, cms_partial, cms_query
+
+    rng = np.random.RandomState(5)
+    keys = pd.Series([f"k{i}" for i in rng.zipf(1.4, 3000) if i < 150])
+    parts = [
+        cms_partial(keys[i::4], width=2048, depth=4) for i in range(4)
+    ]
+    m = cms_merge(parts)
+    true = collections.Counter(keys)
+    probes = pd.Series(sorted(true))
+    est = cms_query(m, probes)
+    tv = np.array([true[p] for p in probes])
+    assert (est >= tv).all()           # one-sided error, always
+    # and with width >> distinct keys, collisions are whp absent
+    assert (est == tv).mean() > 0.95
+    # merge must equal the single-pass sketch (sum-mergeable)
+    single = cms_partial(keys, width=2048, depth=4)
+    np.testing.assert_array_equal(m, single)
+    # NUL-divergent keys stay distinct through the hash kernel
+    nul = cms_partial(pd.Series(["a\x00b", "a\x00c"]), width=2048, depth=4)
+    assert cms_query(nul, pd.Series(["a\x00b"]))[0] == 1
