@@ -278,6 +278,12 @@ def single_run(emit=None) -> dict:
         out["suite_median_ratio"] = (
             round(ratios[len(ratios) // 2], 3) if ratios else None
         )
+        # one final milestone AFTER the gate fields are computed: the
+        # parent only sees what the child PRINTED, so without this the
+        # regressions/suite_median_ratio never reached the record and
+        # the parent-side gate could not fire from a child run
+        if emit is not None:
+            emit(out)
     ray.shutdown()
     return out
 
