@@ -265,15 +265,16 @@ def cms_partial(values, width: int = 4096, depth: int = 4) -> np.ndarray:
     return counts
 
 
-def cms_merge(parts) -> np.ndarray:
-    """Elementwise sum of CMS partials."""
+def cms_merge(parts, width: int = 4096, depth: int = 4) -> np.ndarray:
+    """Elementwise sum of CMS partials.  An empty partials iterable
+    (zero input batches) merges to the empty (depth, width) sketch so
+    downstream probes report zero — the same degrade-instead-of-crash
+    contract as :func:`hll_merge` / :func:`bloom_merge`."""
     out = None
     for p in parts:
         arr = np.asarray(p, dtype=np.int64)
         out = arr.copy() if out is None else out + arr
-    if out is None:
-        raise ValueError("no CMS partials to merge")
-    return out
+    return out if out is not None else np.zeros((depth, width), dtype=np.int64)
 
 
 def cms_query(cms: np.ndarray, values) -> np.ndarray:

@@ -1531,26 +1531,19 @@ def q_cms_heavy_hitters(sf_dir: str):
     from pynomaly_ray.functions.exchange import hash_aggregate, topk
     from pynomaly_ray.functions.hashing import nul_safe_key
     from pynomaly_ray.functions.sketches import _bloom_indices, cms_query
-    from pynomaly_ray.stages.text import _WS_TOKEN_RE
+    from pynomaly_ray.stages.text import batch_token_counts
 
     WIDTH, DEPTH = 4096, 4
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
 
-    def tok_rows(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pandas().fillna("")
-        toks = texts.str.findall(_WS_TOKEN_RE)
-        flat = pa.array([w for lst in toks for w in lst], pa.string())
-        g = pa.table({"token": flat}).group_by("token").aggregate(
-            [("token", "count")]
-        )
-        return pa.table(
-            {"token": g["token"], "cnt": g["token_count"].cast(pa.int64())}
-        )
-
-    counted = docs.map_batches(tok_rows, batch_format="pyarrow")
+    # materialized ONCE: both the sketch pass and the exact-count
+    # exchange consume it (lazy re-execution would re-tokenize the
+    # corpus twice)
+    counted = docs.map_batches(
+        lambda t: batch_token_counts(t, by_doc=False), batch_format="pyarrow"
+    ).materialize()
 
     surf = _surface_dir("cms_cells")
-    os.makedirs(surf, exist_ok=True)
 
     def cms_rows(t: pa.Table) -> pa.Table:
         toks = t["token"].to_pandas()
@@ -1561,17 +1554,17 @@ def q_cms_heavy_hitters(sf_dir: str):
         cnts = np.tile(cnt, DEPTH)
         df = pd.DataFrame({"row": rows, "col": cols, "cnt": cnts})
         g = df.groupby(["row", "col"], sort=False).sum().reset_index()
-        out = pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
             None
         )
-        import uuid
-
-        papq.write_table(out, os.path.join(surf, f"{uuid.uuid4().hex}.parquet"))
-        return out
 
     from pynomaly_ray.sources.parquet import read_parquet_clean
 
-    counted.map_batches(cms_rows, batch_format="pyarrow").materialize()
+    # write_parquet (deterministic per-task filenames) instead of a
+    # uuid-named side-effect write: a RETRIED task then overwrites its
+    # own file rather than appending a duplicate that would silently
+    # double-count its cells on both sides of the oracle
+    counted.map_batches(cms_rows, batch_format="pyarrow").write_parquet(surf)
     cells = hash_aggregate(
         read_parquet_clean(surf, columns=["row", "col", "cnt"]),
         ["row", "col"],

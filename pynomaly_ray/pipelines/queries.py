@@ -3200,6 +3200,8 @@ def q_chunk_documents(sf_dir: str):
     return collect_sorted(out, ["doc_id", "chunk_idx"])
 
 
+# the SQL twin is DERIVED from _CHUNK_WORDS so the two sides of the
+# oracle cannot silently desynchronize if the width changes
 SQL_CHUNK_DOCUMENTS = r"""
 WITH tok AS (
   SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
@@ -3207,18 +3209,18 @@ WITH tok AS (
 ),
 c AS (
   SELECT doc_id, i AS chunk_idx,
-         array_to_string(w[(i * 32 + 1):(LEAST((i + 1) * 32, len(w)))], ' ')
+         array_to_string(w[(i * {cw} + 1):(LEAST((i + 1) * {cw}, len(w)))], ' ')
              AS chunk_text,
-         LEAST(len(w) - i * 32, 32) AS n_tok
+         LEAST(len(w) - i * {cw}, {cw}) AS n_tok
   FROM tok,
        UNNEST(generate_series(0,
-              CAST(CEIL(len(w) / 32.0) AS BIGINT) - 1)) AS t(i)
+              CAST(CEIL(len(w) / {cw}.0) AS BIGINT) - 1)) AS t(i)
   WHERE len(w) >= 1
 )
 SELECT doc_id, chunk_idx, chunk_text, CAST(n_tok AS BIGINT) AS n_tok
 FROM c
 ORDER BY doc_id, chunk_idx
-"""
+""".format(cw=_CHUNK_WORDS)
 
 
 ORACLE_QUERIES["chunk_documents"] = (q_chunk_documents, SQL_CHUNK_DOCUMENTS)

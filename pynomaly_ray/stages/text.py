@@ -178,7 +178,42 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     ).append_column("bpe_tokens", pa.array(bpe.to_numpy(), pa.int64()))
 
 
-_WS_TOKEN_RE = r"[^ \t\n\r\f\v]+"
+#: whitespace-complement token class, shared verbatim with the oracle
+#: SQL twins' regexp_extract_all — public because tokenize-and-count
+#: consumers outside this module (CMS heavy hitters) must stay in
+#: lockstep with it
+WS_TOKEN_RE = r"[^ \t\n\r\f\v]+"
+_WS_TOKEN_RE = WS_TOKEN_RE  # back-compat alias
+
+
+def batch_token_counts(t: pa.Table, by_doc: bool) -> pa.Table:
+    """Token-count rows for one batch via the ONE NUL-safe Arrow
+    ``TableGroupBy`` kernel: ``by_doc=True`` -> (doc_id, token, tf)
+    term frequencies (the TF-IDF shape); ``by_doc=False`` -> (token,
+    cnt) batch totals (the sketch/heavy-hitter shape)."""
+    texts = t["text"].to_pandas().fillna("")
+    toks = texts.str.findall(WS_TOKEN_RE)
+    flat = pa.array([w for lst in toks for w in lst], pa.string())
+    if not by_doc:
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return pa.table(
+            {"token": g["token"], "cnt": g["token_count"].cast(pa.int64())}
+        )
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pairs = pa.table(
+        {"doc_id": pa.array(np.repeat(ids, lens)), "token": flat}
+    )
+    g = pairs.group_by(["doc_id", "token"]).aggregate([("token", "count")])
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "token": g["token"],
+            "tf": g["token_count"].cast(pa.int64()),
+        }
+    )
 
 
 def tfidf_top_terms(docs_ds, num_partitions: int | None = None):
@@ -213,23 +248,7 @@ def tfidf_top_terms(docs_ds, num_partitions: int | None = None):
     from pynomaly_ray.functions.exchange import hash_aggregate
 
     def tf_rows(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pandas().fillna("")
-        toks = texts.str.findall(_WS_TOKEN_RE)
-        lens = toks.str.len().to_numpy(dtype=np.int64)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = [w for lst in toks for w in lst]
-        rep = np.repeat(ids, lens)
-        pairs = pa.table(
-            {"doc_id": pa.array(rep), "token": pa.array(flat, pa.string())}
-        )
-        g = pairs.group_by(["doc_id", "token"]).aggregate([("token", "count")])
-        return pa.table(
-            {
-                "doc_id": g["doc_id"],
-                "token": g["token"],
-                "tf": g["token_count"].cast(pa.int64()),
-            }
-        )
+        return batch_token_counts(t, by_doc=True)
 
     rows = docs_ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
     # N = docs with >= 1 token, via a DEDICATED count pass whose output
