@@ -3224,3 +3224,65 @@ ORDER BY doc_id, chunk_idx
 
 
 ORACLE_QUERIES["chunk_documents"] = (q_chunk_documents, SQL_CHUNK_DOCUMENTS)
+
+# ---------------------------------------------------------------------------
+# Q: leak_safe_split — train/test split that can NEVER leak an exact
+# duplicate across the boundary: every doc is assigned by the Knuth
+# hash of its content group's REPRESENTATIVE (min doc_id among equal
+# texts), so whole duplicate clusters land on one side — the
+# split-by-construction decontamination step run before held-out eval
+# sets are cut.  One int64-keyed exchange: (content_hash, doc_id) rows
+# co-locate per group, the reducer computes the rep and the split in
+# place (text itself never leaves the map task, the exact_dedup
+# contract).  Exact integer split rule both sides: train iff
+# knuth32(rep) * 5 < 2^32 * 4 (an 80/20 cut with no float compare).
+# ---------------------------------------------------------------------------
+def q_leak_safe_split(sf_dir: str):
+    from pynomaly_ray.functions.hashing import hash_strings, knuth32
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "content_hash": hash_strings(batch["text"]).astype(np.int64),
+                    "doc_id": batch["doc_id"].to_pandas().astype(np.int64),
+                }
+            )
+        )
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.groupby("content_hash", sort=False)["doc_id"].transform("min")
+        rep = rep.to_numpy(dtype=np.int64)
+        h = knuth32(rep.astype(np.uint64)).astype(np.uint64)
+        is_train = (h * np.uint64(5)) < np.uint64(4294967296) * np.uint64(4)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "rep_doc_id": rep,
+                "split": np.where(is_train, "train", "test"),
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(rows, batch_format="pyarrow"), ["content_hash"], split
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_LEAK_SAFE_SPLIT = """
+WITH g AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep_doc_id
+  FROM documents
+)
+SELECT doc_id, rep_doc_id,
+       CASE WHEN CAST(((rep_doc_id % 4294967296) * 2654435761::HUGEINT)
+                 % 4294967296 AS BIGINT) * 5 < 17179869184
+            THEN 'train' ELSE 'test' END AS split
+FROM g
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["leak_safe_split"] = (q_leak_safe_split, SQL_LEAK_SAFE_SPLIT)

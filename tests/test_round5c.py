@@ -721,3 +721,42 @@ def test_cms_one_sided_and_exact_at_width():
     # NUL-divergent keys stay distinct through the hash kernel
     nul = cms_partial(pd.Series(["a\x00b", "a\x00c"]), width=2048, depth=4)
     assert cms_query(nul, pd.Series(["a\x00b"]))[0] == 1
+
+
+def test_leak_safe_split_groups_stay_together(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.pipelines.queries import q_leak_safe_split
+
+    # build a tiny corpus with planted exact duplicates via a temp sf dir
+    import os
+    import tempfile
+
+    import pyarrow.parquet as papq
+
+    with tempfile.TemporaryDirectory() as d:
+        texts = [f"unique text number {i}" for i in range(200)]
+        for i in range(0, 200, 10):
+            texts[i + 1] = texts[i]  # 20 duplicate pairs
+        papq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "text": texts,
+                    "lang": ["en"] * 200,
+                    "source": ["s0"] * 200,
+                    "n_chars": pa.array(
+                        [len(t) for t in texts], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = q_leak_safe_split(d)
+    bysplit = dict(zip(out["doc_id"], out["split"]))
+    byrep = dict(zip(out["doc_id"], out["rep_doc_id"]))
+    for i in range(0, 200, 10):
+        assert byrep[i + 1] == i  # duplicate joined its rep's group
+        assert bysplit[i + 1] == bysplit[i]  # and NEVER straddles the split
+    frac = (out["split"] == "train").mean()
+    assert 0.7 < frac < 0.9
