@@ -760,3 +760,84 @@ def test_leak_safe_split_groups_stay_together(ray_session):
         assert bysplit[i + 1] == bysplit[i]  # and NEVER straddles the split
     frac = (out["split"] == "train").mean()
     assert 0.7 < frac < 0.9
+
+
+# ---------------------------------------------------------------------------
+# property tests for the wave operators (pure-kernel level, no Ray)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ),
+        max_size=8,
+    )
+)
+def test_pii_scrub_idempotent_property(texts):
+    """Scrubbing is idempotent: placeholders never re-match a pattern."""
+    from pynomaly_ray.stages.pii import scrub_batch
+
+    once, _ = scrub_batch(pd.Series(texts, dtype=object))
+    twice, counts2 = scrub_batch(once)
+    assert list(once) == list(twice)
+    assert all((c == 0).all() for c in counts2.values())
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters=" \t\n\r\f\v",
+                    blacklist_categories=("Cs",),
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_chunk_documents_reassembly_property(token_lists, cw):
+    """Chunks reassemble to the normalized token stream; n_tok sums to
+    the doc's token count; every chunk except the last is full."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.text import chunk_documents
+
+    texts = [" ".join(toks) for toks in token_lists]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+    ds = chunk_documents(docs, chunk_words=cw)
+    out = ds.to_pandas()
+    if out.empty:
+        # Ray's to_pandas drops columns on all-empty datasets (known
+        # quirk); the schema must still carry them
+        assert set(ds.schema().names) >= {"doc_id", "chunk_idx"}
+        assert all(len(t) == 0 for t in token_lists)
+        return
+    out = out.sort_values(["doc_id", "chunk_idx"])
+    for did, toks in enumerate(token_lists):
+        mine = out[out["doc_id"] == did]
+        if not toks:
+            assert len(mine) == 0
+            continue
+        assert int(mine["n_tok"].sum()) == len(toks)
+        joined = " ".join(mine["chunk_text"])
+        assert joined == " ".join(toks)
+        assert (mine["n_tok"].iloc[:-1] == cw).all()
+        assert 1 <= mine["n_tok"].iloc[-1] <= cw
