@@ -3255,7 +3255,7 @@ def q_leak_safe_split(sf_dir: str):
     def split(df: pd.DataFrame) -> pd.DataFrame:
         rep = df.groupby("content_hash", sort=False)["doc_id"].transform("min")
         rep = rep.to_numpy(dtype=np.int64)
-        h = knuth32(rep.astype(np.uint64)).astype(np.uint64)
+        h = knuth32(rep).astype(np.uint64)
         is_train = (h * np.uint64(5)) < np.uint64(4294967296) * np.uint64(4)
         return pd.DataFrame(
             {

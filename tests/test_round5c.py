@@ -724,8 +724,6 @@ def test_cms_one_sided_and_exact_at_width():
 
 
 def test_leak_safe_split_groups_stay_together(ray_session):
-    import ray.data as rd
-
     from pynomaly_ray.pipelines.queries import q_leak_safe_split
 
     # build a tiny corpus with planted exact duplicates via a temp sf dir
