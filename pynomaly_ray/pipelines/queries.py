@@ -3286,3 +3286,269 @@ ORDER BY doc_id
 
 
 ORACLE_QUERIES["leak_safe_split"] = (q_leak_safe_split, SQL_LEAK_SAFE_SPLIT)
+
+# ===========================================================================
+# Round-5 eighth wave: inter-arrival profiling, robust (median/MAD)
+# outlier filtering, and exact column profiling.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# Q: event_gaps — per-user inter-arrival profile (n_gaps, total, max in
+# microseconds).  The LAG-window class computed without a global sort:
+# one user-keyed exchange co-locates each user's events, the bucket
+# reducer sorts ONCE per bucket over (user, ts) and vectorizes the
+# diffs; sum/max/count are order-stable so duplicate timestamps cannot
+# flip the hash.  Users with a single event have no gap (both sides
+# drop them).
+# ---------------------------------------------------------------------------
+def q_event_gaps(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "n_gaps": pd.Series(dtype=np.int64),
+                    "total_gap_us": pd.Series(dtype=np.int64),
+                    "max_gap_us": pd.Series(dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        us = df["ts"].astype("int64").to_numpy()
+        same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
+        gap = np.concatenate([[0], us[1:] - us[:-1]])
+        g = pd.DataFrame({"user_id": uid[same_user], "gap": gap[same_user]})
+        out = g.groupby("user_id", sort=False)["gap"].agg(
+            n_gaps="size", total_gap_us="sum", max_gap_us="max"
+        )
+        return out.reset_index().astype(np.int64)
+
+    out = hash_aggregate(ds, ["user_id"], gaps)
+    return collect_sorted(out, ["user_id"])
+
+
+SQL_EVENT_GAPS = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS total_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+             AS gap
+  FROM events
+) WHERE gap IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+ORACLE_QUERIES["event_gaps"] = (q_event_gaps, SQL_EVENT_GAPS)
+
+
+# ---------------------------------------------------------------------------
+# Q: mad_outliers — robust outlier counts per event_type: |v - median|
+# > 5 * MAD on the exact integer e6 grid.  Median and MAD are EXACT
+# global order statistics via functions/exchange.global_kth_smallest
+# (bounded-domain histogram exchange; lower median at k=(n+1)//2 so
+# even counts stay integer-exact on both sides — AVG-style medians
+# would leave the grid).  The projected (event_type, v) stream is
+# materialized once and re-consumed by the two statistic passes plus
+# the final filter; at the 100x scale that is one spillable
+# object-store copy of a two-column projection, cheaper than three
+# re-reads only when storage is remote — both shapes stream.
+# ---------------------------------------------------------------------------
+def q_mad_outliers(sf_dir: str):
+    from pynomaly_ray.functions.exchange import global_kth_smallest
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def e6(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["value"].notna()]
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "v": np.floor(
+                        df["value"].to_numpy(dtype=np.float64) * 1_000_000.0 + 0.5
+                    ).astype(np.int64),
+                }
+            )
+        )
+
+    vds = ds.map_batches(e6, batch_format="pyarrow").materialize()
+    n = vds.count()
+    med = global_kth_smallest(vds, "v", (n + 1) // 2)
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        return pa.table({"d": pa.array(np.abs(v - med))})
+
+    dds = vds.map_batches(dev, batch_format="pyarrow")
+    mad = global_kth_smallest(dds, "d", (n + 1) // 2)
+
+    def flag(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df[np.abs(df["v"].to_numpy() - med) > 5 * mad]
+        if not len(out):
+            return pa.table(
+                {"event_type": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = out.groupby("event_type", sort=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(g.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    partials = vds.map_batches(flag, batch_format="pyarrow")
+    out = _collect(
+        hash_aggregate(
+            partials,
+            ["event_type"],
+            lambda df: df.groupby("event_type", sort=False)["n"]
+            .sum()
+            .reset_index(name="n_out"),
+        ),
+        pa.schema([("event_type", pa.string()), ("n_out", pa.int64())]),
+    )
+    return collect_sorted(out.to_pandas(), ["event_type"])
+
+
+SQL_MAD_OUTLIERS = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+m AS (SELECT v AS med FROM v ORDER BY v
+      LIMIT 1 OFFSET ((SELECT COUNT(*) FROM v) + 1) // 2 - 1),
+d AS (SELECT event_type, ABS(v - (SELECT med FROM m)) AS dev FROM v),
+md AS (SELECT dev AS mad FROM d ORDER BY dev
+       LIMIT 1 OFFSET ((SELECT COUNT(*) FROM d) + 1) // 2 - 1)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_out
+FROM d WHERE dev > 5 * (SELECT mad FROM md)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+ORACLE_QUERIES["mad_outliers"] = (q_mad_outliers, SQL_MAD_OUTLIERS)
+
+
+# ---------------------------------------------------------------------------
+# Q: table_profile — exact per-column profile (rows, nulls, distinct,
+# min/max on the e6 grid) of lineitem's numeric measures, the
+# data-quality profiling operator.  ONE read and ONE exchange: each
+# block emits per-(column, value) COUNTED partials (nulls as a flagged
+# zero-value row, so null counts ride the same stream), the
+# (col, v, isn)-keyed exchange folds them — per-bucket distinct/min/max
+# /counts are disjoint by construction and sum exactly.  Exact distinct
+# of an unbounded-cardinality column is inherently a full exchange of
+# the distinct set; the approximate scale path is the HLL sketch
+# (approx_distinct_users).
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def q_table_profile(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem", _PROFILE_COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols, vals, isn, cnt = [], [], [], []
+        for c in _PROFILE_COLS:
+            s = t[c].to_pandas()
+            null_n = int(s.isna().sum())
+            e6 = np.floor(
+                s.dropna().to_numpy(dtype=np.float64) * 1_000_000.0 + 0.5
+            ).astype(np.int64)
+            uv, uc = np.unique(e6, return_counts=True)
+            cols.append(np.full(len(uv) + (1 if null_n else 0), c, dtype=object))
+            vals.append(np.concatenate([uv, [0]]) if null_n else uv)
+            isn.append(
+                np.concatenate([np.zeros(len(uv), np.int64), [1]])
+                if null_n
+                else np.zeros(len(uv), np.int64)
+            )
+            cnt.append(
+                np.concatenate([uc.astype(np.int64), [null_n]])
+                if null_n
+                else uc.astype(np.int64)
+            )
+        return pa.table(
+            {
+                "col_name": pa.array(np.concatenate(cols), pa.string()),
+                "v": pa.array(np.concatenate(vals)),
+                "isn": pa.array(np.concatenate(isn)),
+                "n": pa.array(np.concatenate(cnt)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # same (col, v, isn) key always lands in the same bucket, so a
+        # per-bucket fold over the folded keys is globally exact
+        g = df.groupby(["col_name", "v", "isn"], sort=False)["n"].sum().reset_index()
+        vals = g[g["isn"] == 0]
+        nulls = g[g["isn"] == 1]
+        per_col = vals.groupby("col_name", sort=False).agg(
+            n_vals=("n", "sum"), n_distinct=("v", "size"),
+            min_e6=("v", "min"), max_e6=("v", "max"),
+        )
+        nn = nulls.groupby("col_name", sort=False)["n"].sum()
+        # a column can be ALL null within a bucket (or globally): it has
+        # no value rows but must still surface its null count
+        idx = per_col.index.union(nn.index)
+        per_col = per_col.reindex(idx)
+        per_col["n_null"] = nn.reindex(idx).fillna(0).astype(np.int64)
+        for c in ("n_vals", "n_distinct"):
+            per_col[c] = per_col[c].fillna(0).astype(np.int64)
+        per_col[["min_e6", "max_e6"]] = per_col[["min_e6", "max_e6"]].astype(
+            "Int64"
+        )
+        return per_col.rename_axis("col_name").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    buckets = hash_aggregate(partials, ["col_name", "v", "isn"], fold).to_pandas()
+    # driver fold over P tiny per-bucket rows (min of mins, sum of sums)
+    g = buckets.groupby("col_name").agg(
+        n_vals=("n_vals", "sum"), n_null=("n_null", "sum"),
+        n_distinct=("n_distinct", "sum"),
+        min_e6=("min_e6", "min"), max_e6=("max_e6", "max"),
+    ).reset_index()
+    out = pd.DataFrame(
+        {
+            "col_name": g["col_name"],
+            "n_rows": (g["n_vals"] + g["n_null"]).astype(np.int64),
+            "n_null": g["n_null"].astype(np.int64),
+            "n_distinct": g["n_distinct"].astype(np.int64),
+            # nullable: an all-null column has no min/max (SQL MIN -> NULL)
+            "min_e6": g["min_e6"].astype("Int64"),
+            "max_e6": g["max_e6"].astype("Int64"),
+        }
+    )
+    return collect_sorted(out, ["col_name"])
+
+
+SQL_TABLE_PROFILE = """
+WITH p AS (
+  SELECT 'l_discount' AS col_name, l_discount AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+), e AS (
+  SELECT col_name, CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS v_e6 FROM p
+)
+SELECT col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(v_e6) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT v_e6) AS BIGINT) AS n_distinct,
+       MIN(v_e6) AS min_e6,
+       MAX(v_e6) AS max_e6
+FROM e GROUP BY col_name ORDER BY col_name
+"""
+
+
+ORACLE_QUERIES["table_profile"] = (q_table_profile, SQL_TABLE_PROFILE)
