@@ -3552,3 +3552,54 @@ FROM e GROUP BY col_name ORDER BY col_name
 
 
 ORACLE_QUERIES["table_profile"] = (q_table_profile, SQL_TABLE_PROFILE)
+
+
+# ---------------------------------------------------------------------------
+# Q: bigram_lm_score — corpus bigram language-model quality signal
+# (stages/lm.py, CCNet-shaped): per doc, the summed 1e6-scaled
+# add-one-smoothed bigram probability sum(((c2+1)*1e6) // (c1+V)),
+# computed with three int64-keyed exchanges and NO broadcast model.
+# Integer floor division on both sides keeps the distributed sum
+# reduction-order exact; the SQL twin recomputes c1/c2/V textually, so
+# an engine-side hash collision or tokenizer drift breaks the match.
+# ---------------------------------------------------------------------------
+def q_bigram_lm_score(sf_dir: str):
+    from pynomaly_ray.stages.lm import bigram_lm_scores
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        bigram_lm_scores(docs),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_big", pa.int64()), ("p_e6_total", pa.int64())]
+        ),
+    )
+    return collect_sorted(out.to_pandas(), ["doc_id"])
+
+
+SQL_BIGRAM_LM_SCORE = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+u AS (SELECT t.tok FROM tok, UNNEST(w) AS t(tok)),
+c1 AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+vv AS (SELECT COUNT(*) AS v FROM c1),
+big AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(((c2.c + 1) * 1000000) // (c1.c + (SELECT v FROM vv)))
+            AS BIGINT) AS p_e6_total
+FROM big b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN c1 ON b.w1 = c1.tok
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+ORACLE_QUERIES["bigram_lm_score"] = (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE)

@@ -107,3 +107,78 @@ def test_mad_outliers_all_inliers_empty(ray_session, tmp_path):
     out = q_mad_outliers(sf)
     assert len(out) == 0
     assert list(out.columns) == ["event_type", "n_out"]
+
+
+# ---------------------------------------------------------------------------
+# bigram LM quality score
+# ---------------------------------------------------------------------------
+def test_bigram_lm_score_handcrafted(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.lm import bigram_lm_scores
+
+    # corpus: "a b", "a b", "a c", "z" (z: no bigrams, but counts toward
+    # unigrams/vocab).  c1: a=3, b=2, c=1, z=1; V=4.
+    # bigrams: (a,b) c2=2 twice, (a,c) c2=1 once.
+    # p_e6(a,b) = (2+1)*1e6 // (3+4) = 428571
+    # p_e6(a,c) = (1+1)*1e6 // (3+4) = 285714
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": ["a b", "a b", "a c", "z"],
+            }
+        )
+    )
+    out = (
+        bigram_lm_scores(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2, 3]  # doc 4 has no bigram
+    assert list(out["n_big"]) == [1, 1, 1]
+    assert list(out["p_e6_total"]) == [428571, 428571, 285714]
+
+
+def test_bigram_lm_score_nul_tokens_distinct(ray_session):
+    """Tokens differing only after an embedded NUL must count as
+    DIFFERENT unigrams/bigrams (the round-5 NUL-safe hash contract)."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.lm import bigram_lm_scores
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["x a\x00b", "x a\x00c"],
+            }
+        )
+    )
+    out = bigram_lm_scores(docs).to_pandas().sort_values("doc_id")
+    # c1: x=2, a\0b=1, a\0c=1; V=3; each bigram unique (c2=1):
+    # p_e6 = 2*1e6 // (2+3) = 400000 for both docs
+    assert list(out["p_e6_total"]) == [400_000, 400_000]
+    assert list(out["n_big"]) == [1, 1]
+
+
+def test_bigram_lm_score_multi_partition(ray_session, monkeypatch):
+    """Forced multi-bucket exchanges: global c1/c2/V must be exact when
+    occurrence rows spread across many blocks and buckets."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.lm import bigram_lm_scores
+
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "4096")
+    n = 300
+    texts = ["the cat sat"] * n  # every doc identical
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts})
+    ).repartition(16)
+    out = bigram_lm_scores(docs).to_pandas()
+    # c1(the)=n, c1(cat)=n, V=3; c2(the,cat)=n, c2(cat,sat)=n
+    exp = ((n + 1) * 1_000_000) // (n + 3)
+    assert len(out) == n
+    assert (out["n_big"] == 2).all()
+    assert (out["p_e6_total"] == 2 * exp).all()
