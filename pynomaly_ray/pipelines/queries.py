@@ -3603,3 +3603,71 @@ ORDER BY b.doc_id
 
 
 ORACLE_QUERIES["bigram_lm_score"] = (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE)
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_spans_removed — substring-dedup removal (Lee et al. 2021
+# shape; stages/decontam.duplicate_span_removal): rewrite each doc with
+# every token covered by a cross-doc duplicated 4-gram removed.  The
+# SQL twin rebuilds shingles with the injective length-prefixed
+# encoding, derives per-position coverage with a bounded range join
+# (start in [j-3, j]), and re-assembles the cleaned text with an
+# ordered STRING_AGG — certifying flagging, coverage windows, and the
+# Arrow take/binary_join reassembly byte-exactly.
+# ---------------------------------------------------------------------------
+def q_dedup_spans_removed(sf_dir: str):
+    from pynomaly_ray.stages.decontam import duplicate_span_removal
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        duplicate_span_removal(docs, k=_DUPSPAN_K),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tok", pa.int64()),
+                ("n_removed", pa.int64()),
+                ("text_clean", pa.string()),
+            ]
+        ),
+    )
+    return collect_sorted(out.to_pandas(), ["doc_id"])
+
+
+SQL_DEDUP_SPANS_REMOVED = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+st AS (
+  SELECT doc_id, i,
+         array_to_string(list_transform(w[i:i+3],
+                                        t -> CONCAT(len(t), ':', t)), '') AS s
+  FROM tok, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+),
+c AS (SELECT s FROM st GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+dup AS (SELECT st.doc_id, st.i FROM st JOIN c USING (s)),
+pos AS (
+  SELECT doc_id, j, w[j] AS tokj
+  FROM tok, UNNEST(generate_series(1, len(w))) AS t(j)
+  WHERE len(w) >= 1
+),
+cov AS (
+  SELECT p.doc_id, p.j, ANY_VALUE(p.tokj) AS tokj,
+         COUNT(dup.i) > 0 AS covered
+  FROM pos p LEFT JOIN dup
+    ON dup.doc_id = p.doc_id AND dup.i BETWEEN p.j - 3 AND p.j
+  GROUP BY p.doc_id, p.j
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(STRING_AGG(CASE WHEN NOT covered THEN tokj END, ' '
+                           ORDER BY j), '') AS text_clean
+FROM cov
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["dedup_spans_removed"] = (q_dedup_spans_removed, SQL_DEDUP_SPANS_REMOVED)

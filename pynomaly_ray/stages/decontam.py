@@ -359,3 +359,151 @@ def decontaminate_bloom(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def duplicate_span_removal(docs_ds, k: int = 4, num_partitions: int | None = None):
+    """Substring-dedup REMOVAL (the acting counterpart of
+    :func:`duplicate_span_profile`, after Lee et al. 2021 at k-word-gram
+    granularity): rewrite each document with every token that lies
+    inside a cross-doc duplicated k-gram removed, emitting (doc_id,
+    n_tok, n_removed, text_clean) with space-normalized text.
+
+    A token at position j is covered iff SOME k-gram starting in
+    [j-k+1, j] occurs in >= 2 distinct documents.  Within-doc repeats of
+    a globally-unique k-gram are NOT duplicated (cross-doc signal only —
+    the profile operator's contract).
+
+    Shape: the profile's shingle-keyed exchange, emitting only the
+    flagged (doc, shingle) pairs (the duplicated vocabulary per doc — a
+    small fraction of the corpus by design), then ONE doc-keyed exchange
+    of those pairs tag-unioned with the document texts.  The reducer
+    re-derives each doc's shingle starts with the shared kernel, flags
+    them against the bucket's duplicated-hash set (exact per-doc: pass 1
+    emits a pair for EVERY containing doc, so a hash present in the
+    bucket set but absent from a doc cannot mark that doc), builds the
+    coverage mask with prefix sums, and materializes every cleaned text
+    via one Arrow ``take`` + ``binary_join`` — no Python loop over docs.
+    Zero-token docs are excluded on both sides; docs shorter than k keep
+    all tokens (normalized joins only).
+    """
+    import pyarrow.compute as pc
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    def emit(t: pa.Table) -> pa.Table:
+        sh, pos, kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), k)
+        ids = t["doc_id"].filter(pa.array(kept)).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sh": pa.array(sh.view(np.int64)),
+                "doc_id": pa.array(ids[pos]),
+            }
+        )
+
+    rows = docs_ds.map_batches(emit, batch_format="pyarrow")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby("sh", sort=False)["doc_id"].transform("size")
+        return df[n.to_numpy() >= 2]
+
+    dup_rows = hash_aggregate(rows, ["sh"], flag, num_partitions=num_partitions)
+
+    def tag_text(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sh": pa.array(np.zeros(n, np.int64)),
+                "text": t["text"],
+                "is_text": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    def tag_dup(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sh": t["sh"],
+                "text": pa.array([""] * n, pa.string()),
+                "is_text": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    tagged = docs_ds.map_batches(tag_text, batch_format="pyarrow").union(
+        dup_rows.map_batches(tag_dup, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tok", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("text_clean", pa.string()),
+        ]
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        texts = df[df["is_text"] == 1]
+        dup_set = np.unique(
+            df.loc[df["is_text"] == 0, "sh"].to_numpy(dtype=np.int64).view(np.uint64)
+        )
+        toks = texts["text"].fillna("").str.findall(_TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        keep_doc = lens >= 1
+        if not keep_doc.any():
+            return out_schema.empty_table()
+        ids = texts["doc_id"].to_numpy()[keep_doc].astype(np.int64)
+        toklists = toks[keep_doc].tolist()
+        lens = lens[keep_doc]
+        n_docs = len(ids)
+        total = int(lens.sum())
+        doc_of_tok = np.repeat(np.arange(n_docs), lens)
+        covered = np.zeros(total, bool)
+
+        long_mask = lens >= k
+        if long_mask.any():
+            from pynomaly_ray.stages.dedup import shingles_from_token_lists
+
+            long_lists = [toklists[i] for i in np.nonzero(long_mask)[0]]
+            # every passed doc has >= k tokens, so no short-doc sentinel
+            # slots reach the start array
+            sh_all, soff = shingles_from_token_lists(long_lists, k)
+            starts = np.isin(sh_all, dup_set)
+            csum = np.concatenate([[0], np.cumsum(starts)])
+            lens_l = lens[long_mask]
+            m_d = lens_l - k + 1
+            n_long_tok = int(lens_l.sum())
+            woff_l = np.concatenate([[0], np.cumsum(lens_l)])
+            jloc = np.arange(n_long_tok) - np.repeat(woff_l[:-1], lens_l)
+            base = np.repeat(soff[:-1], lens_l)
+            lo = base + np.maximum(0, jloc - (k - 1))
+            hi = base + np.minimum(jloc, np.repeat(m_d - 1, lens_l))
+            cov_long = (csum[hi + 1] - csum[lo]) > 0
+            covered[np.repeat(long_mask, lens)] = cov_long
+
+        flat = pa.array(
+            [w for lst in toklists for w in lst], pa.string()
+        )
+        keep_idx = np.nonzero(~covered)[0]
+        flat_kept = flat.take(pa.array(keep_idx, pa.int64()))
+        kept_per_doc = np.bincount(doc_of_tok[~covered], minlength=n_docs)
+        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_kept)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tok": pa.array(lens),
+                "n_removed": pa.array(
+                    np.bincount(doc_of_tok[covered], minlength=n_docs).astype(
+                        np.int64
+                    )
+                ),
+                "text_clean": pc.binary_join(lists, " "),
+            }
+        )
+
+    return hash_aggregate(
+        tagged, ["doc_id"], rebuild, num_partitions=num_partitions, arrow=True
+    )

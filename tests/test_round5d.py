@@ -182,3 +182,98 @@ def test_bigram_lm_score_multi_partition(ray_session, monkeypatch):
     assert len(out) == n
     assert (out["n_big"] == 2).all()
     assert (out["p_e6_total"] == 2 * exp).all()
+
+
+# ---------------------------------------------------------------------------
+# substring-dedup removal
+# ---------------------------------------------------------------------------
+def test_duplicate_span_removal_handcrafted(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.decontam import duplicate_span_removal
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": [
+                    "A B C D x y z",     # shares 4-gram "A B C D" with doc 2
+                    "p A B C D q",       # same span mid-doc
+                    "u v w",             # short (<4 tokens): untouched
+                    "r r r r r s t u2",  # within-doc-only repeat: NOT dup
+                    "",                  # zero tokens: excluded
+                ],
+            }
+        )
+    )
+    out = (
+        duplicate_span_removal(docs, k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    # doc 1: tokens A B C D covered (the one dup start at pos 0)
+    assert out.loc[0, "text_clean"] == "x y z"
+    assert out.loc[0, "n_removed"] == 4
+    # doc 2: same span, surrounded by unique tokens
+    assert out.loc[1, "text_clean"] == "p q"
+    assert out.loc[1, "n_removed"] == 4
+    # doc 3: too short for shingles, all kept
+    assert out.loc[2, "text_clean"] == "u v w"
+    assert out.loc[2, "n_removed"] == 0
+    # doc 4: "r r r r" repeats inside ONE doc only -> cross-doc count 1
+    assert out.loc[3, "text_clean"] == "r r r r r s t u2"
+    assert out.loc[3, "n_removed"] == 0
+
+
+def test_duplicate_span_removal_overlapping_coverage(ray_session):
+    """Two overlapping dup 4-grams must merge into one covered run."""
+    import ray.data as rd
+
+    from pynomaly_ray.stages.decontam import duplicate_span_removal
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": [
+                    "k1 a b c d e k2",  # dup 4-grams: "a b c d" and "b c d e"
+                    "a b c d e",
+                ],
+            }
+        )
+    )
+    out = (
+        duplicate_span_removal(docs, k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "text_clean"] == "k1 k2"
+    assert out.loc[0, "n_removed"] == 5
+    assert out.loc[1, "text_clean"] == ""
+    assert out.loc[1, "n_removed"] == 5
+
+
+def test_duplicate_span_removal_multi_partition(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.decontam import duplicate_span_removal
+
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "4096")
+    n = 200
+    texts = [
+        "copy pasta boiler plate junk" if i % 2 == 0 else f"u{i} v{i} w{i} x{i} y{i}"
+        for i in range(n)
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts})
+    ).repartition(16)
+    out = duplicate_span_removal(docs, k=4).to_pandas()
+    even = out[out["doc_id"] % 2 == 0]
+    odd = out[out["doc_id"] % 2 == 1]
+    assert len(out) == n
+    assert (even["text_clean"] == "").all()
+    assert (even["n_removed"] == 5).all()
+    assert (odd["n_removed"] == 0).all()
