@@ -3671,3 +3671,270 @@ ORDER BY doc_id
 
 
 ORACLE_QUERIES["dedup_spans_removed"] = (q_dedup_spans_removed, SQL_DEDUP_SPANS_REMOVED)
+
+
+# ---------------------------------------------------------------------------
+# Q: ngram_novelty — per-doc novelty attribution (inverse of
+# duplicate_spans; stages/decontam.ngram_novelty_profile): each distinct
+# 4-gram attributed to its MIN doc_id; novelty = first-seen fraction.
+# ---------------------------------------------------------------------------
+def q_ngram_novelty(sf_dir: str):
+    from pynomaly_ray.stages.decontam import ngram_novelty_profile
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        ngram_novelty_profile(docs, k=_DUPSPAN_K),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_sh", pa.int64()),
+                ("n_novel", pa.int64()),
+                ("novelty_e6", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out.to_pandas(), ["doc_id"])
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_transform(w[i:i+3],
+                                        t -> CONCAT(len(t), ':', t)), '') AS s
+  FROM tok, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+),
+f AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+p AS (
+  SELECT sh.doc_id, COUNT(*) AS n_sh,
+         SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
+  FROM sh JOIN f USING (s) GROUP BY sh.doc_id
+)
+SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(FLOOR(n_novel * 1000000.0 / n_sh + 0.5) AS BIGINT) AS novelty_e6
+FROM p
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["ngram_novelty"] = (q_ngram_novelty, SQL_NGRAM_NOVELTY)
+
+
+# ---------------------------------------------------------------------------
+# Q: json_field_agg — typed field extraction from a semi-structured
+# string column (events.props holds JSON objects), aggregated per
+# event_type.  Extraction is a vectorized regex fast-path shared with
+# the SQL twin's RE2 pattern (both dialects anchor the same capture);
+# a general nested-JSON path would be an actor-pool stage with a real
+# parser — this certifies the extract-then-aggregate plumbing.
+# Non-matching / null props are excluded from the k aggregates but
+# still counted in n_rows.
+# ---------------------------------------------------------------------------
+def q_json_field_agg(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False),
+            errors="coerce",
+        )
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k}).groupby(
+            "event_type", sort=False
+        )["k"]
+        out = g.agg(n_rows="size", n_k="count", sum_k="sum", min_k="min", max_k="max")
+        out = out.reset_index()
+        for c in ("n_rows", "n_k", "sum_k"):
+            out[c] = out[c].fillna(0).astype(np.int64)
+        out["min_k"] = out["min_k"].astype("Int64")
+        out["max_k"] = out["max_k"].astype("Int64")
+        return _from_pandas(out)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False).agg(
+            n_rows=("n_rows", "sum"), n_k=("n_k", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"),
+        ).reset_index()
+        for c in ("n_rows", "n_k", "sum_k"):
+            g[c] = g[c].astype(np.int64)
+        g["min_k"] = g["min_k"].astype("Int64")
+        g["max_k"] = g["max_k"].astype("Int64")
+        return g
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type"], fold
+    )
+    return collect_sorted(out, ["event_type"])
+
+
+SQL_JSON_FIELD_AGG = r"""
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+                  AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLE_QUERIES["json_field_agg"] = (q_json_field_agg, SQL_JSON_FIELD_AGG)
+
+
+# ---------------------------------------------------------------------------
+# Q: event_funnel — behavioral funnel: users with a 'purchase' STRICTLY
+# after a 'view' within one hour.  One user-keyed exchange; per-bucket
+# vectorized pd.merge_asof (backward, exact matches off, 1h tolerance)
+# matches each purchase to its latest prior view; per-bucket distinct
+# user counts are disjoint and sum exactly.
+# ---------------------------------------------------------------------------
+_FUNNEL_WINDOW_US = 3_600_000_000
+
+
+def q_event_funnel(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(["view", "purchase"])]
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                    "us": df["ts"].astype("int64").to_numpy(),
+                    "is_view": (df["event_type"] == "view").to_numpy(np.int64),
+                }
+            )
+        )
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        views = df[df["is_view"] == 1].sort_values("us", kind="mergesort")
+        buys = df[df["is_view"] == 0].sort_values("us", kind="mergesort")
+        n_viewers = views["user_id"].nunique()
+        if not len(views) or not len(buys):
+            n_conv = 0
+        else:
+            m = pd.merge_asof(
+                buys,
+                views[["user_id", "us"]].rename(columns={"us": "view_us"}),
+                left_on="us",
+                right_on="view_us",
+                by="user_id",
+                direction="backward",
+                allow_exact_matches=False,
+                tolerance=_FUNNEL_WINDOW_US,
+            )
+            n_conv = m.loc[m["view_us"].notna(), "user_id"].nunique()
+        return pd.DataFrame(
+            {
+                "n_viewers": pd.array([n_viewers], dtype=np.int64),
+                "n_converted": pd.array([n_conv], dtype=np.int64),
+            }
+        )
+
+    per_bucket = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], funnel
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_viewers": pd.array([per_bucket["n_viewers"].sum()], dtype=np.int64),
+            "n_converted": pd.array(
+                [per_bucket["n_converted"].sum()], dtype=np.int64
+            ),
+        }
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+conv AS (
+  SELECT DISTINCT p.user_id
+  FROM events p JOIN events w
+    ON p.user_id = w.user_id
+   AND p.event_type = 'purchase' AND w.event_type = 'view'
+   AND p.ts > w.ts
+   AND epoch_us(p.ts) - epoch_us(w.ts) <= 3600000000
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewers,
+       (SELECT COUNT(*) FROM conv) AS n_converted
+"""
+
+
+ORACLE_QUERIES["event_funnel"] = (q_event_funnel, SQL_EVENT_FUNNEL)
+
+
+# ---------------------------------------------------------------------------
+# Q: domain_upsample — temperature-style source rebalancing by integer
+# replication: rare sources are repeated ceil(max_count/count) times
+# (capped at 4), the up-sampling side of domain_mix.  Per-source counts
+# are a tiny dim (one exchange of partials); factors broadcast in the
+# replicate pass's closure; replication itself is a vectorized
+# map-side np.repeat with an explicit copy_idx so downstream epochs
+# can distinguish (and re-shuffle) the copies deterministically.
+# Integer ceil ((m + c - 1) // c) on both sides — float division would
+# misround exact multiples.
+# ---------------------------------------------------------------------------
+_UPSAMPLE_CAP = 4
+
+
+def q_domain_upsample(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("doc_id", "count")])
+        return pa.table(
+            {"source": g["source"], "n": g["doc_id_count"].cast(pa.int64())}
+        )
+
+    cnt = hash_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["source"],
+        lambda df: df.groupby("source", sort=False)["n"].sum().reset_index(),
+    ).to_pandas()
+    m = int(cnt["n"].max())
+    factors = {
+        s: min(_UPSAMPLE_CAP, (m + c - 1) // c)
+        for s, c in zip(cnt["source"], cnt["n"])
+    }
+
+    def replicate(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        f = df["source"].map(factors).to_numpy(dtype=np.int64)
+        rep = np.repeat(np.arange(len(df)), f)
+        copy_idx = np.arange(len(rep)) - np.repeat(np.cumsum(f) - f, f)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)[rep]),
+                "copy_idx": pa.array(copy_idx),
+            }
+        )
+
+    out = ds.map_batches(replicate, batch_format="pyarrow")
+    return collect_sorted(out, ["doc_id", "copy_idx"])
+
+
+SQL_DOMAIN_UPSAMPLE = """
+WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+mx AS (SELECT MAX(c) AS m FROM cnt),
+f AS (SELECT source,
+             LEAST(((SELECT m FROM mx) + c - 1) // c, 4) AS f
+      FROM cnt)
+SELECT d.doc_id, t.ci AS copy_idx
+FROM documents d JOIN f USING (source),
+     UNNEST(generate_series(0, CAST(f.f AS BIGINT) - 1)) AS t(ci)
+ORDER BY doc_id, copy_idx
+"""
+
+
+ORACLE_QUERIES["domain_upsample"] = (q_domain_upsample, SQL_DOMAIN_UPSAMPLE)

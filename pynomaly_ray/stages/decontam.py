@@ -507,3 +507,61 @@ def duplicate_span_removal(docs_ds, k: int = 4, num_partitions: int | None = Non
     return hash_aggregate(
         tagged, ["doc_id"], rebuild, num_partitions=num_partitions, arrow=True
     )
+
+
+def ngram_novelty_profile(docs_ds, k: int = 4, num_partitions: int | None = None):
+    """Per-doc novelty attribution: of the doc's DISTINCT k-word
+    shingles, how many are FIRST seen in this doc, attributing each
+    shingle to its minimum doc_id (the deterministic "who contributed
+    this content" order).  The inverse view of
+    :func:`duplicate_span_profile` — a doc full of content introduced
+    elsewhere scores near 0, the corpus's novelty frontier scores 1e6.
+
+    Same two-exchange shape as the profile: shingle-keyed buckets
+    compute the per-shingle min doc and flag each (doc, shingle) row
+    novel iff doc == min; doc-keyed buckets fold (n_sh, n_novel,
+    novelty_e6).  Docs with < k tokens are excluded on both sides.
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    def emit(t: pa.Table) -> pa.Table:
+        sh, pos, kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), k)
+        ids = t["doc_id"].filter(pa.array(kept)).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sh": pa.array(sh.view(np.int64)),
+                "doc_id": pa.array(ids[pos]),
+            }
+        )
+
+    rows = docs_ds.map_batches(emit, batch_format="pyarrow")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("sh", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "novel": (df["doc_id"].to_numpy() == first.to_numpy()).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    flagged = hash_aggregate(rows, ["sh"], flag, num_partitions=num_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)["novel"].agg(["size", "sum"])
+        n_sh = g["size"].to_numpy(dtype=np.int64)
+        n_novel = g["sum"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g.index.to_numpy(),
+                "n_sh": n_sh,
+                "n_novel": n_novel,
+                "novelty_e6": np.floor(
+                    n_novel * 1_000_000.0 / np.maximum(n_sh, 1) + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    return hash_aggregate(flagged, ["doc_id"], fold, num_partitions=num_partitions)

@@ -277,3 +277,102 @@ def test_duplicate_span_removal_multi_partition(ray_session, monkeypatch):
     assert (even["text_clean"] == "").all()
     assert (even["n_removed"] == 5).all()
     assert (odd["n_removed"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# ngram novelty / json field / funnel / upsample
+# ---------------------------------------------------------------------------
+def test_ngram_novelty_handcrafted(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.decontam import ngram_novelty_profile
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "a b c d e",      # doc 1: both shingles first-seen here
+                    "a b c d x",      # doc 2: "a b c d" seen in doc 1 -> 1/2 novel
+                    "q r s",          # <4 tokens: excluded
+                ],
+            }
+        )
+    )
+    out = (
+        ngram_novelty_profile(docs, k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_sh"]) == [2, 2]
+    assert list(out["n_novel"]) == [2, 1]
+    assert list(out["novelty_e6"]) == [1_000_000, 500_000]
+
+
+def test_json_field_agg_malformed_and_null(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_json_field_agg
+
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "event_type": ["a", "a", "a", "b"],
+                "props": ['{"k": 7}', "not json", None, '{"k": -3}'],
+            }
+        ),
+    )
+    out = q_json_field_agg(sf)
+    a = out[out["event_type"] == "a"].iloc[0]
+    b = out[out["event_type"] == "b"].iloc[0]
+    assert (a.n_rows, a.n_k, a.sum_k, a.min_k, a.max_k) == (3, 1, 7, 7, 7)
+    assert (b.n_rows, b.n_k, b.sum_k, b.min_k, b.max_k) == (1, 1, -3, -3, -3)
+
+
+def test_event_funnel_window_boundaries(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_event_funnel
+
+    base = pd.Timestamp("2026-01-01")
+    h = pd.Timedelta(hours=1)
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: purchase exactly 1h after view -> converted (inclusive)
+        (1, base, "view"), (1, base + h, "purchase"),
+        # user 2: purchase at the SAME instant -> NOT converted (strict >)
+        (2, base, "view"), (2, base, "purchase"),
+        # user 3: purchase 1h+1s after view -> outside window
+        (3, base, "view"), (3, base + h + s, "purchase"),
+        # user 4: purchase BEFORE view -> not converted
+        (4, base + h, "view"), (4, base, "purchase"),
+        # user 5: view only
+        (5, base, "view"),
+        # user 6: purchase only (never viewed)
+        (6, base, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", df)
+    out = q_event_funnel(sf)
+    assert out.loc[0, "n_viewers"] == 5
+    assert out.loc[0, "n_converted"] == 1
+
+
+def test_domain_upsample_skewed_sources(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_domain_upsample
+
+    # counts: big=12, mid=5, tiny=1 -> factors: 1, ceil(12/5)=3, capped 4
+    src = ["big"] * 12 + ["mid"] * 5 + ["tiny"]
+    sf = _write(
+        tmp_path,
+        "documents",
+        pd.DataFrame({"doc_id": np.arange(len(src), dtype=np.int64), "source": src}),
+    )
+    out = q_domain_upsample(sf)
+    per_doc = out.groupby("doc_id").size()
+    assert (per_doc.loc[0:11] == 1).all()
+    assert (per_doc.loc[12:16] == 3).all()
+    assert per_doc.loc[17] == 4  # ceil(12/1)=12 capped at 4
+    # copy_idx runs 0..f-1 per doc
+    assert list(out[out["doc_id"] == 12]["copy_idx"]) == [0, 1, 2]
