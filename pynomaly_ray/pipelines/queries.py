@@ -3938,3 +3938,151 @@ ORDER BY doc_id, copy_idx
 
 
 ORACLE_QUERIES["domain_upsample"] = (q_domain_upsample, SQL_DOMAIN_UPSAMPLE)
+
+
+# ---------------------------------------------------------------------------
+# Q: drift_ks — exact two-sample Kolmogorov-Smirnov distance between the
+# 'click' and 'view' value distributions, the distribution-drift check
+# between two cohorts.  Reuses the bounded-domain histogram-exchange
+# shape (global_kth_smallest's contract): per-block (value, n1, n2)
+# partials, one value-keyed exchange, driver cumsum over DISTINCT
+# values only (cap-guarded).  The statistic stays integer-exact:
+# ks_e6 = max|cum1*N2 - cum2*N1| * 1e6 // (N1*N2), evaluated in
+# arbitrary-precision Python on the driver and HUGEINT in SQL.
+# ---------------------------------------------------------------------------
+_KS_DISTINCT_CAP = 2_000_000
+
+
+def q_drift_ks(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(["click", "view"]) & df["value"].notna()]
+        v = np.floor(df["value"].to_numpy(dtype=np.float64) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        is1 = (df["event_type"] == "click").to_numpy()
+        g = pd.DataFrame(
+            {"v": v, "c1": is1.astype(np.int64), "c2": (~is1).astype(np.int64)}
+        ).groupby("v", sort=False).sum()
+        return _from_pandas(g.reset_index())
+
+    folded = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["v"],
+        lambda df: df.groupby("v", sort=False).sum().reset_index(),
+    ).to_pandas()
+    if len(folded) > _KS_DISTINCT_CAP:
+        raise ValueError(
+            f"value domain has {len(folded)} distinct points (cap "
+            f"{_KS_DISTINCT_CAP}); use the KLL sketch for an approximate KS"
+        )
+    folded = folded.sort_values("v")
+    a1 = folded["c1"].to_numpy(dtype=np.int64).cumsum()
+    a2 = folded["c2"].to_numpy(dtype=np.int64).cumsum()
+    n1, n2 = int(a1[-1]) if len(a1) else 0, int(a2[-1]) if len(a2) else 0
+    if n1 == 0 or n2 == 0:
+        raise ValueError("both cohorts must be non-empty for a KS distance")
+    # arbitrary-precision: cum*N products can exceed int64 at full scale
+    d = max(abs(int(x) * n2 - int(y) * n1) for x, y in zip(a1, a2))
+    ks_e6 = (d * 1_000_000) // (n1 * n2)
+    return pd.DataFrame(
+        {
+            "n_click": pd.array([n1], dtype=np.int64),
+            "n_view": pd.array([n2], dtype=np.int64),
+            "ks_e6": pd.array([ks_e6], dtype=np.int64),
+        }
+    )
+
+
+SQL_DRIFT_KS = """
+WITH v AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+),
+n AS (SELECT COUNT(*) FILTER (WHERE grp = 1) AS n1,
+             COUNT(*) FILTER (WHERE grp = 2) AS n2 FROM v),
+h AS (SELECT v,
+             COUNT(*) FILTER (WHERE grp = 1) AS c1,
+             COUNT(*) FILTER (WHERE grp = 2) AS c2
+      FROM v GROUP BY v),
+c AS (SELECT SUM(c1) OVER (ORDER BY v) AS a1,
+             SUM(c2) OVER (ORDER BY v) AS a2 FROM h)
+SELECT CAST((SELECT n1 FROM n) AS BIGINT) AS n_click,
+       CAST((SELECT n2 FROM n) AS BIGINT) AS n_view,
+       CAST(MAX(ABS(a1 * (SELECT n2 FROM n) - a2 * (SELECT n1 FROM n)))
+            * 1000000 // ((SELECT n1 FROM n) * (SELECT n2 FROM n))
+            AS BIGINT) AS ks_e6
+FROM c
+"""
+
+
+ORACLE_QUERIES["drift_ks"] = (q_drift_ks, SQL_DRIFT_KS)
+
+
+# ---------------------------------------------------------------------------
+# Q: hourly_delta — hour-over-hour event-count change per type (the
+# trend/alerting window op): hourly partial counts, then ONE
+# type-keyed exchange whose buckets hold a type's ENTIRE (small by
+# domain) hour series, diffed vectorized after one in-bucket sort.
+# Deltas are against the previous PRESENT hour (LAG over existing
+# rows; gaps are not zero-filled — both sides agree).  First hour of a
+# type has a NULL delta.
+# ---------------------------------------------------------------------------
+def q_hourly_delta(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["hour_bucket"] = df["ts"].astype("int64") // 3_600_000_000
+        g = (
+            df.groupby(["event_type", "hour_bucket"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return _from_pandas(g)
+
+    def delta(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["event_type", "hour_bucket"], sort=False)["n"]
+            .sum()
+            .reset_index()
+            .sort_values(["event_type", "hour_bucket"], kind="mergesort")
+        )
+        prev = g.groupby("event_type", sort=False)["n"].shift(1)
+        # a type's first present hour has no prior -> excluded on both
+        # sides (NULL-valued floats defeat the order-insensitive value
+        # hash, so the contract is "rows that HAVE a delta")
+        g = g[prev.notna()].copy()
+        g["delta"] = (g["n"] - prev[prev.notna()]).astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type"], delta
+    )
+    return collect_sorted(out, ["event_type", "hour_bucket"])
+
+
+SQL_HOURLY_DELTA = """
+WITH h AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS hour_bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, hour_bucket
+)
+SELECT event_type, hour_bucket, n, delta FROM (
+  SELECT event_type, hour_bucket,
+         CAST(n AS BIGINT) AS n,
+         CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY hour_bucket)
+              AS BIGINT) AS delta
+  FROM h
+) WHERE delta IS NOT NULL
+ORDER BY event_type, hour_bucket
+"""
+
+
+ORACLE_QUERIES["hourly_delta"] = (q_hourly_delta, SQL_HOURLY_DELTA)

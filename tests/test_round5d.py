@@ -376,3 +376,64 @@ def test_domain_upsample_skewed_sources(ray_session, tmp_path):
     assert per_doc.loc[17] == 4  # ceil(12/1)=12 capped at 4
     # copy_idx runs 0..f-1 per doc
     assert list(out[out["doc_id"] == 12]["copy_idx"]) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# KS drift / hourly delta
+# ---------------------------------------------------------------------------
+def test_drift_ks_handcrafted(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_drift_ks
+
+    # click values {1,2}, view values {3,4}: disjoint supports -> KS = 1
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "event_type": ["click", "click", "view", "view", "error"],
+                "value": [1.0, 2.0, 3.0, 4.0, 99.0],
+            }
+        ),
+    )
+    out = q_drift_ks(sf)
+    assert out.loc[0, "n_click"] == 2
+    assert out.loc[0, "n_view"] == 2
+    assert out.loc[0, "ks_e6"] == 1_000_000
+
+
+def test_drift_ks_identical_distributions(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_drift_ks
+
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "event_type": ["click", "view"] * 4,
+                "value": [1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0],
+            }
+        ),
+    )
+    out = q_drift_ks(sf)
+    assert out.loc[0, "ks_e6"] == 0
+
+
+def test_hourly_delta_gaps_not_zero_filled(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_hourly_delta
+
+    h0 = pd.Timestamp("2026-01-01 00:30:00")
+    rows = (
+        [("a", h0)] * 3
+        + [("a", h0 + pd.Timedelta(hours=1))] * 5
+        # hour 2 missing entirely; hour 3 present
+        + [("a", h0 + pd.Timedelta(hours=3))] * 2
+        + [("b", h0)]  # single hour -> no delta row
+    )
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", df)
+    out = q_hourly_delta(sf)
+    assert list(out["event_type"]) == ["a", "a"]
+    # delta vs previous PRESENT hour: 5-3=2, then 2-5=-3 across the gap
+    assert list(out["delta"]) == [2, -3]
+    assert list(out["n"]) == [5, 2]
