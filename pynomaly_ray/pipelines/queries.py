@@ -4086,3 +4086,234 @@ ORDER BY event_type, hour_bucket
 
 
 ORACLE_QUERIES["hourly_delta"] = (q_hourly_delta, SQL_HOURLY_DELTA)
+
+
+# ---------------------------------------------------------------------------
+# Q: text_normalize — canonical lowercase/whitespace normalization
+# (stages/text.normalize_text), byte-exact against DuckDB because both
+# sides case-map through utf8proc and share the ASCII whitespace class.
+# ---------------------------------------------------------------------------
+def q_text_normalize(sf_dir: str):
+    from pynomaly_ray.stages.text import normalize_text
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        normalize_text(docs),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text_norm", pa.string()),
+                ("n_chars_norm", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out.to_pandas(), ["doc_id"])
+
+
+SQL_TEXT_NORMALIZE = r"""
+SELECT doc_id,
+       TRIM(regexp_replace(lower(COALESCE(text, '')),
+                           '[ \t\n\r\f\v]+', ' ', 'g')) AS text_norm,
+       CAST(length(TRIM(regexp_replace(lower(COALESCE(text, '')),
+                                       '[ \t\n\r\f\v]+', ' ', 'g')))
+            AS BIGINT) AS n_chars_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["text_normalize"] = (q_text_normalize, SQL_TEXT_NORMALIZE)
+
+
+# ---------------------------------------------------------------------------
+# Q: source_overlap — pairwise source vocabulary Jaccard
+# (stages/text.source_vocab_overlap): distinct-token intersections per
+# source pair from ONE token-keyed exchange, exact integer jaccard_e6.
+# ---------------------------------------------------------------------------
+def q_source_overlap(sf_dir: str):
+    from pynomaly_ray.stages.text import source_vocab_overlap
+
+    docs = _pq(sf_dir, "documents", ["source", "text"])
+    out = source_vocab_overlap(docs)
+    return collect_sorted(out, ["src_a", "src_b"])
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH tok AS (
+  SELECT DISTINCT source, t.tok
+  FROM documents,
+       UNNEST(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS t(tok)
+),
+n AS (SELECT source, COUNT(*) AS c FROM tok GROUP BY source),
+i AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+       CAST(inter * 1000000 // (na.c + nb.c - inter) AS BIGINT) AS jaccard_e6
+FROM i
+JOIN n na ON na.source = i.src_a
+JOIN n nb ON nb.source = i.src_b
+ORDER BY src_a, src_b
+"""
+
+
+ORACLE_QUERIES["source_overlap"] = (q_source_overlap, SQL_SOURCE_OVERLAP)
+
+
+# ---------------------------------------------------------------------------
+# Q: bigram_collocations — top-20 corpus bigrams by frequency with an
+# exact integer lift (PMI's ratio un-logged on the e6 grid:
+# c2 * N * 1e6 // (c1(w1) * c1(w2))).  Per-block (w1, w2, n) partials
+# fold in ONE pair-keyed exchange (NUL-safe string keys); each bucket
+# ships only its local top-20 plus one total row, so the driver sees
+# P * 21 rows regardless of vocabulary size.  The <= 40 winning tokens'
+# unigram counts come from a second broadcast-filtered pass; lift is
+# arbitrary-precision on the driver (the SQL twin uses HUGEINT).
+# Tie-break (n DESC, w1, w2) matches ORDER BY exactly, so rank-20 ties
+# cannot flip the hash.
+# ---------------------------------------------------------------------------
+_COLLOC_K = 20
+
+
+def q_bigram_collocations(sf_dir: str):
+    from pynomaly_ray.functions.hashing import nul_safe_key
+    from pynomaly_ray.stages.decontam import _TOKEN_RE
+
+    ds = _pq(sf_dir, "documents", ["text"]).materialize()
+
+    def flat_tokens(t: pa.Table):
+        texts = t["text"].to_pandas().fillna("")
+        toks = texts.str.findall(_TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = np.array(
+            [w for lst in toks.tolist() for w in lst], dtype=object
+        )
+        return flat, lens
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, lens = flat_tokens(t)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        m = n - 1
+        woff = np.concatenate([[0], np.cumsum(lens)])
+        doc_of = np.repeat(np.arange(len(lens)), lens)[:m]
+        valid = (np.arange(m) + 2) <= woff[doc_of + 1]
+        df = pd.DataFrame({"w1": flat[:m][valid], "w2": flat[1:][valid]})
+        g = (
+            df.groupby(
+                [nul_safe_key(df["w1"]), nul_safe_key(df["w2"])], sort=False
+            )
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "w1": pa.array(g["w1"].astype(object), pa.string()),
+                "w2": pa.array(g["w2"].astype(object), pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "w1": pd.array([], dtype="string"),
+                    "w2": pd.array([], dtype="string"),
+                    "n": pd.Series(dtype=np.int64),
+                    "kind": pd.Series(dtype=np.int64),
+                }
+            )
+        g = (
+            df.groupby(
+                [nul_safe_key(df["w1"]), nul_safe_key(df["w2"])], sort=False
+            )["n"]
+            .sum()
+            .reset_index()
+        )
+        total = int(g["n"].sum())
+        g["w1"] = g["w1"].astype(object)
+        g["w2"] = g["w2"].astype(object)
+        top = g.sort_values(
+            ["n", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        ).head(_COLLOC_K)
+        top = top.assign(kind=np.int64(0))
+        tot_row = pd.DataFrame(
+            {"w1": [""], "w2": [""], "n": [total], "kind": [np.int64(1)]}
+        )
+        return pd.concat([top, tot_row], ignore_index=True)
+
+    buckets = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["w1", "w2"], fold
+    ).to_pandas()
+    n_total = int(buckets.loc[buckets["kind"] == 1, "n"].sum())
+    top = (
+        buckets[buckets["kind"] == 0]
+        .sort_values(["n", "w1", "w2"], ascending=[False, True, True], kind="mergesort")
+        .head(_COLLOC_K)
+        .reset_index(drop=True)
+    )
+    winners = set(top["w1"]) | set(top["w2"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _lens = flat_tokens(t)
+        hit = flat[np.isin(flat, list(winners))] if len(flat) else flat
+        uv, uc = np.unique(hit, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(uv.astype(object), pa.string()),
+                "c": pa.array(uc.astype(np.int64)),
+            }
+        )
+
+    uni = ds.map_batches(uni_partial, batch_format="pyarrow").to_pandas()
+    c1 = uni.groupby("tok")["c"].sum().to_dict()
+    lift = [
+        (int(r.n) * n_total * 1_000_000) // (int(c1[r.w1]) * int(c1[r.w2]))
+        for r in top.itertuples()
+    ]
+    return pd.DataFrame(
+        {
+            "w1": top["w1"].astype(object),
+            "w2": top["w2"].astype(object),
+            "n_pair": top["n"].to_numpy(dtype=np.int64),
+            "lift_e6": pd.array(lift, dtype=np.int64),
+        }
+    )
+
+
+SQL_BIGRAM_COLLOCATIONS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+big AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+top AS (SELECT * FROM c2 ORDER BY c DESC, w1, w2 LIMIT 20),
+u AS (SELECT t.tok FROM tok, UNNEST(w) AS t(tok)),
+c1 AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+nn AS (SELECT COUNT(*) AS n FROM big)
+SELECT top.w1, top.w2, CAST(top.c AS BIGINT) AS n_pair,
+       CAST(CAST(top.c AS HUGEINT) * (SELECT n FROM nn) * 1000000
+            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_e6
+FROM top
+JOIN c1 ca ON ca.tok = top.w1
+JOIN c1 cb ON cb.tok = top.w2
+ORDER BY n_pair DESC, w1, w2
+"""
+
+
+ORACLE_QUERIES["bigram_collocations"] = (q_bigram_collocations, SQL_BIGRAM_COLLOCATIONS)

@@ -374,3 +374,169 @@ def chunk_documents(docs_ds, chunk_words: int = 32):
         )
 
     return docs_ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def normalize_text(docs_ds):
+    """Canonical text normalization (the pre-tokenization cleanup pass):
+    utf8 lowercase, whitespace runs collapsed to single spaces, edges
+    trimmed — emitted as (doc_id, text_norm, n_chars_norm).
+
+    Pure map-side streaming; every transform is an Arrow C++ kernel
+    (``utf8_lower`` / ``replace_substring_regex`` / ``utf8_trim`` /
+    ``utf8_length``).  Case-mapping parity with the SQL twin holds
+    because Arrow and DuckDB both lower through utf8proc (pinned by a
+    hostile-unicode pytest: final sigma, dotless i, sharp s, full-width
+    forms, embedded NULs); the whitespace class is the oracle-shared
+    ASCII complement, NOT Python's str.lower()/split() semantics.
+    """
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        low = pc.utf8_lower(txt)
+        collapsed = pc.replace_substring_regex(low, r"[ \t\n\r\f\v]+", " ")
+        trimmed = pc.utf8_trim(collapsed, " ")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_norm": trimmed,
+                "n_chars_norm": pc.utf8_length(trimmed).cast(pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(norm, batch_format="pyarrow")
+
+
+def source_vocab_overlap(docs_ds, num_partitions: int | None = None):
+    """Pairwise vocabulary overlap between sources: for every source
+    pair sharing at least one token, the exact intersection size and
+    Jaccard similarity of their DISTINCT token sets — the
+    corpus-composition comparison ("how much does crawl A's vocabulary
+    overlap crawl B's").
+
+    One token-keyed exchange: per-block distinct (token-hash, source)
+    rows; each bucket dedupes globally (same hash -> same bucket),
+    emits all source PAIRS per token batched by group size
+    (stages/dedup._emit_group_pairs with the star cap disabled — the
+    group width is bounded by #sources, not corpus size), and folds
+    pair counts plus per-source distinct-token counts.  The driver
+    merges P tiny bucket summaries and computes jaccard_e6 with exact
+    integer division.  Token hashing through the shared NUL-safe
+    kernel; a cross-token collision would perturb a count and break
+    the oracle's textual rebuild.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (parity with sibling stages)
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+    from pynomaly_ray.stages.decontam import _TOKEN_RE
+
+    def emit(t: pa.Table) -> pa.Table:
+        from pynomaly_ray.functions.hashing import hash_strings
+
+        texts = t["text"].to_pandas().fillna("")
+        toks = texts.str.findall(_TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = [w for lst in toks.tolist() for w in lst]
+        if not flat:
+            return pa.table(
+                {"tok": pa.array([], pa.int64()), "source": pa.array([], pa.string())}
+            )
+        th = hash_strings(flat).view(np.int64)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False), lens)
+        # per-block distinct via exact-compare unique codes (no pandas
+        # hash table: object strings would NUL-truncate)
+        usrc, code = np.unique(src, return_inverse=True)
+        order = np.lexsort((code, th))
+        th, code = th[order], code[order]
+        first = np.ones(len(th), bool)
+        if len(th) > 1:
+            first[1:] = (th[1:] != th[:-1]) | (code[1:] != code[:-1])
+        return pa.table(
+            {
+                "tok": pa.array(th[first]),
+                "source": pa.array(usrc[code[first]], pa.string()),
+            }
+        )
+
+    rows = docs_ds.map_batches(emit, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        from pynomaly_ray.stages.dedup import _emit_group_pairs
+
+        empty = pd.DataFrame(
+            {
+                "src_a": pd.array([], dtype="string"),
+                "src_b": pd.array([], dtype="string"),
+                "n": pd.Series(dtype=np.int64),
+                "kind": pd.Series(dtype=np.int64),
+            }
+        )
+        if not len(df):
+            return empty
+        th = df["tok"].to_numpy(dtype=np.int64)
+        usrc, code = np.unique(df["source"].to_numpy(dtype=object), return_inverse=True)
+        order = np.lexsort((code, th))
+        th, code = th[order], code[order]
+        first = np.ones(len(th), bool)
+        if len(th) > 1:
+            first[1:] = (th[1:] != th[:-1]) | (code[1:] != code[:-1])
+        th, code = th[first], code[first]
+        # per-source distinct token counts (kind=1 rows)
+        per_src = np.bincount(code, minlength=len(usrc)).astype(np.int64)
+        # per-token source groups -> all pairs (codes ascend within each
+        # token, so a < b == string order: np.unique sorts, and UTF-8
+        # byte order preserves codepoint order)
+        grp_first = np.ones(len(th), bool)
+        if len(th) > 1:
+            grp_first[1:] = th[1:] != th[:-1]
+        sizes = np.diff(np.concatenate([np.flatnonzero(grp_first), [len(th)]]))
+        multi = sizes >= 2
+        a = b = np.empty(0, np.int64)
+        if multi.any():
+            keep = np.repeat(multi, sizes)
+            a, b = _emit_group_pairs(
+                code[keep], sizes[multi], cap=np.iinfo(np.int64).max
+            )
+        pair_key = a.astype(np.int64) * len(usrc) + b
+        uk, uc = np.unique(pair_key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "src_a": pd.array(
+                    np.concatenate([usrc[uk // len(usrc)], usrc]), dtype="string"
+                ),
+                "src_b": pd.array(
+                    np.concatenate(
+                        [usrc[uk % len(usrc)], np.full(len(usrc), "", object)]
+                    ),
+                    dtype="string",
+                ),
+                "n": np.concatenate([uc.astype(np.int64), per_src]),
+                "kind": np.concatenate(
+                    [np.zeros(len(uk), np.int64), np.ones(len(usrc), np.int64)]
+                ),
+            }
+        )
+
+    buckets = hash_aggregate(
+        rows, ["tok"], fold, num_partitions=num_partitions
+    ).to_pandas()
+    sizes = (
+        buckets[buckets["kind"] == 1].groupby("src_a")["n"].sum().to_dict()
+    )
+    pairs = (
+        buckets[buckets["kind"] == 0]
+        .groupby(["src_a", "src_b"], sort=False)["n"]
+        .sum()
+        .reset_index(name="inter")
+    )
+    na = pairs["src_a"].map(sizes).to_numpy(dtype=np.int64)
+    nb = pairs["src_b"].map(sizes).to_numpy(dtype=np.int64)
+    inter = pairs["inter"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "src_a": pairs["src_a"].astype(object),
+            "src_b": pairs["src_b"].astype(object),
+            "inter": inter,
+            "jaccard_e6": inter * 1_000_000 // (na + nb - inter),
+        }
+    )

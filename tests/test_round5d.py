@@ -437,3 +437,101 @@ def test_hourly_delta_gaps_not_zero_filled(ray_session, tmp_path):
     # delta vs previous PRESENT hour: 5-3=2, then 2-5=-3 across the gap
     assert list(out["delta"]) == [2, -3]
     assert list(out["n"]) == [5, 2]
+
+
+# ---------------------------------------------------------------------------
+# text normalize / source overlap / collocations
+# ---------------------------------------------------------------------------
+def test_text_normalize_hostile_unicode_duckdb_parity(ray_session, tmp_path):
+    """Arrow utf8proc case-mapping must equal DuckDB lower() on hostile
+    inputs — the contract the text_normalize oracle hash depends on."""
+    import duckdb
+
+    from pynomaly_ray.pipelines.queries import q_text_normalize, SQL_TEXT_NORMALIZE
+
+    hostile = [
+        "  HeLLo \t WORLD \n",
+        "ΣΟΦΟΣ ΣΟΦΟΣ",          # final-sigma handling
+        "İstanbul I ı",          # Turkish dotted/dotless
+        "STRASSE ß",             # sharp s
+        "ＦＵＬＬ　Ｗｉｄｔｈ",   # full-width forms + ideographic space
+        "a\x00B c",              # embedded NUL
+        None,
+        "",
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(hostile), dtype=np.int64), "text": hostile}
+    )
+    sf = _write(tmp_path, "documents", df)
+    eng = q_text_normalize(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    sql = con.execute(SQL_TEXT_NORMALIZE).df()
+    assert list(eng["text_norm"]) == list(sql["text_norm"])
+    assert list(eng["n_chars_norm"]) == list(sql["n_chars_norm"])
+    # the ideographic space U+3000 is NOT in the ASCII class: preserved
+    assert "　" in eng.loc[4, "text_norm"]
+    assert eng.loc[0, "text_norm"] == "hello world"
+
+
+def test_source_overlap_handcrafted(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.text import source_vocab_overlap
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "source": ["A", "A", "B", "C"],
+                "text": ["x y z", "x q", "x y", "nope"],
+            }
+        )
+    )
+    out = (
+        source_vocab_overlap(docs)
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    # vocab: A={x,y,z,q}(4), B={x,y}(2), C={nope}(1)
+    # pairs with intersection: (A,B) inter=2 -> j = 2/(4+2-2) = 0.5
+    assert list(out["src_a"]) == ["A"]
+    assert list(out["src_b"]) == ["B"]
+    assert list(out["inter"]) == [2]
+    assert list(out["jaccard_e6"]) == [500_000]
+
+
+def test_source_overlap_nul_tokens_distinct(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.text import source_vocab_overlap
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "source": ["A", "B"],
+                "text": ["a\x00b common", "a\x00c common"],
+            }
+        )
+    )
+    out = source_vocab_overlap(docs)
+    # only 'common' is shared; the NUL-divergent tokens must NOT alias
+    assert list(out["inter"]) == [1]
+    assert list(out["jaccard_e6"]) == [1_000_000 // 3]
+
+
+def test_bigram_collocations_tiebreak_and_lift(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_bigram_collocations
+
+    # "b b" and "a a" both occur twice -> tie broken by (w1, w2) asc;
+    # corpus: doc1 = "a a a", doc2 = "b b b"  -> bigrams: (a,a)x2, (b,b)x2
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a a a", "b b b"]}
+    )
+    sf = _write(tmp_path, "documents", df)
+    out = q_bigram_collocations(sf)
+    assert list(out["w1"]) == ["a", "b"]
+    assert list(out["n_pair"]) == [2, 2]
+    # N=4 bigrams, c1(a)=3: lift(a,a) = 2*4*1e6 // 9 = 888888
+    assert list(out["lift_e6"]) == [888_888, 888_888]
