@@ -4317,3 +4317,125 @@ ORDER BY n_pair DESC, w1, w2
 
 
 ORACLE_QUERIES["bigram_collocations"] = (q_bigram_collocations, SQL_BIGRAM_COLLOCATIONS)
+
+
+# ---------------------------------------------------------------------------
+# Q: hourly_active_users — distinct users per hour window.  Per-block
+# distinct (hour, user) rows through ONE (hour, user)-keyed exchange:
+# after the bucket dedupe every surviving row is globally unique, so
+# per-bucket per-hour row counts sum exactly — no per-hour hot bucket
+# (an hour's users spread over ALL buckets), no driver set union.
+# ---------------------------------------------------------------------------
+def q_hourly_active_users(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hour = df["ts"].astype("int64").to_numpy() // 3_600_000_000
+        g = pd.DataFrame(
+            {"hour_bucket": hour, "user_id": df["user_id"].to_numpy()}
+        ).drop_duplicates()
+        return _from_pandas(g)
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        return (
+            d.groupby("hour_bucket", sort=False)
+            .size()
+            .reset_index(name="n_users")
+            .astype(np.int64)
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counted = hash_aggregate(partials, ["hour_bucket", "user_id"], count)
+    out = hash_aggregate(
+        counted,
+        ["hour_bucket"],
+        lambda df: df.groupby("hour_bucket", sort=False)["n_users"]
+        .sum()
+        .reset_index(),
+    )
+    return collect_sorted(out, ["hour_bucket"])
+
+
+SQL_HOURLY_ACTIVE_USERS = """
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY hour_bucket
+ORDER BY hour_bucket
+"""
+
+
+ORACLE_QUERIES["hourly_active_users"] = (q_hourly_active_users, SQL_HOURLY_ACTIVE_USERS)
+
+
+# ---------------------------------------------------------------------------
+# Q: retention_cohorts — weekly cohort retention (the product-analytics
+# triangle): users grouped by FIRST active week, counted once per
+# (cohort, week-offset) they return in.  One user-keyed exchange
+# derives each user's cohort and distinct offsets vectorized (users
+# fully co-located); a second tiny exchange folds the counts.
+# ---------------------------------------------------------------------------
+_WEEK_US = 7 * 86_400_000_000
+
+
+def q_retention_cohorts(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                    "wk": df["ts"].astype("int64").to_numpy() // _WEEK_US,
+                }
+            ).drop_duplicates()
+        )
+
+    def offsets(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        w0 = d.groupby("user_id", sort=False)["wk"].transform("min")
+        g = (
+            pd.DataFrame(
+                {
+                    "cohort_week": w0.to_numpy(),
+                    "week_offset": d["wk"].to_numpy() - w0.to_numpy(),
+                }
+            )
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return g.astype(np.int64)
+
+    per_bucket = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], offsets
+    )
+    out = hash_aggregate(
+        per_bucket,
+        ["cohort_week", "week_offset"],
+        lambda df: df.groupby(["cohort_week", "week_offset"], sort=False)["n_users"]
+        .sum()
+        .reset_index(),
+    )
+    return collect_sorted(out, ["cohort_week", "week_offset"])
+
+
+SQL_RETENTION_COHORTS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+f AS (
+  SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS w0 FROM e
+),
+d AS (SELECT DISTINCT user_id, w0, wk - w0 AS off FROM f)
+SELECT w0 AS cohort_week, off AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d GROUP BY w0, off
+ORDER BY cohort_week, week_offset
+"""
+
+
+ORACLE_QUERIES["retention_cohorts"] = (q_retention_cohorts, SQL_RETENTION_COHORTS)

@@ -535,3 +535,42 @@ def test_bigram_collocations_tiebreak_and_lift(ray_session, tmp_path):
     assert list(out["n_pair"]) == [2, 2]
     # N=4 bigrams, c1(a)=3: lift(a,a) = 2*4*1e6 // 9 = 888888
     assert list(out["lift_e6"]) == [888_888, 888_888]
+
+
+# ---------------------------------------------------------------------------
+# hourly active users / retention cohorts
+# ---------------------------------------------------------------------------
+def test_retention_cohorts_handcrafted(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_retention_cohorts
+
+    wk = pd.Timedelta(days=7)
+    base = pd.Timestamp("2026-01-01")
+    rows = [
+        (1, base), (1, base + wk), (1, base + 3 * wk),   # offsets 0,1,3
+        (1, base + pd.Timedelta(hours=2)),               # same week dup
+        (2, base + wk), (2, base + wk),                  # cohort wk+1, offset 0
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", df)
+    out = q_retention_cohorts(sf)
+    w0 = int(base.value // 1000) // (7 * 86_400_000_000)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()
+    }
+    # user 1's cohort week (calendar-derived) has offsets 0,1,3 once each
+    assert got[(w0, 0)] == 1 and got[(w0, 1)] == 1 and got[(w0, 3)] == 1
+    assert sum(got.values()) == 4
+
+
+def test_hourly_active_users_dedup(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_hourly_active_users
+
+    h = pd.Timedelta(hours=1)
+    base = pd.Timestamp("2026-01-01")
+    rows = [(1, base), (1, base), (2, base), (1, base + h)]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", df)
+    out = q_hourly_active_users(sf)
+    assert list(out["n_users"]) == [2, 1]
