@@ -3381,6 +3381,15 @@ def q_mad_outliers(sf_dir: str):
 
     vds = ds.map_batches(e6, batch_format="pyarrow").materialize()
     n = vds.count()
+    if n == 0:
+        # all-NULL (or empty) value column: the SQL twin's NULL-valued
+        # median comparisons yield zero rows, not an error — match it
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype=object),
+                "n_out": pd.Series(dtype=np.int64),
+            }
+        )
     med = global_kth_smallest(vds, "v", (n + 1) // 2)
 
     def dev(t: pa.Table) -> pa.Table:
@@ -3740,9 +3749,23 @@ def q_json_field_agg(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        k = pd.to_numeric(
-            df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False),
-            errors="coerce",
+        # explicit ASCII classes (Python re's \s/\d are Unicode-aware,
+        # RE2's are not — an NBSP or Unicode digit would diverge the two
+        # sides); <= 18 digits so the value always fits int64 exactly on
+        # both sides (TRY_CAST parity), cast through Arrow's exact
+        # string->int64 kernel, never float64
+        ext = df["props"].str.extract(
+            r'"k":[ \t\n\r\f\v]*(-?[0-9]{1,18})', expand=False
+        )
+        arr = pa.compute.cast(
+            pa.array(ext, type=pa.string(), from_pandas=True), pa.int64()
+        )
+        k = pd.Series(
+            pd.arrays.IntegerArray(
+                arr.fill_null(0).to_numpy().astype(np.int64),
+                pa.compute.is_null(arr).to_numpy(zero_copy_only=False),
+            ),
+            index=df.index,
         )
         g = pd.DataFrame({"event_type": df["event_type"], "k": k}).groupby(
             "event_type", sort=False
@@ -3775,8 +3798,9 @@ def q_json_field_agg(sf_dir: str):
 SQL_JSON_FIELD_AGG = r"""
 WITH e AS (
   SELECT event_type,
-         TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
-                  AS BIGINT) AS k
+         TRY_CAST(NULLIF(regexp_extract(props,
+                                        '"k":[ \t\n\r\f\v]*(-?[0-9]{1,18})', 1),
+                         '') AS BIGINT) AS k
   FROM events
 )
 SELECT event_type,
@@ -4276,7 +4300,9 @@ def q_bigram_collocations(sf_dir: str):
         )
 
     uni = ds.map_batches(uni_partial, batch_format="pyarrow").to_pandas()
-    c1 = uni.groupby("tok")["c"].sum().to_dict()
+    # nul_safe_key: a plain object-string groupby would alias winner
+    # tokens differing only after an embedded NUL (KeyError below)
+    c1 = uni.groupby(nul_safe_key(uni["tok"]))["c"].sum().to_dict()
     lift = [
         (int(r.n) * n_total * 1_000_000) // (int(c1[r.w1]) * int(c1[r.w2]))
         for r in top.itertuples()

@@ -184,6 +184,25 @@ def decontaminate(train_ds, bench_ref, k: int = 4, concurrency=(1, 4)):
     )
 
 
+def _distinct_shingle_rows(docs_ds, k: int):
+    """(sh, doc_id) Dataset of each doc's DISTINCT k-gram hashes — the
+    ONE emitter feeding every shingle-keyed exchange in this module
+    (profile, removal, novelty), so the three operators' shingle
+    streams cannot drift apart."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        sh, pos, kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), k)
+        ids = t["doc_id"].filter(pa.array(kept)).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sh": pa.array(sh.view(np.int64)),
+                "doc_id": pa.array(ids[pos]),
+            }
+        )
+
+    return docs_ds.map_batches(emit, batch_format="pyarrow")
+
+
 def duplicate_span_profile(docs_ds, k: int = 4, num_partitions: int | None = None):
     """Cross-doc duplicated k-gram profile — the corpus-level substring
     dedup signal (Lee et al. 2021, "Deduplicating Training Data Makes
@@ -212,17 +231,7 @@ def duplicate_span_profile(docs_ds, k: int = 4, num_partitions: int | None = Non
     """
     from pynomaly_ray.functions.exchange import hash_aggregate
 
-    def emit(t: pa.Table) -> pa.Table:
-        sh, pos, kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), k)
-        ids = t["doc_id"].filter(pa.array(kept)).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "sh": pa.array(sh.view(np.int64)),
-                "doc_id": pa.array(ids[pos]),
-            }
-        )
-
-    rows = docs_ds.map_batches(emit, batch_format="pyarrow")
+    rows = _distinct_shingle_rows(docs_ds, k)
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         n = df.groupby("sh", sort=False)["doc_id"].transform("size")
@@ -390,17 +399,7 @@ def duplicate_span_removal(docs_ds, k: int = 4, num_partitions: int | None = Non
 
     from pynomaly_ray.functions.exchange import hash_aggregate
 
-    def emit(t: pa.Table) -> pa.Table:
-        sh, pos, kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), k)
-        ids = t["doc_id"].filter(pa.array(kept)).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "sh": pa.array(sh.view(np.int64)),
-                "doc_id": pa.array(ids[pos]),
-            }
-        )
-
-    rows = docs_ds.map_batches(emit, batch_format="pyarrow")
+    rows = _distinct_shingle_rows(docs_ds, k)
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         n = df.groupby("sh", sort=False)["doc_id"].transform("size")
@@ -524,17 +523,7 @@ def ngram_novelty_profile(docs_ds, k: int = 4, num_partitions: int | None = None
     """
     from pynomaly_ray.functions.exchange import hash_aggregate
 
-    def emit(t: pa.Table) -> pa.Table:
-        sh, pos, kept, _tot = _doc_distinct_shingles(t["text"].to_pandas(), k)
-        ids = t["doc_id"].filter(pa.array(kept)).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "sh": pa.array(sh.view(np.int64)),
-                "doc_id": pa.array(ids[pos]),
-            }
-        )
-
-    rows = docs_ds.map_batches(emit, batch_format="pyarrow")
+    rows = _distinct_shingle_rows(docs_ds, k)
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         first = df.groupby("sh", sort=False)["doc_id"].transform("min")

@@ -64,6 +64,21 @@ def _doc_token_hashes(texts: pd.Series):
     return uh, woff, lengths
 
 
+def bigram_start_mask(woff: np.ndarray, lengths: np.ndarray):
+    """(doc position per start, within-one-doc validity mask) over the
+    flat token stream's n-1 adjacent pairs.  The ONE document-boundary
+    kernel for bigram construction — the LM scorer and the collocation
+    counter must agree on which adjacent token pairs are bigrams, so
+    the subtle index arithmetic lives here exactly once."""
+    m = int(woff[-1]) - 1
+    if m <= 0:
+        return np.empty(0, np.int64), np.empty(0, bool)
+    doc_of = np.repeat(np.arange(len(lengths)), lengths)[:m]
+    # a start is a real bigram only if both tokens fall inside one doc
+    valid = (np.arange(m) + 2) <= woff[doc_of + 1]
+    return doc_of, valid
+
+
 def _bigram_occurrences(uh: np.ndarray, woff: np.ndarray, lengths: np.ndarray):
     """(bigram hash, prefix-unigram hash, doc position) for EVERY bigram
     occurrence — multiplicities kept, unlike the distinct-shingle kernel,
@@ -75,9 +90,7 @@ def _bigram_occurrences(uh: np.ndarray, woff: np.ndarray, lengths: np.ndarray):
         return np.empty(0, np.uint64), np.empty(0, np.uint64), e
     with np.errstate(over="ignore"):
         big = uh[:m] * _POLY_B + uh[1:]
-    doc_of = np.repeat(np.arange(len(lengths)), lengths)[:m]
-    # a start is a real bigram only if both tokens fall inside one doc
-    valid = (np.arange(m) + 2) <= woff[doc_of + 1]
+    doc_of, valid = bigram_start_mask(woff, lengths)
     return big[valid], uh[:m][valid], doc_of[valid]
 
 
@@ -116,47 +129,58 @@ def bigram_lm_scores(docs_ds, num_partitions: int | None = None):
 
     rows = docs_ds.map_batches(emit, batch_format="pyarrow").materialize()
 
+    # pre-filter each exchange's input by kind: the kind-1 (unigram)
+    # rows all carry the constant big=0, so feeding the mixed stream to
+    # the bigram-keyed exchange would funnel the ENTIRE token-occurrence
+    # stream into one hot bucket (an OOM-scale reducer at the 100x
+    # corpus) just for the reducer to discard it — and symmetrically
+    # for the V exchange
+    def only_kind(k: int):
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.filter(pa.compute.equal(t["kind"], k))
+            if k == 1:
+                return pa.table(
+                    {
+                        "doc_id": t["doc_id"],
+                        "uni": t["uni"],
+                        "c2": pa.array(np.zeros(t.num_rows, np.int64)),
+                        "kind": t["kind"],
+                    }
+                )
+            return t
+
+        return _f
+
+    big_only = rows.map_batches(only_kind(0), batch_format="pyarrow")
+    uni_rows = rows.map_batches(only_kind(1), batch_format="pyarrow").materialize()
+
     # V = global distinct unigram count: per-bucket distincts are disjoint
     # under the key-hash partition, so the P per-bucket counts sum exactly.
     def uni_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        n = df.loc[df["kind"] == 1, "uni"].nunique()
+        n = df["uni"].nunique()
         return pd.DataFrame({"n": pd.array([n], dtype=np.int64)})
 
     v_parts = hash_aggregate(
-        rows, ["uni"], uni_distinct, num_partitions=num_partitions
+        uni_rows, ["uni"], uni_distinct, num_partitions=num_partitions
     ).to_pandas()
     vocab_v = int(v_parts["n"].sum())
 
     # exchange 1 (bigram-keyed): c2 = global occurrence count per bigram,
     # carried back onto each bigram-occurrence row
     def attach_c2(df: pd.DataFrame) -> pd.DataFrame:
-        b = df[df["kind"] == 0]
-        c2 = b.groupby("big", sort=False)["doc_id"].transform("size")
+        c2 = df.groupby("big", sort=False)["doc_id"].transform("size")
         return pd.DataFrame(
             {
-                "doc_id": b["doc_id"],
-                "uni": b["uni"],
+                "doc_id": df["doc_id"],
+                "uni": df["uni"],
                 "c2": c2.to_numpy(dtype=np.int64),
-                "kind": np.zeros(len(b), np.int64),
+                "kind": np.zeros(len(df), np.int64),
             }
         )
 
     big_rows = hash_aggregate(
-        rows, ["big"], attach_c2, num_partitions=num_partitions
+        big_only, ["big"], attach_c2, num_partitions=num_partitions
     )
-
-    def uni_occurrences(t: pa.Table) -> pa.Table:
-        t = t.filter(pa.compute.equal(t["kind"], 1))
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "uni": t["uni"],
-                "c2": pa.array(np.zeros(t.num_rows, np.int64)),
-                "kind": t["kind"],
-            }
-        )
-
-    uni_rows = rows.map_batches(uni_occurrences, batch_format="pyarrow")
 
     # exchange 2 (unigram-keyed): c1 = prefix occurrence count; score each
     # bigram occurrence on the exact integer grid

@@ -520,12 +520,18 @@ def source_vocab_overlap(docs_ds, num_partitions: int | None = None):
     buckets = hash_aggregate(
         rows, ["tok"], fold, num_partitions=num_partitions
     ).to_pandas()
-    sizes = (
-        buckets[buckets["kind"] == 1].groupby("src_a")["n"].sum().to_dict()
-    )
+    from pynomaly_ray.functions.hashing import nul_safe_key
+
+    # nul_safe_key on the driver merge too: a plain object-string
+    # groupby would alias source names differing only after an embedded
+    # NUL — the exact hazard the in-bucket np.unique path avoids
+    szf = buckets[buckets["kind"] == 1]
+    sizes = szf.groupby(nul_safe_key(szf["src_a"]))["n"].sum().to_dict()
+    pf = buckets[buckets["kind"] == 0]
     pairs = (
-        buckets[buckets["kind"] == 0]
-        .groupby(["src_a", "src_b"], sort=False)["n"]
+        pf.groupby(
+            [nul_safe_key(pf["src_a"]), nul_safe_key(pf["src_b"])], sort=False
+        )["n"]
         .sum()
         .reset_index(name="inter")
     )
