@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from pynomaly_ray.functions.exchange import collect_sorted, hash_aggregate, topk
+from pynomaly_ray.functions.hashing import nul_safe_key
 
 
 _ROWS_PER_BLOCK = 65536
@@ -4465,3 +4466,363 @@ ORDER BY cohort_week, week_offset
 
 
 ORACLE_QUERIES["retention_cohorts"] = (q_retention_cohorts, SQL_RETENTION_COHORTS)
+
+
+# ---------------------------------------------------------------------------
+# Q: cross_source_texts — per-source duplication/contamination report:
+# how many docs each source contributes, how many DISTINCT texts, and
+# how many of those texts also appear in at least one OTHER source (the
+# cross-source leak signal a corpus-mixing step needs before weighting
+# sources).  Text never leaves the map task: batches emit distinct
+# (content-hash, source) rows (the exact_dedup collision contract,
+# ~2^-64); one hash-keyed exchange counts sources per text, a
+# source-keyed fold and a tiny doc-count partial merge on the driver.
+# ---------------------------------------------------------------------------
+def q_cross_source_texts(sf_dir: str):
+    from pynomaly_ray.functions.hashing import hash_strings
+
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "h": hash_strings(
+                    t["text"].to_pandas().fillna("")
+                ).astype(np.int64),
+                "source": t["source"].to_pandas(),
+            }
+        )
+        return _from_pandas(df.drop_duplicates())
+
+    def per_text(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        nsrc = d.groupby("h", sort=False)["source"].transform("size")
+        return pd.DataFrame(
+            {
+                "source": d["source"],
+                "shared": (nsrc.to_numpy() > 1).astype(np.int64),
+            }
+        )
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(nul_safe_key(df["source"]), sort=False)["shared"].agg(
+            n_texts="size", n_shared="sum"
+        )
+        g = g.reset_index()
+        g["n_texts"] = g["n_texts"].astype(np.int64)
+        g["n_shared"] = g["n_shared"].astype(np.int64)
+        return g
+
+    flags = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["h"], per_text
+    )
+    per_src = hash_aggregate(flags, ["source"], per_source).to_pandas()
+
+    def doc_counts(t: pa.Table) -> pa.Table:
+        s = t["source"].to_pandas()
+        g = s.groupby(nul_safe_key(s), sort=False).size()
+        return _from_pandas(
+            pd.DataFrame(
+                {"source": g.index, "n_docs": g.to_numpy(dtype=np.int64)}
+            )
+        )
+
+    docs = (
+        _pq(sf_dir, "documents", ["source"])
+        .map_batches(doc_counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    docs = (
+        docs.groupby(nul_safe_key(docs["source"]), sort=False)["n_docs"]
+        .sum()
+        .reset_index()
+    )
+    out = docs.merge(per_src, on="source", how="inner")
+    out["source"] = out["source"].astype(object)
+    return out.sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
+SQL_CROSS_SOURCE_TEXTS = """
+WITH d AS (SELECT DISTINCT source, COALESCE(text, '') AS text FROM documents),
+s AS (SELECT text, COUNT(*) AS nsrc FROM d GROUP BY text),
+c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source)
+SELECT c.source, c.n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_texts,
+       CAST(SUM(CASE WHEN s.nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+FROM d JOIN s USING (text) JOIN c ON c.source = d.source
+GROUP BY c.source, c.n_docs
+ORDER BY c.source
+"""
+
+
+ORACLE_QUERIES["cross_source_texts"] = (q_cross_source_texts, SQL_CROSS_SOURCE_TEXTS)
+
+
+# ---------------------------------------------------------------------------
+# Q: event_type_pairs — market-basket co-occurrence: for every unordered
+# pair of event types, how many users fired BOTH.  One user-keyed
+# exchange co-locates each user's distinct types; the pair emission is a
+# vectorized self-merge inside the bucket (pair width is bounded by the
+# type cardinality, not the event volume), then a tiny pair-keyed fold.
+# The classic A-and-B affinity signal with no all-pairs shuffle: raw
+# events never leave the map task — only distinct (user, type) rows.
+# ---------------------------------------------------------------------------
+def q_event_type_pairs(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return _from_pandas(df)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        g = (
+            m.groupby(
+                [
+                    nul_safe_key(m["event_type_a"]).rename("type_a"),
+                    nul_safe_key(m["event_type_b"]).rename("type_b"),
+                ],
+                sort=False,
+            )
+            .size()
+            .reset_index(name="n_users")
+        )
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    per_bucket = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], pairs
+    )
+    out = hash_aggregate(
+        per_bucket,
+        ["type_a", "type_b"],
+        lambda df: df.groupby(["type_a", "type_b"], sort=False)["n_users"]
+        .sum()
+        .reset_index(),
+    )
+    res = collect_sorted(out, ["type_a", "type_b"])
+    res["type_a"] = res["type_a"].astype(object)
+    res["type_b"] = res["type_b"].astype(object)
+    return res
+
+
+SQL_EVENT_TYPE_PAIRS = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY type_a, type_b
+ORDER BY type_a, type_b
+"""
+
+
+ORACLE_QUERIES["event_type_pairs"] = (q_event_type_pairs, SQL_EVENT_TYPE_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# Q: inverted_index — search-index construction: for the 20 tokens with
+# the highest document frequency (ties broken by token), the first 5
+# postings (smallest doc_ids) plus the df.  Per-batch distinct
+# (token, doc_id) rows (each doc lives in exactly one batch, so batch
+# distinct IS global distinct) -> token-keyed exchange; each bucket owns
+# its tokens outright, so per-bucket top-20 x 5 postings bound what
+# reaches the driver at P*100 rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+def q_inverted_index(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("")
+        # same explicit ASCII token class as SQL regexp_extract_all
+        toks = s.str.findall(r"[^ \t\n\r\f\v]+")
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        flat = toks.explode().dropna()
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
+        return _from_pandas(
+            pd.DataFrame(
+                {"token": flat.to_numpy(dtype=object), "doc_id": ids}
+            ).drop_duplicates()
+        )
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"token": nul_safe_key(df["token"]), "doc_id": df["doc_id"]}
+        ).drop_duplicates()
+        sizes = d.groupby("token", sort=False).size().reset_index(name="df")
+        top = sizes.sort_values(
+            ["df", "token"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+        d = d.merge(top, on="token")
+        d = d.sort_values(["token", "doc_id"], kind="mergesort")
+        d["rank"] = d.groupby("token", sort=False).cumcount() + 1
+        d = d[d["rank"] <= 5]
+        return pd.DataFrame(
+            {
+                "token": d["token"],
+                "df": d["df"].to_numpy(dtype=np.int64),
+                "rank": d["rank"].to_numpy(dtype=np.int64),
+                "doc_id": d["doc_id"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    rows = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["token"], reduce
+    ).to_pandas()
+    heads = rows.drop_duplicates("token").sort_values(
+        ["df", "token"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    out = rows.merge(heads[["token"]], on="token").sort_values(
+        ["df", "token", "rank"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    )
+    out["token"] = out["token"].astype(object)
+    return out.reset_index(drop=True)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH d AS (
+  SELECT DISTINCT token, doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(COALESCE(text, ''),
+                                     '[^ \t\n\r\f\v]+')) AS token
+    FROM documents)
+),
+f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM d GROUP BY token),
+t AS (SELECT token, df FROM f ORDER BY df DESC, token LIMIT 20),
+p AS (
+  SELECT d.token, t.df,
+         row_number() OVER (PARTITION BY d.token ORDER BY d.doc_id) AS rank,
+         d.doc_id
+  FROM d JOIN t USING (token)
+)
+SELECT token, df, CAST(rank AS BIGINT) AS rank, doc_id
+FROM p WHERE rank <= 5
+ORDER BY df DESC, token, rank
+"""
+
+
+ORACLE_QUERIES["inverted_index"] = (q_inverted_index, SQL_INVERTED_INDEX)
+
+
+# ---------------------------------------------------------------------------
+# Q: ingest_csv / ingest_jsonl — source-format breadth: the engine's
+# ingest path is not parquet-only.  Each query stages the table in the
+# foreign format as a DISTRIBUTED multi-file directory (ray.data
+# write_csv/write_json — exactly how a 100-TB corpus would already
+# arrive sharded), re-ingests it through ray.data.read_csv/read_json,
+# and aggregates; the oracle reads the SAME staged files with DuckDB's
+# CSV/JSON readers, certifying the full write->parse->aggregate round
+# trip.  Floats never ride the text format: values are pre-scaled to
+# integer cents before staging, so parser float dialects cannot
+# diverge the two sides.
+# ---------------------------------------------------------------------------
+_INGEST_CSV_DIR = "/tmp/pnr_ingest/events_csv"
+_INGEST_JSON_DIR = "/tmp/pnr_ingest/documents_json"
+
+
+def _fresh_dir(path: str) -> str:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def q_ingest_csv(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents": pa.array(_cents(np.nan_to_num(v))),
+            }
+        )
+
+    ds.map_batches(stage, batch_format="pyarrow").write_csv(
+        _fresh_dir(_INGEST_CSV_DIR)
+    )
+
+    back = rd.read_csv(_INGEST_CSV_DIR)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(nul_safe_key(df["event_type"]), sort=False)[
+            "value_cents"
+        ].agg(n="size", cents="sum")
+        g = g.reset_index()
+        return _from_pandas(g.astype({"n": np.int64, "cents": np.int64}))
+
+    out = hash_aggregate(
+        back.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        lambda df: df.groupby("event_type", sort=False)[["n", "cents"]]
+        .sum()
+        .reset_index(),
+    )
+    res = collect_sorted(out, ["event_type"])
+    res["event_type"] = res["event_type"].astype(object)
+    return res
+
+
+SQL_INGEST_CSV = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value_cents) AS BIGINT) AS cents
+FROM read_csv('/tmp/pnr_ingest/events_csv/*.csv', header = true)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+ORACLE_QUERIES["ingest_csv"] = (q_ingest_csv, SQL_INGEST_CSV)
+
+
+def q_ingest_jsonl(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    ds.write_json(_fresh_dir(_INGEST_JSON_DIR))
+
+    back = rd.read_json(_INGEST_JSON_DIR)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(
+            [nul_safe_key(df["lang"]), nul_safe_key(df["source"])],
+            sort=False,
+        )["n_chars"].agg(n_docs="size", chars="sum")
+        g = g.reset_index()
+        return _from_pandas(g.astype({"n_docs": np.int64, "chars": np.int64}))
+
+    out = hash_aggregate(
+        back.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"],
+        lambda df: df.groupby(["lang", "source"], sort=False)[
+            ["n_docs", "chars"]
+        ]
+        .sum()
+        .reset_index(),
+    )
+    res = collect_sorted(out, ["lang", "source"])
+    res["lang"] = res["lang"].astype(object)
+    res["source"] = res["source"].astype(object)
+    return res
+
+
+SQL_INGEST_JSONL = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM read_json('/tmp/pnr_ingest/documents_json/*.json',
+               format = 'newline_delimited')
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+ORACLE_QUERIES["ingest_jsonl"] = (q_ingest_jsonl, SQL_INGEST_JSONL)

@@ -1,0 +1,137 @@
+"""Round-5 wave-10 operators: cross-source text sharing, event-type
+co-occurrence pairs, inverted index, and CSV/JSONL ingest round trips —
+handcrafted semantics the sf oracles cannot pin (NUL-bearing keys,
+tie-breaks at the top-k boundary, single-type users, format edges)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as papq
+
+
+def _write(tmp_path, table: str, df: pd.DataFrame) -> str:
+    papq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        os.path.join(tmp_path, f"{table}.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_cross_source_texts_sharing_and_nul(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_cross_source_texts
+
+    # "dup" appears in A and B (shared); "a\x00x" vs "a\x00y" differ
+    # only after an embedded NUL and must NOT count as one text.
+    sf = _write(
+        tmp_path,
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": ["dup", "a\x00x", "a\x00y", "dup", "dup", "only_b"],
+                "source": ["A", "A", "A", "A", "B", "B"],
+            }
+        ),
+    )
+    out = q_cross_source_texts(sf).set_index("source")
+    # A: 4 docs, texts {dup, a\x00x, a\x00y} -> 3 distinct, dup shared
+    assert out.loc["A", "n_docs"] == 4
+    assert out.loc["A", "n_texts"] == 3
+    assert out.loc["A", "n_shared"] == 1
+    # B: 2 docs, texts {dup, only_b}, dup shared
+    assert out.loc["B", "n_docs"] == 2
+    assert out.loc["B", "n_texts"] == 2
+    assert out.loc["B", "n_shared"] == 1
+
+
+def test_event_type_pairs_handcrafted(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_event_type_pairs
+
+    # user 1: {a, b, c} -> ab, ac, bc; user 2: {a, b} (b twice, counted
+    # once) -> ab; user 3: {c} alone -> nothing.
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2, 2, 2, 3],
+                "event_type": ["a", "b", "c", "a", "b", "b", "c"],
+            }
+        ),
+    )
+    out = q_event_type_pairs(sf)
+    got = {
+        (r.type_a, r.type_b): r.n_users for r in out.itertuples(index=False)
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_inverted_index_postings_and_ties(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_inverted_index
+
+    # 7 docs contain "the" (df=7, postings capped at 5 smallest ids);
+    # "zz" and "aa" tie at df=2 -> token asc breaks the tie.
+    docs = [(i, "the filler%d" % i) for i in range(10, 17)]
+    docs += [(1, "aa zz"), (2, "aa zz")]
+    sf = _write(
+        tmp_path,
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    out = q_inverted_index(sf)
+    the = out[out["token"] == "the"]
+    assert list(the["df"]) == [7] * 5
+    assert list(the["doc_id"]) == [10, 11, 12, 13, 14]
+    assert list(the["rank"]) == [1, 2, 3, 4, 5]
+    # global order: df desc then token asc -> "the" first, then "aa", "zz"
+    order = out["token"].drop_duplicates().tolist()
+    assert order[0] == "the"
+    assert order.index("aa") < order.index("zz")
+
+
+def test_ingest_csv_roundtrip(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_ingest_csv
+
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "event_type": ["buy", "buy", "view", "view"],
+                # 1.005 is 1.00499.. in float64 -> floor(x*100+.5) = 100,
+                # the documented _cents contract on BOTH sides; nan -> 0
+                "value": [1.005, 2.0, 0.004, np.nan],
+            }
+        ),
+    )
+    out = q_ingest_csv(sf).set_index("event_type")
+    assert out.loc["buy", "n"] == 2 and out.loc["buy", "cents"] == 300
+    assert out.loc["view", "n"] == 2 and out.loc["view", "cents"] == 0
+
+
+def test_ingest_jsonl_roundtrip(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_ingest_jsonl
+
+    sf = _write(
+        tmp_path,
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "lang": ["en", "en", "de"],
+                "source": ["s1", "s1", "s2"],
+                "n_chars": [10, 20, 5],
+            }
+        ),
+    )
+    out = q_ingest_jsonl(sf)
+    got = {
+        (r.lang, r.source): (r.n_docs, r.chars)
+        for r in out.itertuples(index=False)
+    }
+    assert got == {("en", "s1"): (2, 30), ("de", "s2"): (1, 5)}
