@@ -4826,3 +4826,424 @@ ORDER BY lang, source
 
 
 ORACLE_QUERIES["ingest_jsonl"] = (q_ingest_jsonl, SQL_INGEST_JSONL)
+
+
+# ---------------------------------------------------------------------------
+# Q: user_activity_histogram — distribution-of-an-aggregate (the classic
+# engagement profile): users bucketed by how many events they fired.
+# Per-batch per-user partial counts -> user-keyed exchange for exact
+# per-user totals, re-histogrammed inside each bucket -> a tiny
+# count-keyed fold.  Raw events collapse at the map side; the second
+# exchange carries one row per DISTINCT activity level per bucket.
+# ---------------------------------------------------------------------------
+def q_user_activity_histogram(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("user_id", sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return _from_pandas(g.astype(np.int64))
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        per_user = df.groupby("user_id", sort=False)["c"].sum()
+        g = per_user.value_counts().reset_index()
+        g.columns = ["n_events", "n_users"]
+        return g.astype(np.int64)
+
+    per_bucket = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], hist
+    )
+    out = hash_aggregate(
+        per_bucket,
+        ["n_events"],
+        lambda df: df.groupby("n_events", sort=False)["n_users"]
+        .sum()
+        .reset_index(),
+    )
+    return collect_sorted(out, ["n_events"])
+
+
+SQL_USER_ACTIVITY_HISTOGRAM = """
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u GROUP BY n_events ORDER BY n_events
+"""
+
+
+ORACLE_QUERIES["user_activity_histogram"] = (
+    q_user_activity_histogram,
+    SQL_USER_ACTIVITY_HISTOGRAM,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q: value_histogram — per-type equi-width histogram (8 bins between the
+# type's min and max), the data-profiling binning op.  Two passes: a
+# tiny per-type min/max exchange broadcast back as a driver dict, then
+# per-batch integer binning on the e6 grid folded per (type, bin).
+# Bin arithmetic is ALL int64 — (ve-mn)*8 // (mx-mn+1) — so both sides
+# place every edge value identically.
+# ---------------------------------------------------------------------------
+_HIST_BINS = 8
+
+
+def q_value_histogram(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def e6(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["value"].notna()]
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "ve": np.floor(
+                        df["value"].to_numpy(dtype=np.float64) * 1_000_000.0
+                        + 0.5
+                    ).astype(np.int64),
+                }
+            )
+        )
+
+    vds = ds.map_batches(e6, batch_format="pyarrow").materialize()
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(nul_safe_key(df["event_type"]), sort=False)["ve"].agg(
+            mn="min", mx="max"
+        )
+        return _from_pandas(g.reset_index())
+
+    mm = hash_aggregate(
+        vds.map_batches(mm_partial, batch_format="pyarrow"),
+        ["event_type"],
+        lambda df: df.groupby("event_type", sort=False)
+        .agg(mn=("mn", "min"), mx=("mx", "max"))
+        .reset_index(),
+    ).to_pandas()
+    mn_of = dict(zip(mm["event_type"], mm["mn"]))
+    mx_of = dict(zip(mm["event_type"], mm["mx"]))
+
+    def binned(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        mn = df["event_type"].map(mn_of).to_numpy(dtype=np.int64)
+        mx = df["event_type"].map(mx_of).to_numpy(dtype=np.int64)
+        ve = df["ve"].to_numpy()
+        b = (ve - mn) * _HIST_BINS // (mx - mn + 1)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "bin": b})
+            .groupby([nul_safe_key(df["event_type"]), "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return _from_pandas(g.astype({"bin": np.int64, "n": np.int64}))
+
+    out = hash_aggregate(
+        vds.map_batches(binned, batch_format="pyarrow"),
+        ["event_type", "bin"],
+        lambda df: df.groupby(["event_type", "bin"], sort=False)["n"]
+        .sum()
+        .reset_index(),
+    )
+    res = collect_sorted(out, ["event_type", "bin"])
+    res["event_type"] = res["event_type"].astype(object)
+    return res
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS ve
+  FROM events WHERE value IS NOT NULL
+),
+m AS (SELECT event_type, MIN(ve) AS mn, MAX(ve) AS mx FROM v GROUP BY event_type)
+SELECT v.event_type, (ve - mn) * 8 // (mx - mn + 1) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v JOIN m USING (event_type)
+GROUP BY v.event_type, bin
+ORDER BY event_type, bin
+"""
+
+
+ORACLE_QUERIES["value_histogram"] = (q_value_histogram, SQL_VALUE_HISTOGRAM)
+
+
+# ---------------------------------------------------------------------------
+# Q: percent_rank_values — exact PERCENT_RANK per distinct value within
+# each event type, on the integer grid (pr_e6 = (rank-1)*1e6 //
+# (n-1)).  Stage 1 collapses raw rows to per-(type, value) counts at
+# the map side; stage 2's type-keyed exchange therefore receives one
+# row per DISTINCT value (bounded by the value domain, not the event
+# volume) and cumsums ranks inside the bucket.
+# ---------------------------------------------------------------------------
+def q_percent_rank_values(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["value"].notna()]
+        ve = np.floor(
+            df["value"].to_numpy(dtype=np.float64) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "ve": ve})
+            .groupby([nul_safe_key(df["event_type"]), "ve"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return _from_pandas(g.astype({"ve": np.int64, "c": np.int64}))
+
+    merged = hash_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["event_type", "ve"],
+        lambda df: df.groupby(["event_type", "ve"], sort=False)["c"]
+        .sum()
+        .reset_index(),
+    )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["event_type", "ve"], kind="mergesort")
+        grp = d.groupby("event_type", sort=False)["c"]
+        csum = grp.cumsum().to_numpy()
+        c = d["c"].to_numpy()
+        n = grp.transform("sum").to_numpy()
+        rk = csum - c + 1  # rank of the first row carrying this value
+        pr = np.where(n > 1, (rk - 1) * 1_000_000 // np.maximum(n - 1, 1), 0)
+        return pd.DataFrame(
+            {
+                "event_type": d["event_type"],
+                "ve": d["ve"].to_numpy(),
+                "pr_e6": pr.astype(np.int64),
+            }
+        )
+
+    out = hash_aggregate(merged, ["event_type"], rank)
+    res = collect_sorted(out, ["event_type", "ve"])
+    res["event_type"] = res["event_type"].astype(object)
+    return res
+
+
+SQL_PERCENT_RANK_VALUES = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS ve
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, ve,
+         rank() OVER (PARTITION BY event_type ORDER BY ve) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT DISTINCT event_type, ve,
+       CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1) ELSE 0 END AS pr_e6
+FROM r
+ORDER BY event_type, ve
+"""
+
+
+ORACLE_QUERIES["percent_rank_values"] = (
+    q_percent_rank_values,
+    SQL_PERCENT_RANK_VALUES,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q: cube_revenue — GROUP BY CUBE over (returnflag, linestatus): detail
+# cells plus BOTH one-dimension marginals plus the grand total, every
+# subtotal folded from the tiny finest-level aggregate (the rollup
+# pattern extended to the full lattice — the fact table is scanned
+# exactly once).  Subtotal coordinates carry the sentinel 'ALL' on both
+# sides so no nullable string rides the value hash.
+# ---------------------------------------------------------------------------
+def q_cube_revenue(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df.pop("l_extendedprice").to_numpy())
+        g = (
+            df.groupby(
+                [nul_safe_key(df["l_returnflag"]), nul_safe_key(df["l_linestatus"])],
+                sort=False,
+            )["cents"]
+            .agg(n="size", cents="sum")
+            .reset_index()
+        )
+        return _from_pandas(g.astype({"n": np.int64, "cents": np.int64}))
+
+    detail = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        lambda df: df.groupby(["l_returnflag", "l_linestatus"], sort=False)[
+            ["n", "cents"]
+        ]
+        .sum()
+        .reset_index(),
+    ).to_pandas()
+    detail["l_returnflag"] = detail["l_returnflag"].astype(object)
+    detail["l_linestatus"] = detail["l_linestatus"].astype(object)
+
+    def marginal(by):
+        g = detail.groupby(by, sort=False)[["n", "cents"]].sum().reset_index()
+        return g
+
+    m_flag = marginal("l_returnflag")
+    m_flag["l_linestatus"] = "ALL"
+    m_stat = marginal("l_linestatus")
+    m_stat["l_returnflag"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "n": [detail["n"].sum()],
+            "cents": [detail["cents"].sum()],
+        }
+    )
+    out = pd.concat(
+        [detail, m_flag, m_stat, total], ignore_index=True
+    )[["l_returnflag", "l_linestatus", "n", "cents"]]
+    out["n"] = out["n"].astype(np.int64)
+    out["cents"] = out["cents"].astype(np.int64)
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+SQL_CUBE_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+ORACLE_QUERIES["cube_revenue"] = (q_cube_revenue, SQL_CUBE_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# Q: unpivot_measures — wide-to-long reshape (the inverse of
+# lang_pivot): per returnflag, each of the four lineitem money/quantity
+# measures becomes a (measure, cents) row.  The wide aggregate is one
+# map-side partial + tiny exchange; the melt runs on the driver over
+# #flags x 4 rows.
+# ---------------------------------------------------------------------------
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_unpivot_measures(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag"] + _UNPIVOT_MEASURES)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        for c in _UNPIVOT_MEASURES:
+            df[c] = _cents(df[c].to_numpy())
+        g = (
+            df.groupby(nul_safe_key(df["l_returnflag"]), sort=False)[
+                _UNPIVOT_MEASURES
+            ]
+            .sum()
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    wide = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        lambda df: df.groupby("l_returnflag", sort=False)[_UNPIVOT_MEASURES]
+        .sum()
+        .reset_index(),
+    ).to_pandas()
+    long = wide.melt(
+        id_vars="l_returnflag", var_name="measure", value_name="cents"
+    )
+    long["l_returnflag"] = long["l_returnflag"].astype(object)
+    long["cents"] = long["cents"].astype(np.int64)
+    return long.sort_values(
+        ["l_returnflag", "measure"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+SQL_UNPIVOT_MEASURES = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS l_quantity,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS l_extendedprice,
+         CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS l_discount,
+         CAST(SUM(CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS l_tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, cents
+FROM w UNPIVOT (cents FOR measure IN
+                (l_quantity, l_extendedprice, l_discount, l_tax))
+ORDER BY l_returnflag, measure
+"""
+
+
+ORACLE_QUERIES["unpivot_measures"] = (q_unpivot_measures, SQL_UNPIVOT_MEASURES)
+
+
+# ---------------------------------------------------------------------------
+# Q: source_doc_sample — ordered string aggregation: per source, the 3
+# smallest doc_ids comma-joined (the "show me examples per group"
+# reporting op).  Map-side per-source 3-smallest partial bounds the
+# exchange at 3 rows per (block, source); the final join-to-string is a
+# vectorized in-bucket groupby-apply over <= 3 rows per source.
+# ---------------------------------------------------------------------------
+def q_source_doc_sample(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("doc_id", kind="mergesort")
+        df = df.groupby(nul_safe_key(df["source"]), sort=False).head(3)
+        return _from_pandas(df[["source", "doc_id"]])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("doc_id", kind="mergesort")
+        d = d.groupby(nul_safe_key(d["source"]), sort=False).head(3)
+        d = d.sort_values(["source", "doc_id"], kind="mergesort")
+        g = (
+            d.astype({"doc_id": str})
+            .groupby(nul_safe_key(d["source"]), sort=False)["doc_id"]
+            .agg(",".join)
+            .reset_index(name="sample_ids")
+        )
+        return g
+
+    out = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["source"], fold
+    ).to_pandas()
+    out["source"] = out["source"].astype(object)
+    out["sample_ids"] = out["sample_ids"].astype(object)
+    return out.sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
+SQL_SOURCE_DOC_SAMPLE = """
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         AS sample_ids
+FROM r WHERE rk <= 3
+GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE_QUERIES["source_doc_sample"] = (q_source_doc_sample, SQL_SOURCE_DOC_SAMPLE)

@@ -135,3 +135,106 @@ def test_ingest_jsonl_roundtrip(ray_session, tmp_path):
         for r in out.itertuples(index=False)
     }
     assert got == {("en", "s1"): (2, 30), ("de", "s2"): (1, 5)}
+
+
+def test_user_activity_histogram_handcrafted(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_user_activity_histogram
+
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame({"user_id": [1, 1, 1, 2, 3, 3, 4]}),
+    )
+    out = q_user_activity_histogram(sf)
+    got = dict(zip(out["n_events"], out["n_users"]))
+    assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_value_histogram_degenerate_and_nulls(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_value_histogram
+
+    # type "flat": all values equal -> mx==mn -> every row lands in bin 0
+    # (width mx-mn+1 = 1); nulls excluded entirely.
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "event_type": ["flat", "flat", "wide", "wide", "wide"],
+                "value": [2.0, 2.0, 0.0, 1.0, None],
+            }
+        ),
+    )
+    out = q_value_histogram(sf)
+    flat = out[out["event_type"] == "flat"]
+    assert list(flat["bin"]) == [0] and list(flat["n"]) == [2]
+    wide = out[out["event_type"] == "wide"]
+    # ve 0 and 1e6 over width 1e6+1: bins 0 and 7
+    assert list(wide["bin"]) == [0, 7] and list(wide["n"]) == [1, 1]
+
+
+def test_percent_rank_ties_and_single(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_percent_rank_values
+
+    # type "a": values [1,1,2,3] -> ranks 1,1,3,4; n=4 ->
+    # pr_e6 = 0, (3-1)*1e6//3 = 666666, (4-1)*1e6//3 = 1000000.
+    # type "b": single row -> pr_e6 = 0.
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "event_type": ["a", "a", "a", "a", "b"],
+                "value": [1.0, 1.0, 2.0, 3.0, 9.0],
+            }
+        ),
+    )
+    out = q_percent_rank_values(sf)
+    a = out[out["event_type"] == "a"]
+    assert list(a["pr_e6"]) == [0, 666666, 1000000]
+    b = out[out["event_type"] == "b"]
+    assert list(b["pr_e6"]) == [0]
+
+
+def test_cube_revenue_lattice(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_cube_revenue
+
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_returnflag": ["A", "A", "R"],
+                "l_linestatus": ["F", "O", "F"],
+                "l_extendedprice": [1.0, 2.0, 4.0],
+            }
+        ),
+    )
+    out = q_cube_revenue(sf)
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n, r.cents)
+        for r in out.itertuples(index=False)
+    }
+    assert got[("A", "F")] == (1, 100)
+    assert got[("A", "ALL")] == (2, 300)
+    assert got[("ALL", "F")] == (2, 500)
+    assert got[("ALL", "ALL")] == (3, 700)
+    assert len(got) == 3 + 2 + 2 + 1  # detail + both marginals + total
+
+
+def test_source_doc_sample_small_groups(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_source_doc_sample
+
+    sf = _write(
+        tmp_path,
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [5, 3, 9, 1, 7],
+                "source": ["x", "x", "x", "x", "y"],
+            }
+        ),
+    )
+    out = q_source_doc_sample(sf).set_index("source")
+    assert out.loc["x", "sample_ids"] == "1,3,5"
+    assert out.loc["y", "sample_ids"] == "7"
