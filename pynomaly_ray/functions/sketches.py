@@ -285,3 +285,32 @@ def cms_query(cms: np.ndarray, values) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     idx = _bloom_indices(values, width, depth)
     return np.min(cms[np.arange(depth)[:, None], idx], axis=0)
+
+
+def mg_prune(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries / mergeable-heavy-hitters prune: reduce a counter set
+    to at most ``k`` entries by subtracting the (k+1)-th largest count
+    from every counter and dropping the non-positive ones.
+
+    This is the offline-equivalent MG step (Agarwal et al., "Mergeable
+    Summaries", PODS'12): applied to exact per-batch counts it yields a
+    deterministic, order-independent summary (unlike streaming MG,
+    whose counter set depends on arrival order), and summaries merge by
+    summing counters per key and pruning again.  Each prune adds at
+    most its threshold to every key's undercount, and the threshold is
+    <= (mass pruned)/(k+1), so a two-level pipeline (per-batch prune,
+    then one global prune of the summed counters) undercounts any key
+    by at most 2N/(k+1) for N total stream items — estimates are
+    one-sided (est <= exact), the mirror of the CMS overestimate.
+
+    Ties at the boundary keep FEWER than k entries (every counter equal
+    to the threshold drops), which preserves determinism without an
+    arbitrary tie pick.
+    """
+    tokens = np.asarray(tokens)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(counts) <= k:
+        return tokens, counts
+    t = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    kept = counts > t
+    return tokens[kept], counts[kept] - t

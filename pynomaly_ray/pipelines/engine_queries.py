@@ -1643,3 +1643,117 @@ ORDER BY token
 """
 
 ORACLE_QUERIES["cms_heavy_hitters"] = (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS)
+
+
+def q_mg_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters (functions/sketches.mg_prune): the
+    deterministic one-sided UNDERestimate sketch completing the family
+    (HLL cardinality, KLL quantiles, Bloom membership, CMS overcount).
+
+    Per-batch exact token counts are pruned to K counters map-side (the
+    offline-MG step), surfaced to parquet, summed per token by a
+    token-keyed exchange whose buckets each emit only their top-(K+1)
+    rows — every global survivor provably sits inside its bucket's
+    top-(K+1), so driver traffic is P*(K+1) rows regardless of corpus
+    size.  The driver applies the final global prune (subtract the
+    (K+1)-th largest summed counter).
+
+    Oracle (the CMS surface pattern): DuckDB re-sums the surfaced
+    partials, recomputes the global threshold with a window rank,
+    derives the same survivors/estimates, and joins EXACT counts
+    recomputed from documents — certifying the distributed merge, the
+    prune math, and (by construction est = v - t <= exact) the
+    one-sided undercount in one hash match.
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate
+    from pynomaly_ray.functions.hashing import nul_safe_key
+    from pynomaly_ray.functions.sketches import mg_prune
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.stages.text import batch_token_counts
+
+    K = 32
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    counted = docs.map_batches(
+        lambda t: batch_token_counts(t, by_doc=False), batch_format="pyarrow"
+    ).materialize()
+
+    surf = _surface_dir("mg_partials")
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = t["token"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pt, pc = mg_prune(toks, cnt, K)
+        return pa.table(
+            {"token": pa.array(pt, pa.string()), "cnt": pa.array(pc)}
+        )
+
+    counted.map_batches(partial, batch_format="pyarrow").write_parquet(surf)
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(nul_safe_key(df["token"]), sort=False)["cnt"]
+            .sum()
+            .rename("v")
+            .reset_index()
+        )
+        g = g.sort_values(["v", "token"], ascending=[False, True], kind="mergesort")
+        return g.head(K + 1)
+
+    rows = hash_aggregate(
+        read_parquet_clean(surf, columns=["token", "cnt"]),
+        ["token"],
+        bucket_top,
+    ).to_pandas()
+    rows = rows.sort_values(
+        ["v", "token"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    t = int(rows["v"].iloc[K]) if len(rows) > K else 0
+    surv = rows[rows["v"] - t > 0].copy()
+    surv["est"] = (surv["v"] - t).astype(np.int64)
+
+    toks = surv["token"].astype(str).tolist()
+    vset = pa.array(toks, pa.string())
+
+    def exact_filter(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tb.filter(pc.is_in(tb["token"], value_set=vset))
+
+    exact = (
+        counted.map_batches(exact_filter, batch_format="pyarrow").to_pandas()
+    )
+    exact = (
+        exact.groupby(nul_safe_key(exact["token"]), sort=False)["cnt"]
+        .sum()
+        .rename("exact")
+        .reset_index()
+    )
+    exact["token"] = exact["token"].astype(object)
+    surv["token"] = surv["token"].astype(object)
+    out = surv[["token", "est"]].merge(exact, on="token", how="inner")
+    out["exact"] = out["exact"].astype(np.int64)
+    return out.sort_values("token", kind="mergesort").reset_index(drop=True)
+
+
+SQL_MG_HEAVY_HITTERS = r"""
+WITH s AS (
+  SELECT token, CAST(SUM(cnt) AS BIGINT) AS v
+  FROM read_parquet('/tmp/pnr_oracle_surface/mg_partials/*.parquet')
+  GROUP BY token
+),
+r AS (SELECT token, v, row_number() OVER (ORDER BY v DESC, token) AS rk FROM s),
+th AS (SELECT COALESCE(MAX(CASE WHEN rk = 33 THEN v END), 0) AS t FROM r),
+tok AS (
+  SELECT unnest(regexp_extract_all(COALESCE(text, ''),
+                                   '[^ \t\n\r\f\v]+')) AS token
+  FROM documents
+),
+exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact
+          FROM tok GROUP BY token)
+SELECT r.token, CAST(r.v - th.t AS BIGINT) AS est, exact.exact
+FROM r CROSS JOIN th JOIN exact ON exact.token = r.token
+WHERE r.v - th.t > 0
+ORDER BY r.token
+"""
+
+ORACLE_QUERIES["mg_heavy_hitters"] = (q_mg_heavy_hitters, SQL_MG_HEAVY_HITTERS)

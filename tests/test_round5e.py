@@ -238,3 +238,41 @@ def test_source_doc_sample_small_groups(ray_session, tmp_path):
     out = q_source_doc_sample(sf).set_index("source")
     assert out.loc["x", "sample_ids"] == "1,3,5"
     assert out.loc["y", "sample_ids"] == "7"
+
+
+def test_mg_prune_properties():
+    from pynomaly_ray.functions.sketches import mg_prune
+
+    toks = np.array(["a", "b", "c", "d", "e"])
+    cnts = np.array([100, 40, 30, 20, 10])
+    t, c = mg_prune(toks, cnts, 2)
+    # threshold = 3rd largest (30): a->70, b->10, rest dropped
+    assert list(t) == ["a", "b"] and list(c) == [70, 10]
+    # under capacity: identity
+    t, c = mg_prune(toks, cnts, 5)
+    assert list(t) == list(toks) and list(c) == list(cnts)
+    # boundary ties all drop (deterministic, possibly < k kept)
+    t, c = mg_prune(np.array(["x", "y", "z"]), np.array([5, 5, 5]), 2)
+    assert len(t) == 0
+
+
+def test_mg_heavy_hitters_undercount_bound(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.engine_queries import q_mg_heavy_hitters
+
+    # one dominant token + noise: the heavy hitter must survive with a
+    # one-sided underestimate within the two-level prune bound 2N/(K+1).
+    docs = [(i, "hot hot hot hot noise%d" % (i % 50)) for i in range(200)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    out = q_mg_heavy_hitters(sf).set_index("token")
+    n_total = 200 * 5
+    assert "hot" in out.index
+    est, exact = out.loc["hot", "est"], out.loc["hot", "exact"]
+    assert exact == 800
+    assert est <= exact
+    assert exact - est <= 2 * n_total // (32 + 1) + 1
+    # every reported estimate is one-sided
+    assert (out["est"] <= out["exact"]).all()
