@@ -5247,3 +5247,149 @@ ORDER BY source
 
 
 ORACLE_QUERIES["source_doc_sample"] = (q_source_doc_sample, SQL_SOURCE_DOC_SAMPLE)
+
+
+# ---------------------------------------------------------------------------
+# Q: label_centroids — per-label embedding centroid (the class-prototype
+# op of an embedding pipeline: cluster seeds, nearest-class-mean
+# retrieval).  Each coordinate is scaled to the e6 integer grid BEFORE
+# summation, so the per-label sums are reduction-order exact; one
+# (label, pos)-keyed exchange folds L x D rows per batch, and the
+# centroid is the integer floor-division of sum by count.  The SQL twin
+# carries the same floor semantics through the identity
+# (s - ((s % n) + n) % n) / n because DuckDB's // truncates toward zero
+# on negatives while the engine floors.
+# ---------------------------------------------------------------------------
+def q_label_centroids(sf_dir: str):
+    from pynomaly_ray.stages.similarity import _embedding_matrix
+
+    ds = _pq(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        M = _embedding_matrix(t)
+        e6 = np.floor(M * 1_000_000.0 + 0.5).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(labels)
+        dim = e6.shape[1]
+        acc = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(acc, codes, e6)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq))),
+                "s": pa.array(acc.reshape(-1)),
+                "n": pa.array(np.repeat(n, dim)),
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "pos"],
+        lambda df: df.groupby(["label", "pos"], sort=False)[["s", "n"]]
+        .sum()
+        .reset_index(),
+    ).to_pandas()
+    out["cent_e6"] = (
+        out["s"].to_numpy() // out["n"].to_numpy()
+    ).astype(np.int64)
+    out = out[["label", "pos", "n", "cent_e6"]].sort_values(
+        ["label", "pos"], kind="mergesort"
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings
+),
+a AS (
+  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY label, pos
+)
+SELECT label, pos, n,
+       CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS cent_e6
+FROM a
+ORDER BY label, pos
+"""
+
+
+ORACLE_QUERIES["label_centroids"] = (q_label_centroids, SQL_LABEL_CENTROIDS)
+
+
+# ---------------------------------------------------------------------------
+# Q: event_transitions — first-order Markov transition counts between
+# consecutive event types per user (the sequence-mining op behind
+# next-action models).  One user-keyed exchange sorts each user's
+# events by (ts, event_id) — the event_id tiebreak makes simultaneous
+# events deterministically ordered on BOTH sides — and counts adjacent
+# type pairs vectorized; a tiny pair-keyed fold follows.
+# ---------------------------------------------------------------------------
+def q_event_transitions(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["ts_us"] = df.pop("ts").astype("int64")
+        return _from_pandas(df)
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        same = d["user_id"].to_numpy()[1:] == d["user_id"].to_numpy()[:-1]
+        src = d["event_type"].to_numpy(dtype=object)[:-1][same]
+        dst = d["event_type"].to_numpy(dtype=object)[1:][same]
+        g = (
+            pd.DataFrame({"from_type": src, "to_type": dst})
+            .groupby(
+                [
+                    nul_safe_key(pd.Series(src)).rename("from_type"),
+                    nul_safe_key(pd.Series(dst)).rename("to_type"),
+                ],
+                sort=False,
+            )
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    per_bucket = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], transitions
+    )
+    out = hash_aggregate(
+        per_bucket,
+        ["from_type", "to_type"],
+        lambda df: df.groupby(["from_type", "to_type"], sort=False)["n"]
+        .sum()
+        .reset_index(),
+    )
+    res = collect_sorted(out, ["from_type", "to_type"])
+    res["from_type"] = res["from_type"].astype(object)
+    res["to_type"] = res["to_type"].astype(object)
+    return res
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""
+
+
+ORACLE_QUERIES["event_transitions"] = (q_event_transitions, SQL_EVENT_TRANSITIONS)

@@ -276,3 +276,60 @@ def test_mg_heavy_hitters_undercount_bound(ray_session, tmp_path):
     assert exact - est <= 2 * n_total // (32 + 1) + 1
     # every reported estimate is one-sided
     assert (out["est"] <= out["exact"]).all()
+
+
+def test_label_centroids_negative_floor(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_label_centroids
+
+    # label 1: vectors [-1.0, 0.5] and [0.0, 0.5] -> sums (-1e6, 1e6),
+    # n=2 -> floor(-1e6/2) = -500000 (floor, not truncate-toward-zero).
+    # label 2: single vector, sum -3 -> floor(-3/1) = -3.
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3],
+                "embedding": [[-1.0, 0.5], [0.0, 0.5], [-0.000003, 1.0]],
+                "label": [1, 1, 2],
+            }
+        ),
+    )
+    out = q_label_centroids(sf)
+    got = {
+        (r.label, r.pos): (r.n, r.cent_e6) for r in out.itertuples(index=False)
+    }
+    assert got[(1, 0)] == (2, -500000)
+    assert got[(1, 1)] == (2, 500000)
+    assert got[(2, 0)] == (1, -3)
+    assert got[(2, 1)] == (1, 1000000)
+
+
+def test_event_transitions_tie_and_boundaries(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_event_transitions
+
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 00:00:00",
+            "2026-01-01 00:00:00",  # tie with row 0 -> event_id order
+            "2026-01-01 00:00:05",
+            "2026-01-02 00:00:00",  # other user: single event, no pair
+        ]
+    ).astype("datetime64[us]")
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2],
+                "event_id": [11, 10, 12, 13],  # tie resolves 10 -> 11
+                "ts": ts,
+                "event_type": ["b", "a", "c", "z"],
+            }
+        ),
+    )
+    out = q_event_transitions(sf)
+    got = {
+        (r.from_type, r.to_type): r.n for r in out.itertuples(index=False)
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
