@@ -534,6 +534,88 @@ def cmd_cluster(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Corpus onboarding: convert a CSV / JSONL table (or re-block a
+    parquet one) into the engine's parquet layout.  The conversion is
+    fully distributed — ray.data reads the sharded source files and
+    writes partitioned parquet; nothing funnels through the driver."""
+    import glob
+    import os
+
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+
+    cols = args.columns.split(",") if args.columns else None
+    if args.format == "csv":
+        ds = rd.read_csv(args.input)
+    elif args.format == "jsonl":
+        ds = rd.read_json(args.input)
+    else:
+        from pynomaly_ray.sources.parquet import read_parquet_clean
+
+        ds = read_parquet_clean(args.input, columns=cols)
+    if cols:
+        ds = ds.select_columns(cols)
+    if args.blocks:
+        ds = ds.repartition(args.blocks)
+    shutil.rmtree(args.out, ignore_errors=True)
+    os.makedirs(args.out, exist_ok=True)
+    ds.write_parquet(args.out)
+    import pyarrow.parquet as papq
+
+    rows = sum(
+        papq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(args.out, "*.parquet"))
+    )
+    print(
+        json.dumps(
+            {"out": args.out, "rows": int(rows), "format": args.format}
+        )
+    )
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Run any registry pipeline by name over an sf-style table dir
+    (the operational surface of the 100+-query suite): result written
+    as parquet with --out, else a row-count summary."""
+    import os
+
+    _ensure_ray(args.num_cpus)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.pipelines.engine_queries import ENGINE_QUERIES
+    from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
+
+    registry = {name: fn for name, (fn, _sql) in ORACLE_QUERIES.items()}
+    registry.update(ENGINE_QUERIES)
+    if args.list or args.name not in registry:
+        print(json.dumps({"queries": sorted(registry)}))
+        return 0 if args.list else 2
+    res = registry[args.name](args.input)
+    if isinstance(res, pd.DataFrame):
+        tbl = pa.Table.from_pandas(res, preserve_index=False)
+    elif isinstance(res, pa.Table):
+        tbl = res
+    else:  # ray Dataset: keep it distributed unless a driver table fits
+        if args.out:
+            shutil.rmtree(args.out, ignore_errors=True)
+            res.write_parquet(args.out)
+            print(json.dumps({"name": args.name, "out": args.out}))
+            return 0
+        print(json.dumps({"name": args.name, "rows": int(res.count())}))
+        return 0
+    summary = {"name": args.name, "rows": tbl.num_rows}
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        papq.write_table(tbl, args.out)
+        summary["out"] = args.out
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pynomaly_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -707,6 +789,37 @@ def main(argv=None) -> int:
     )
     cl.add_argument("--num-cpus", type=int, default=None)
     cl.set_defaults(fn=cmd_cluster)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="convert a CSV/JSONL table (or re-block parquet) into the "
+        "engine's parquet layout, fully distributed",
+    )
+    ing.add_argument("--input", required=True, help="source file/dir/glob")
+    ing.add_argument("--out", required=True, help="output parquet dir")
+    ing.add_argument(
+        "--format", choices=["csv", "jsonl", "parquet"], default="csv"
+    )
+    ing.add_argument(
+        "--columns", default=None, help="comma-separated projection"
+    )
+    ing.add_argument(
+        "--blocks", type=int, default=None, help="repartition block count"
+    )
+    ing.add_argument("--num-cpus", type=int, default=None)
+    ing.set_defaults(fn=cmd_ingest)
+
+    qr = sub.add_parser(
+        "query", help="run a registry pipeline by name over a table dir"
+    )
+    qr.add_argument("--name", default=None, help="registry query name")
+    qr.add_argument("--input", default=None, help="sf-style table dir")
+    qr.add_argument("--out", default=None, help="write result parquet here")
+    qr.add_argument(
+        "--list", action="store_true", help="print available query names"
+    )
+    qr.add_argument("--num-cpus", type=int, default=None)
+    qr.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -333,3 +333,71 @@ def test_event_transitions_tie_and_boundaries(ray_session, tmp_path):
         (r.from_type, r.to_type): r.n for r in out.itertuples(index=False)
     }
     assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_cli_ingest_and_query(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.csv as pcsv
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.cli import main
+
+    src = tmp_path / "in.csv"
+    pcsv.write_csv(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "lang": ["en", "de", "en"],
+                "extra": [9, 9, 9],
+            }
+        ),
+        str(src),
+    )
+    out = tmp_path / "converted"
+    rc = main(
+        [
+            "ingest",
+            "--input",
+            str(src),
+            "--out",
+            str(out),
+            "--format",
+            "csv",
+            "--columns",
+            "doc_id,lang",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 3
+    back = papq.read_table(str(out))
+    assert sorted(back.column_names) == ["doc_id", "lang"]
+
+    # query by name over an sf-style dir, result written as parquet
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame({"user_id": [1, 1, 2]}),
+    )
+    qout = tmp_path / "q.parquet"
+    rc = main(
+        [
+            "query",
+            "--name",
+            "user_activity_histogram",
+            "--input",
+            sf,
+            "--out",
+            str(qout),
+        ]
+    )
+    assert rc == 0
+    res = papq.read_table(str(qout)).to_pandas()
+    assert dict(zip(res["n_events"], res["n_users"])) == {1: 1, 2: 1}
+
+    # unknown name exits 2 and lists the registry
+    rc = main(["query", "--name", "nope_not_a_query", "--input", sf])
+    assert rc == 2
+    listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "user_activity_histogram" in listed["queries"]
