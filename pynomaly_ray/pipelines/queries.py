@@ -5393,3 +5393,118 @@ ORDER BY from_type, to_type
 
 
 ORACLE_QUERIES["event_transitions"] = (q_event_transitions, SQL_EVENT_TRANSITIONS)
+
+
+# ---------------------------------------------------------------------------
+# Q: bloom_semi_join — the classic 100-TB join pushdown: revenue per
+# returnflag of lineitems belonging to high-value orders.  A
+# constant-size (128 KB) Bloom filter of the build-side keys is OR-
+# merged on the driver and ray.put-broadcast; the probe side discards
+# non-members MAP-SIDE (true matches + ~fp-rate survivors), and only
+# the survivors enter the exact partitioned hash join that kills the
+# false positives — so the result is EXACT while the all-to-all
+# exchange carries a fraction of the fact table.  The SQL twin is the
+# plain semi-join: the bloom pass is invisible in the answer, which is
+# precisely the property the oracle certifies.
+# ---------------------------------------------------------------------------
+_BLOOM_JOIN_PRICE = 400_000.0
+
+
+def q_bloom_semi_join(sf_dir: str):
+    import ray
+
+    from pynomaly_ray.functions.exchange import hash_join
+    from pynomaly_ray.functions.sketches import (
+        bloom_contains,
+        bloom_merge,
+        bloom_partial,
+    )
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], _BLOOM_JOIN_PRICE))
+        return pa.table({"l_orderkey": t["o_orderkey"]})
+
+    build = orders.map_batches(keys_only, batch_format="pyarrow").materialize()
+
+    def bloom_rows(t: pa.Table) -> pa.Table:
+        bits = bloom_partial(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    # arrow refs, not to_pandas: a 0-row Dataset (no qualifying build
+    # keys) drops its columns in to_pandas, and bloom_merge of zero
+    # partials must degrade to the empty filter
+    bit_tables = ray.get(
+        build.map_batches(bloom_rows, batch_format="pyarrow").to_arrow_refs()
+    )
+    merged = bloom_merge(
+        np.frombuffer(b.as_py(), dtype=np.uint64)
+        for t in bit_tables
+        if t.num_rows
+        for b in t["bits"]
+    )
+    if not merged.any():
+        # empty build side: the SQL twin's IN (empty set) is zero rows;
+        # short-circuit before the empty exchange loses column names
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+                "cents": pd.Series(dtype=np.int64),
+            }
+        )
+    bits_ref = ray.put(merged)
+
+    line = _pq(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keep = bloom_contains(bits, t["l_orderkey"].to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_returnflag": t["l_returnflag"],
+                "cents": pa.array(
+                    _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    survivors = line.map_batches(probe, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(nul_safe_key(df["l_returnflag"]), sort=False)["cents"]
+            .agg(n="size", cents="sum")
+            .reset_index()
+        )
+        return g.astype({"n": np.int64, "cents": np.int64})
+
+    joined = hash_join(survivors, build, ["l_orderkey"], merge_fn=fold)
+    out = hash_aggregate(
+        joined,
+        ["l_returnflag"],
+        lambda df: df.groupby("l_returnflag", sort=False)[["n", "cents"]]
+        .sum()
+        .reset_index(),
+    )
+    res = collect_sorted(out, ["l_returnflag"])
+    res["l_returnflag"] = res["l_returnflag"].astype(object)
+    return res
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 400000)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+ORACLE_QUERIES["bloom_semi_join"] = (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN)

@@ -401,3 +401,32 @@ def test_cli_ingest_and_query(ray_session, tmp_path, capsys):
     assert rc == 2
     listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "user_activity_histogram" in listed["queries"]
+
+
+def test_bloom_semi_join_handcrafted_and_empty_build(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_bloom_semi_join
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_totalprice": [500000.0, 100.0, 450000.0],
+        }
+    )
+    line = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 3, 9],
+            "l_returnflag": ["A", "R", "A", "A", "A"],
+            "l_extendedprice": [1.0, 2.0, 4.0, 8.0, 16.0],
+        }
+    )
+    _write(tmp_path, "orders", orders)
+    sf = _write(tmp_path, "lineitem", line)
+    out = q_bloom_semi_join(sf).set_index("l_returnflag")
+    # orders 1 and 3 qualify; lineitems of order 2 and unknown 9 are out
+    assert out.loc["A", "n"] == 2 and out.loc["A", "cents"] == 900
+    assert out.loc["R", "n"] == 1 and out.loc["R", "cents"] == 200
+
+    # no qualifying orders -> empty result, not a crash
+    _write(tmp_path, "orders", orders.assign(o_totalprice=1.0))
+    empty = q_bloom_semi_join(sf)
+    assert len(empty) == 0
