@@ -560,12 +560,18 @@ def cmd_ingest(args) -> int:
         ds = ds.repartition(args.blocks)
     shutil.rmtree(args.out, ignore_errors=True)
     os.makedirs(args.out, exist_ok=True)
-    ds.write_parquet(args.out)
+    if args.partition_by:
+        # hive-partitioned layout (one directory per key value): a
+        # failed 100x run resumes by skipping finished partitions, and
+        # per-key consumers read one directory instead of the table
+        ds.write_parquet(args.out, partition_cols=args.partition_by.split(","))
+    else:
+        ds.write_parquet(args.out)
     import pyarrow.parquet as papq
 
     rows = sum(
         papq.read_metadata(f).num_rows
-        for f in glob.glob(os.path.join(args.out, "*.parquet"))
+        for f in glob.glob(os.path.join(args.out, "**", "*.parquet"), recursive=True)
     )
     print(
         json.dumps(
@@ -805,6 +811,11 @@ def main(argv=None) -> int:
     )
     ing.add_argument(
         "--blocks", type=int, default=None, help="repartition block count"
+    )
+    ing.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated hive partition columns for the output",
     )
     ing.add_argument("--num-cpus", type=int, default=None)
     ing.set_defaults(fn=cmd_ingest)

@@ -5420,10 +5420,20 @@ def q_bloom_semi_join(sf_dir: str):
         bloom_partial,
     )
 
-    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    import pyarrow.dataset as pads
+
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    # predicate pushed INTO the read: row-group statistics prune
+    # non-qualifying groups before any bytes decode, and only the key
+    # column is projected — the build side arrives as the answer
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey"],
+        filter=pads.field("o_totalprice") > _BLOOM_JOIN_PRICE,
+    )
 
     def keys_only(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["o_totalprice"], _BLOOM_JOIN_PRICE))
         return pa.table({"l_orderkey": t["o_orderkey"]})
 
     build = orders.map_batches(keys_only, batch_format="pyarrow").materialize()

@@ -26,9 +26,19 @@ def read_parquet_clean(
     *,
     columns=None,
     override_num_blocks: int | None = None,
+    filter=None,
 ):
+    """``filter`` is a ``pyarrow.dataset`` expression pushed INTO the
+    read (row-group statistics prune whole groups before any bytes
+    decode) — at the 100x corpus a selective predicate here is the
+    difference between scanning the table and scanning the answer.
+    Rows the statistics cannot exclude are filtered exactly by the
+    scanner, so the result equals a post-read filter."""
+    kwargs = {}
+    if filter is not None:
+        kwargs["filter"] = filter
     ds = rd.read_parquet(
-        paths, columns=columns, override_num_blocks=override_num_blocks
+        paths, columns=columns, override_num_blocks=override_num_blocks, **kwargs
     )
     return ds.map_batches(
         strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True

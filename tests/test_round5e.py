@@ -430,3 +430,68 @@ def test_bloom_semi_join_handcrafted_and_empty_build(ray_session, tmp_path):
     _write(tmp_path, "orders", orders.assign(o_totalprice=1.0))
     empty = q_bloom_semi_join(sf)
     assert len(empty) == 0
+
+
+def test_read_filter_pushdown_parity(ray_session, tmp_path):
+    import pyarrow.dataset as pads
+
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    path = _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3, 4],
+                "o_totalprice": [10.0, 500000.0, 20.0, 450000.0],
+            }
+        ),
+    )
+    ds = read_parquet_clean(
+        os.path.join(path, "orders.parquet"),
+        columns=["o_orderkey"],
+        filter=pads.field("o_totalprice") > 400000.0,
+    )
+    got = sorted(ds.to_pandas()["o_orderkey"])
+    assert got == [2, 4]  # filter column need not be projected
+
+
+def test_cli_ingest_partition_by(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.cli import main
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    papq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "lang": ["en", "de", "en"],
+            }
+        ),
+        str(src / "p.parquet"),
+    )
+    out = tmp_path / "hive"
+    rc = main(
+        [
+            "ingest",
+            "--input",
+            str(src),
+            "--out",
+            str(out),
+            "--format",
+            "parquet",
+            "--partition-by",
+            "lang",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 3
+    # one directory per key; a per-key consumer reads ONE partition
+    assert sorted(p.name for p in out.iterdir()) == ["lang=de", "lang=en"]
+    en = papq.read_table(str(out / "lang=en")).to_pandas()
+    assert sorted(en["doc_id"]) == [1, 3]
