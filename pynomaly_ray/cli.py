@@ -600,6 +600,9 @@ def cmd_query(args) -> int:
     if args.list or args.name not in registry:
         print(json.dumps({"queries": sorted(registry)}))
         return 0 if args.list else 2
+    if not args.input:
+        print(json.dumps({"error": "--input is required with --name"}))
+        return 2
     res = registry[args.name](args.input)
     if isinstance(res, pd.DataFrame):
         tbl = pa.Table.from_pandas(res, preserve_index=False)
@@ -801,7 +804,7 @@ def main(argv=None) -> int:
         help="convert a CSV/JSONL table (or re-block parquet) into the "
         "engine's parquet layout, fully distributed",
     )
-    ing.add_argument("--input", required=True, help="source file/dir/glob")
+    ing.add_argument("--input", required=True, help="source file or dir")
     ing.add_argument("--out", required=True, help="output parquet dir")
     ing.add_argument(
         "--format", choices=["csv", "jsonl", "parquet"], default="csv"

@@ -1687,7 +1687,31 @@ def q_mg_heavy_hitters(sf_dir: str):
             {"token": pa.array(pt, pa.string()), "cnt": pa.array(pc)}
         )
 
-    counted.map_batches(partial, batch_format="pyarrow").write_parquet(surf)
+    parts = counted.map_batches(partial, batch_format="pyarrow").materialize()
+    parts.write_parquet(surf)
+    if parts.count() == 0:
+        # every per-batch prune emptied (id-like corpus, all counts tie
+        # below capacity+1): write_parquet left no files, so place a
+        # typed empty surface both the engine read and the SQL glob can
+        # open — and then the summary is empty on both sides
+        import pyarrow.parquet as papq
+
+        os.makedirs(surf, exist_ok=True)
+        papq.write_table(
+            pa.schema(
+                [("token", pa.string()), ("cnt", pa.int64())]
+            ).empty_table(),
+            os.path.join(surf, "empty.parquet"),
+        )
+        # and the summary is empty on both sides — return before the
+        # all-empty exchange loses its column names
+        return pd.DataFrame(
+            {
+                "token": pd.Series(dtype=object),
+                "est": pd.Series(dtype=np.int64),
+                "exact": pd.Series(dtype=np.int64),
+            }
+        )
 
     def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
         g = (
@@ -1710,6 +1734,18 @@ def q_mg_heavy_hitters(sf_dir: str):
     t = int(rows["v"].iloc[K]) if len(rows) > K else 0
     surv = rows[rows["v"] - t > 0].copy()
     surv["est"] = (surv["v"] - t).astype(np.int64)
+    if surv.empty:
+        # all top-(K+1) counters tie (id-like corpus): every counter
+        # drops at the global prune — the SQL twin returns zero rows;
+        # short-circuit before the all-filtered exact pass loses its
+        # column names in to_pandas
+        return pd.DataFrame(
+            {
+                "token": pd.Series(dtype=object),
+                "est": pd.Series(dtype=np.int64),
+                "exact": pd.Series(dtype=np.int64),
+            }
+        )
 
     toks = surv["token"].astype(str).tolist()
     vset = pa.array(toks, pa.string())

@@ -4483,23 +4483,64 @@ def q_cross_source_texts(sf_dir: str):
 
     ds = _pq(sf_dir, "documents", ["text", "source"])
 
+    # ONE table scan emits both row kinds: kind-0 distinct (h, source)
+    # pairs and kind-1 per-batch per-source doc-count partials.  The
+    # mixed stream is materialized once and filtered per exchange so
+    # the constant-keyed kind-1 rows never ride the h-keyed exchange
+    # (the hot-bucket hazard the LM scorer fixed).  All dedup/groupby
+    # on source goes through the NUL-safe Arrow-backed dtype: a plain
+    # multi-column object drop_duplicates aliases sources differing
+    # only after an embedded \x00.
     def pre(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        src = nul_safe_key(t["source"].to_pandas())
+        d = pd.DataFrame(
             {
-                "h": hash_strings(
-                    t["text"].to_pandas().fillna("")
-                ).astype(np.int64),
-                "source": t["source"].to_pandas(),
+                "h": hash_strings(t["text"].to_pandas().fillna("")).astype(
+                    np.int64
+                ),
+                "source": src,
             }
+        ).drop_duplicates()
+        counts = src.groupby(src, sort=False).size()
+        return _from_pandas(
+            pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "h": d["h"].to_numpy(),
+                            "source": d["source"].astype(object),
+                            "n": np.zeros(len(d), np.int64),
+                            "kind": np.zeros(len(d), np.int64),
+                        }
+                    ),
+                    pd.DataFrame(
+                        {
+                            "h": np.zeros(len(counts), np.int64),
+                            "source": counts.index.astype(object),
+                            "n": counts.to_numpy(dtype=np.int64),
+                            "kind": np.ones(len(counts), np.int64),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
         )
-        return _from_pandas(df.drop_duplicates())
+
+    rows = ds.map_batches(pre, batch_format="pyarrow").materialize()
+
+    def only_kind(k: int):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], k))
+
+        return _f
 
     def per_text(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates()
+        src = nul_safe_key(df["source"])
+        d = pd.DataFrame({"h": df["h"], "source": src}).drop_duplicates()
         nsrc = d.groupby("h", sort=False)["source"].transform("size")
         return pd.DataFrame(
             {
-                "source": d["source"],
+                "source": d["source"].astype(object),
                 "shared": (nsrc.to_numpy() > 1).astype(np.int64),
             }
         )
@@ -4514,31 +4555,26 @@ def q_cross_source_texts(sf_dir: str):
         return g
 
     flags = hash_aggregate(
-        ds.map_batches(pre, batch_format="pyarrow"), ["h"], per_text
+        rows.map_batches(only_kind(0), batch_format="pyarrow"),
+        ["h"],
+        per_text,
     )
     per_src = hash_aggregate(flags, ["source"], per_source).to_pandas()
 
-    def doc_counts(t: pa.Table) -> pa.Table:
-        s = t["source"].to_pandas()
-        g = s.groupby(nul_safe_key(s), sort=False).size()
-        return _from_pandas(
-            pd.DataFrame(
-                {"source": g.index, "n_docs": g.to_numpy(dtype=np.int64)}
-            )
-        )
-
     docs = (
-        _pq(sf_dir, "documents", ["source"])
-        .map_batches(doc_counts, batch_format="pyarrow")
+        rows.map_batches(only_kind(1), batch_format="pyarrow")
+        .select_columns(["source", "n"])
         .to_pandas()
+        .rename(columns={"n": "n_docs"})
     )
     docs = (
         docs.groupby(nul_safe_key(docs["source"]), sort=False)["n_docs"]
         .sum()
         .reset_index()
     )
+    docs["source"] = docs["source"].astype(object)
+    per_src["source"] = per_src["source"].astype(object)
     out = docs.merge(per_src, on="source", how="inner")
-    out["source"] = out["source"].astype(object)
     return out.sort_values("source", kind="mergesort").reset_index(drop=True)
 
 
@@ -4572,11 +4608,26 @@ def q_event_type_pairs(sf_dir: str):
     ds = _pq(sf_dir, "events", ["user_id", "event_type"])
 
     def pre(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates()
+        df = t.to_pandas()
+        # NULL users never satisfy the SQL self-join's equality (NULL =
+        # NULL is not true), but pandas merge MATCHES NaN keys — drop
+        # them here so both sides agree
+        df = df[df["user_id"].notna()]
+        df["event_type"] = nul_safe_key(df["event_type"])
+        df = df.drop_duplicates()
+        df["event_type"] = df["event_type"].astype(object)
         return _from_pandas(df)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates()
+        # NUL-safe cross-block dedup (multi-column object dedup aliases
+        # after an embedded \x00); merge itself is NUL-safe
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "event_type": nul_safe_key(df["event_type"]),
+            }
+        ).drop_duplicates()
+        d["event_type"] = d["event_type"].astype(object)
         m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
         m = m[m["event_type_a"] < m["event_type_b"]]
         g = (
@@ -4636,17 +4687,14 @@ def q_inverted_index(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
 
     def pre(t: pa.Table) -> pa.Table:
-        s = t["text"].to_pandas().fillna("")
-        # same explicit ASCII token class as SQL regexp_extract_all
-        toks = s.str.findall(r"[^ \t\n\r\f\v]+")
-        n = toks.str.len().to_numpy(dtype=np.int64)
-        flat = toks.explode().dropna()
-        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
-        return _from_pandas(
-            pd.DataFrame(
-                {"token": flat.to_numpy(dtype=object), "doc_id": ids}
-            ).drop_duplicates()
-        )
+        # shared NUL-safe Arrow tokenize/group kernel (stages/text.py):
+        # its (doc_id, token, tf) rows ARE the distinct pairs — a
+        # hand-rolled multi-column object drop_duplicates here would
+        # alias tokens differing only after an embedded \x00
+        from pynomaly_ray.stages.text import batch_token_counts
+
+        pairs = batch_token_counts(t, by_doc=True)
+        return pa.table({"token": pairs["token"], "doc_id": pairs["doc_id"]})
 
     def reduce(df: pd.DataFrame) -> pd.DataFrame:
         d = pd.DataFrame(
@@ -4839,17 +4887,21 @@ ORACLE_QUERIES["ingest_jsonl"] = (q_ingest_jsonl, SQL_INGEST_JSONL)
 def q_user_activity_histogram(sf_dir: str):
     ds = _pq(sf_dir, "events", ["user_id"])
 
+    # dropna=False throughout: SQL GROUP BY keeps NULL as one group, so
+    # a NULL-user event stream contributes one user at its activity
+    # level instead of silently vanishing
     def pre(t: pa.Table) -> pa.Table:
         g = (
             t.to_pandas()
-            .groupby("user_id", sort=False)
+            .groupby("user_id", sort=False, dropna=False)
             .size()
             .reset_index(name="c")
         )
-        return _from_pandas(g.astype(np.int64))
+        g["c"] = g["c"].astype(np.int64)
+        return _from_pandas(g)
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
-        per_user = df.groupby("user_id", sort=False)["c"].sum()
+        per_user = df.groupby("user_id", sort=False, dropna=False)["c"].sum()
         g = per_user.value_counts().reset_index()
         g.columns = ["n_events", "n_users"]
         return g.astype(np.int64)
@@ -5343,7 +5395,12 @@ def q_event_transitions(sf_dir: str):
         d = df.sort_values(
             ["user_id", "ts_us", "event_id"], kind="mergesort"
         )
-        same = d["user_id"].to_numpy()[1:] == d["user_id"].to_numpy()[:-1]
+        u = d["user_id"].to_numpy()
+        same = u[1:] == u[:-1]
+        if u.dtype.kind == "f":
+            # SQL's PARTITION BY groups NULL users into ONE partition;
+            # NaN != NaN would silently drop their transitions
+            same |= np.isnan(u[1:]) & np.isnan(u[:-1])
         src = d["event_type"].to_numpy(dtype=object)[:-1][same]
         dst = d["event_type"].to_numpy(dtype=object)[1:][same]
         g = (

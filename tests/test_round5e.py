@@ -402,6 +402,12 @@ def test_cli_ingest_and_query(ray_session, tmp_path, capsys):
     listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "user_activity_histogram" in listed["queries"]
 
+    # known name without --input: usage error, not a traceback
+    rc = main(["query", "--name", "user_activity_histogram"])
+    assert rc == 2
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err
+
 
 def test_bloom_semi_join_handcrafted_and_empty_build(ray_session, tmp_path):
     from pynomaly_ray.pipelines.queries import q_bloom_semi_join
@@ -495,3 +501,123 @@ def test_cli_ingest_partition_by(ray_session, tmp_path, capsys):
     assert sorted(p.name for p in out.iterdir()) == ["lang=de", "lang=en"]
     en = papq.read_table(str(out / "lang=en")).to_pandas()
     assert sorted(en["doc_id"]) == [1, 3]
+
+
+def test_cross_source_texts_nul_sources(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_cross_source_texts
+
+    # sources differing only after an embedded NUL must stay distinct,
+    # and the text they share must count as shared for BOTH
+    sf = _write(
+        tmp_path,
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["same", "same"],
+                "source": ["s\x00a", "s\x00b"],
+            }
+        ),
+    )
+    out = q_cross_source_texts(sf).set_index("source")
+    assert len(out) == 2
+    for s in ("s\x00a", "s\x00b"):
+        assert out.loc[s, "n_docs"] == 1
+        assert out.loc[s, "n_texts"] == 1
+        assert out.loc[s, "n_shared"] == 1
+
+
+def test_event_type_pairs_null_users_excluded(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_event_type_pairs
+
+    # SQL's self-join equality never matches NULL = NULL: the NULL-user
+    # events must not produce a pair
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "user_id": pd.array([None, None, 1, 1], dtype="Int64"),
+                "event_type": ["a", "b", "a", "b"],
+            }
+        ),
+    )
+    out = q_event_type_pairs(sf)
+    got = {
+        (r.type_a, r.type_b): r.n_users for r in out.itertuples(index=False)
+    }
+    assert got == {("a", "b"): 1}
+
+
+def test_user_activity_histogram_null_user_group(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_user_activity_histogram
+
+    # SQL GROUP BY keeps NULL as ONE group: two null-user events = one
+    # user at activity level 2
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame({"user_id": pd.array([None, None, 7], dtype="Int64")}),
+    )
+    out = q_user_activity_histogram(sf)
+    got = dict(zip(out["n_events"], out["n_users"]))
+    assert got == {1: 1, 2: 1}
+
+
+def test_event_transitions_null_user_partition(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_event_transitions
+
+    # SQL PARTITION BY groups NULL users into one partition: their
+    # consecutive events DO produce transitions
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:00", "2026-01-01 00:00:05"]
+    ).astype("datetime64[us]")
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "user_id": pd.array([None, None], dtype="Int64"),
+                "event_id": [1, 2],
+                "ts": ts,
+                "event_type": ["a", "b"],
+            }
+        ),
+    )
+    out = q_event_transitions(sf)
+    got = {
+        (r.from_type, r.to_type): r.n for r in out.itertuples(index=False)
+    }
+    assert got == {("a", "b"): 1}
+
+
+def test_inverted_index_nul_tokens(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_inverted_index
+
+    # tokens differing only after an embedded NUL keep separate postings
+    sf = _write(
+        tmp_path,
+        "documents",
+        pd.DataFrame(
+            {"doc_id": [1], "text": ["x\x00a x\x00b"]}
+        ),
+    )
+    out = q_inverted_index(sf)
+    assert sorted(out["token"]) == ["x\x00a", "x\x00b"]
+    assert list(out["df"]) == [1, 1]
+
+
+def test_mg_heavy_hitters_all_ties_empty(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.engine_queries import q_mg_heavy_hitters
+
+    # > K+1 distinct tokens, every count 1: the global prune drops all
+    # counters -> empty typed result, not a crash
+    docs = [(i, "tok%04d" % i) for i in range(40)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    out = q_mg_heavy_hitters(sf)
+    assert len(out) == 0
+    assert list(out.columns) == ["token", "est", "exact"]
