@@ -5575,3 +5575,145 @@ ORDER BY l_returnflag
 
 
 ORACLE_QUERIES["bloom_semi_join"] = (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN)
+
+
+# ---------------------------------------------------------------------------
+# Q: event_dedup — telemetry debounce: an event is a duplicate when the
+# SAME (user, type) fired within 5 s before it (LAG semantics, both
+# sides ordered by (ts, event_id) so simultaneous events are
+# deterministic).  One user-keyed exchange sorts each user's events and
+# keeps/drops vectorized; only per-type keep counts leave the buckets.
+# NULL users follow SQL's PARTITION BY (one shared partition).
+# ---------------------------------------------------------------------------
+_DEDUP_WINDOW_US = 5_000_000
+
+
+def q_event_dedup(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["ts_us"] = df.pop("ts").astype("int64")
+        return _from_pandas(df)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["event_type"] = nul_safe_key(d["event_type"])
+        d = d.sort_values(
+            ["user_id", "event_type", "ts_us", "event_id"], kind="mergesort"
+        )
+        u = d["user_id"].to_numpy()
+        same_u = u[1:] == u[:-1]
+        if u.dtype.kind == "f":
+            same_u |= np.isnan(u[1:]) & np.isnan(u[:-1])
+        ty = d["event_type"].astype(object).to_numpy(dtype=object)
+        same = same_u & (ty[1:] == ty[:-1])
+        ts = d["ts_us"].to_numpy()
+        dup = np.zeros(len(d), dtype=bool)
+        dup[1:] = same & (ts[1:] - ts[:-1] <= _DEDUP_WINDOW_US)
+        g = pd.DataFrame(
+            {"event_type": d["event_type"], "kept": (~dup).astype(np.int64)}
+        ).groupby("event_type", sort=False)["kept"]
+        out = g.agg(n_total="size", n_kept="sum").reset_index()
+        out["event_type"] = out["event_type"].astype(object)
+        return out.astype({"n_total": np.int64, "n_kept": np.int64})
+
+    per_bucket = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], dedup
+    )
+    out = hash_aggregate(
+        per_bucket,
+        ["event_type"],
+        lambda df: df.groupby("event_type", sort=False)[["n_total", "n_kept"]]
+        .sum()
+        .reset_index(),
+    )
+    res = collect_sorted(out, ["event_type"])
+    res["event_type"] = res["event_type"].astype(object)
+    return res
+
+
+SQL_EVENT_DEDUP = """
+WITH s AS (
+  SELECT event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > 5000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLE_QUERIES["event_dedup"] = (q_event_dedup, SQL_EVENT_DEDUP)
+
+
+# ---------------------------------------------------------------------------
+# Q: negative_pairs — deterministic negative sampling for contrastive
+# training: every vector is paired with the NEXT vector on a Knuth-hash
+# ring within its hash bucket (cyclic, so singleton buckets pair with
+# themselves).  Pairing is a pure function of the id set — rerunning on
+# the same corpus reproduces the pairs, and adding docs only perturbs
+# the two ring neighbours of each insertion point.  Buckets are
+# hash-uniform, so the per-bucket sort is balanced by construction; no
+# global sort, no driver-side pass.
+# ---------------------------------------------------------------------------
+_NEG_BUCKETS = 256
+
+
+def q_negative_pairs(sf_dir: str):
+    from pynomaly_ray.functions.hashing import knuth32
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = knuth32(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "hv": pa.array(hv),
+                "bucket": pa.array(hv % _NEG_BUCKETS),
+            }
+        )
+
+    def ring(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["bucket", "hv", "vec_id"], kind="mergesort")
+        ids = d["vec_id"].to_numpy()
+        b = d["bucket"].to_numpy()
+        nxt = np.roll(ids, -1)
+        # one roll over the whole sorted frame, then stitch each ring
+        # closed: the last row of every bucket wraps to its first
+        starts = np.r_[0, np.flatnonzero(b[1:] != b[:-1]) + 1]
+        ends = np.r_[starts[1:], len(b)] - 1
+        nxt[ends] = ids[starts]
+        return pd.DataFrame({"vec_id": ids, "partner_id": nxt})
+
+    pairs = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["bucket"], ring
+    )
+    return collect_sorted(pairs, ["vec_id"])
+
+
+SQL_NEGATIVE_PAIRS = """
+WITH h AS (
+  SELECT vec_id,
+         CAST(((vec_id % 4294967296) * 2654435761::HUGEINT) % 4294967296
+              AS BIGINT) AS hv
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id,
+         LEAD(vec_id) OVER (PARTITION BY hv % 256 ORDER BY hv, vec_id) AS nxt,
+         FIRST_VALUE(vec_id) OVER (PARTITION BY hv % 256
+                                   ORDER BY hv, vec_id) AS fst
+  FROM h
+)
+SELECT vec_id, COALESCE(nxt, fst) AS partner_id FROM p ORDER BY vec_id
+"""
+
+
+ORACLE_QUERIES["negative_pairs"] = (q_negative_pairs, SQL_NEGATIVE_PAIRS)

@@ -621,3 +621,59 @@ def test_mg_heavy_hitters_all_ties_empty(ray_session, tmp_path):
     out = q_mg_heavy_hitters(sf)
     assert len(out) == 0
     assert list(out.columns) == ["token", "est", "exact"]
+
+
+def test_event_dedup_debounce(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_event_dedup
+
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 00:00:00",  # kept (first)
+            "2026-01-01 00:00:03",  # dup (3s after prev of same type)
+            "2026-01-01 00:00:09",  # kept (6s after prev)
+            "2026-01-01 00:00:01",  # other type: kept
+            "2026-01-01 00:00:02",  # other user, same type: kept
+        ]
+    ).astype("datetime64[us]")
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 1, 2],
+                "event_id": [1, 2, 3, 4, 5],
+                "ts": ts,
+                "event_type": ["a", "a", "a", "b", "a"],
+            }
+        ),
+    )
+    out = q_event_dedup(sf).set_index("event_type")
+    assert out.loc["a", "n_total"] == 4 and out.loc["a", "n_kept"] == 3
+    assert out.loc["b", "n_total"] == 1 and out.loc["b", "n_kept"] == 1
+
+
+def test_negative_pairs_ring(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_negative_pairs
+
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        pd.DataFrame({"vec_id": list(range(1, 40))}),
+    )
+    out = q_negative_pairs(sf)
+    assert len(out) == 39
+    # a total function of the id set: every vec has exactly one partner
+    assert set(out["vec_id"]) == set(range(1, 40))
+    from pynomaly_ray.functions.hashing import knuth32
+
+    hv = knuth32(np.arange(1, 40))
+    buckets = hv % 256
+    sizes = pd.Series(buckets).value_counts()
+    pair_of = dict(zip(out["vec_id"], out["partner_id"]))
+    for vid, partner in pair_of.items():
+        b = int(knuth32(np.array([vid]))[0] % 256)
+        # partner stays inside the vec's own hash bucket; self-pairing
+        # only in singleton buckets
+        assert int(knuth32(np.array([partner]))[0] % 256) == b
+        if partner == vid:
+            assert sizes[b] == 1
