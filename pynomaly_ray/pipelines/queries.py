@@ -5717,3 +5717,131 @@ SELECT vec_id, COALESCE(nxt, fst) AS partner_id FROM p ORDER BY vec_id
 
 
 ORACLE_QUERIES["negative_pairs"] = (q_negative_pairs, SQL_NEGATIVE_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# Q: vector_norms — embedding-table profile: per label, the min / max /
+# mean of the SQUARED L2 norm on the e6 grid (sum of squared e6
+# coordinates — exact int64, no sqrt float leaves the engine).  The
+# norm profile is the standard embedding-health check (collapsed or
+# exploding vectors before ANN indexing).  One map pass computes each
+# vector's squared norm; a tiny label-keyed fold follows.
+# ---------------------------------------------------------------------------
+def q_vector_norms(sf_dir: str):
+    from pynomaly_ray.stages.similarity import _embedding_matrix
+
+    ds = _pq(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        M = _embedding_matrix(t)
+        e6 = np.floor(M * 1_000_000.0 + 0.5).astype(np.int64)
+        sq = (e6 * e6).sum(axis=1)
+        df = pd.DataFrame(
+            {
+                "label": t["label"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "sq": sq,
+            }
+        )
+        g = df.groupby("label", sort=False)["sq"].agg(
+            n="size", mn="min", mx="max", s="sum"
+        )
+        return _from_pandas(g.reset_index())
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label"],
+        lambda df: df.groupby("label", sort=False)
+        .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"), s=("s", "sum"))
+        .reset_index(),
+    ).to_pandas()
+    out["mean_sq"] = (out["s"].to_numpy() // out["n"].to_numpy()).astype(
+        np.int64
+    )
+    out = out[["label", "n", "mn", "mx", "mean_sq"]].astype(np.int64)
+    return out.sort_values("label", kind="mergesort").reset_index(drop=True)
+
+
+SQL_VECTOR_NORMS = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings
+),
+q AS (SELECT label, vec_id, CAST(SUM(v * v) AS BIGINT) AS sq
+      FROM e GROUP BY label, vec_id)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(sq) AS mn, MAX(sq) AS mx,
+       CAST(CAST(SUM(sq) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_sq
+FROM q GROUP BY label ORDER BY label
+"""
+
+
+ORACLE_QUERIES["vector_norms"] = (q_vector_norms, SQL_VECTOR_NORMS)
+
+
+# ---------------------------------------------------------------------------
+# Q: user_bursts — ROWS-frame window (the frame type the trailing RANGE
+# window doesn't cover): each user's maximum 3-consecutive-event value
+# sum in cents (burst detection).  Inside the user-keyed exchange the
+# moving sum is a cumsum difference — no per-row loop — with window
+# starts clamped to each user's first event; ties in ts break on
+# event_id on both sides.
+# ---------------------------------------------------------------------------
+def q_user_bursts(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["user_id"].notna()]
+        v = np.nan_to_num(df.pop("value").to_numpy(dtype=np.float64))
+        df["cents"] = _cents(v)
+        df["ts_us"] = df.pop("ts").astype("int64")
+        return _from_pandas(df)
+
+    def bursts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = d["user_id"].to_numpy()
+        c = d["cents"].to_numpy()
+        n = len(d)
+        csum = np.concatenate([[0], np.cumsum(c)])
+        pos = np.arange(n)
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        first_of = np.repeat(starts, np.diff(np.r_[starts, n]))
+        lo = np.maximum(pos - 2, first_of)  # 2 PRECEDING, clamped per user
+        win = csum[pos + 1] - csum[lo]
+        g = (
+            pd.DataFrame({"user_id": u, "burst": win})
+            .groupby("user_id", sort=False)["burst"]
+            .max()
+            .reset_index(name="max_burst_cents")
+        )
+        g["max_burst_cents"] = g["max_burst_cents"].astype(np.int64)
+        return g
+
+    out = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], bursts
+    )
+    return collect_sorted(out, ["user_id"])
+
+
+SQL_USER_BURSTS = """
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+),
+w AS (
+  SELECT user_id,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS burst
+  FROM c
+)
+SELECT user_id, CAST(MAX(burst) AS BIGINT) AS max_burst_cents
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+ORACLE_QUERIES["user_bursts"] = (q_user_bursts, SQL_USER_BURSTS)

@@ -677,3 +677,56 @@ def test_negative_pairs_ring(ray_session, tmp_path):
         assert int(knuth32(np.array([partner]))[0] % 256) == b
         if partner == vid:
             assert sizes[b] == 1
+
+
+def test_vector_norms_exact_grid(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_vector_norms
+
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2],
+                "embedding": [[1.0, 0.0], [0.0, -2.0]],
+                "label": [7, 7],
+            }
+        ),
+    )
+    out = q_vector_norms(sf).set_index("label")
+    # squared e6 norms: 1e12 and 4e12 -> mean 2.5e12
+    assert out.loc[7, "n"] == 2
+    assert out.loc[7, "mn"] == 10**12
+    assert out.loc[7, "mx"] == 4 * 10**12
+    assert out.loc[7, "mean_sq"] == 25 * 10**11
+
+
+def test_user_bursts_window_clamp(ray_session, tmp_path):
+    from pynomaly_ray.pipelines.queries import q_user_bursts
+
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 00:00:00",
+            "2026-01-01 00:00:01",
+            "2026-01-01 00:00:02",
+            "2026-01-01 00:00:03",
+            "2026-01-02 00:00:00",  # user 2: single event
+        ]
+    ).astype("datetime64[us]")
+    sf = _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 1, 2],
+                "event_id": [1, 2, 3, 4, 5],
+                "ts": ts,
+                "value": [1.0, 10.0, 1.0, 1.0, 5.0],
+            }
+        ),
+    )
+    out = q_user_bursts(sf).set_index("user_id")
+    # user 1 windows (cents): 100, 1100, 1200, 1200 -> max 1200; the
+    # first two windows clamp at the user's first event
+    assert out.loc[1, "max_burst_cents"] == 1200
+    assert out.loc[2, "max_burst_cents"] == 500
