@@ -5845,3 +5845,328 @@ FROM w GROUP BY user_id ORDER BY user_id
 
 
 ORACLE_QUERIES["user_bursts"] = (q_user_bursts, SQL_USER_BURSTS)
+
+
+# ---------------------------------------------------------------------------
+# Q: ntile_buckets — NTILE(4) quartile assignment per event type (the
+# quantile-bucketing step behind curriculum tiers and score binning),
+# folded to one row per (type, tile).  Tile boundaries follow SQL NTILE
+# exactly: with n rows and k tiles the first n % k tiles hold
+# n // k + 1 rows.  Values ride the e6 integer grid and ties are broken
+# by event_id, so the assignment is deterministic on both sides.  One
+# type-keyed exchange; the reducer sorts its bucket once and computes
+# every tile vectorized.
+# ---------------------------------------------------------------------------
+_NTILE_K = 4
+
+
+def q_ntile_buckets(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["value"].notna()]
+        df["value_e6"] = np.floor(
+            df.pop("value").to_numpy() * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        return _from_pandas(df)
+
+    def tiles(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for etype, grp in df.groupby("event_type", sort=False):
+            g = grp.sort_values(["value_e6", "event_id"], kind="mergesort")
+            n = len(g)
+            big = n % _NTILE_K
+            size_small = n // _NTILE_K
+            pos = np.arange(n, dtype=np.int64)
+            boundary = big * (size_small + 1)
+            tile = np.empty(n, dtype=np.int64)
+            head = pos < boundary
+            tile[head] = pos[head] // (size_small + 1)
+            if size_small:
+                tile[~head] = big + (pos[~head] - boundary) // size_small
+            v = g["value_e6"].to_numpy()
+            agg = pd.DataFrame({"tile": tile + 1, "value_e6": v}).groupby(
+                "tile", sort=True
+            )["value_e6"]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_type": etype,
+                        "tile": agg.size().index.to_numpy(),
+                        "n": agg.size().to_numpy().astype(np.int64),
+                        "min_e6": agg.min().to_numpy().astype(np.int64),
+                        "max_e6": agg.max().to_numpy().astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "tile": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "min_e6": pd.Series([], dtype=np.int64),
+                "max_e6": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["event_type"], tiles
+    )
+    return collect_sorted(out, ["event_type", "tile"])
+
+
+SQL_NTILE_BUCKETS = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_e6
+  FROM events WHERE value IS NOT NULL
+),
+t AS (
+  SELECT event_type, value_e6,
+         NTILE(4) OVER (PARTITION BY event_type
+                        ORDER BY value_e6, event_id) AS tile
+  FROM v
+)
+SELECT event_type, CAST(tile AS BIGINT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(value_e6) AS BIGINT) AS min_e6,
+       CAST(MAX(value_e6) AS BIGINT) AS max_e6
+FROM t GROUP BY event_type, tile
+ORDER BY event_type, tile
+"""
+
+
+ORACLE_QUERIES["ntile_buckets"] = (q_ntile_buckets, SQL_NTILE_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Q: median_interp — EXACT interpolated median (percentile_cont 0.5)
+# per source over n_chars, reported on a x2 integer grid
+# (median_x2 = lower middle + upper middle of the sorted values) so the
+# half-integer interpolation stays hash-exact.  Same count-vector
+# sufficient statistic as source_median_chars: the per-source value
+# counts ARE the distribution, so no row collection and no float math.
+# ---------------------------------------------------------------------------
+def q_median_interp(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["source", "n_chars"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["source", "n_chars"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out_src, out_med = [], []
+        for src, grp in g.groupby("source", sort=False):
+            grp = grp.sort_values("n_chars", kind="mergesort")
+            cum = grp["cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            vals = grp["n_chars"].to_numpy()
+            lo = vals[int(np.searchsorted(cum, (n - 1) // 2 + 1))]
+            hi = vals[int(np.searchsorted(cum, n // 2 + 1))]
+            out_src.append(src)
+            out_med.append(int(lo) + int(hi))
+        return pd.DataFrame(
+            {
+                "source": out_src,
+                "median_x2": pd.array(out_med, dtype=np.int64),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["source"], merge)
+    return collect_sorted(out, ["source"])
+
+
+SQL_MEDIAN_INTERP = """
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(CASE WHEN rk = (n - 1) // 2 + 1 THEN n_chars ELSE 0 END)
+            + SUM(CASE WHEN rk = n // 2 + 1 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS median_x2
+FROM r GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE_QUERIES["median_interp"] = (q_median_interp, SQL_MEDIAN_INTERP)
+
+
+# ---------------------------------------------------------------------------
+# Q: corr_moments — exact correlation sufficient statistics per
+# returnflag between quantity and price (the distributed-moments
+# pattern behind corr/cov/regression at scale: ship the five sums, not
+# the rows).  Quantities and dollar prices are integral on the TPC-H
+# grid, so every moment is an exact int64 sum; the engine folds
+# per-batch numpy partials through one flag-keyed exchange.  (At
+# petabyte scale the squared-price sum would move to a 128-bit
+# accumulator; the per-row bound is documented at the partial.)
+# ---------------------------------------------------------------------------
+def q_corr_moments(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        q = np.floor(df["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        # dollars (not cents): keeps sum(p*p) within int64 headroom
+        # (p <= ~1e5 -> p*p <= 1e10 per row) through sf >= 1
+        p = np.floor(df["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n": np.int64(1),
+                "sum_q": q,
+                "sum_p": p,
+                "sum_qq": q * q,
+                "sum_pp": p * p,
+                "sum_qp": q * p,
+            }
+        )
+        return _from_pandas(
+            g.groupby("l_returnflag", sort=False).sum().reset_index()
+        )
+
+    cols = ["n", "sum_q", "sum_p", "sum_qq", "sum_pp", "sum_qp"]
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        lambda df: df.groupby("l_returnflag", sort=False)[cols].sum().reset_index(),
+    )
+    res = collect_sorted(out, ["l_returnflag"])
+    for c in cols:
+        res[c] = res[c].astype(np.int64)
+    return res
+
+
+SQL_CORR_MOMENTS = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS p
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(SUM(p) AS BIGINT) AS sum_p,
+       CAST(SUM(q * q) AS BIGINT) AS sum_qq,
+       CAST(SUM(p * p) AS BIGINT) AS sum_pp,
+       CAST(SUM(q * p) AS BIGINT) AS sum_qp
+FROM v GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+ORACLE_QUERIES["corr_moments"] = (q_corr_moments, SQL_CORR_MOMENTS)
+
+
+# ---------------------------------------------------------------------------
+# Q: table_diff — keyed snapshot diff (the data-versioning op: which
+# rows were added / removed / changed between two table versions).
+# Snapshot B is derived deterministically from orders so both sides
+# construct identical inputs: keys divisible by 97 are deleted, keys
+# divisible by 101 get +100 cents, and keys divisible by 89 reappear
+# shifted by 1e9 as inserts.  The engine emits both snapshots tagged
+# from ONE scan, exchanges once on the key, and classifies each key
+# vectorized inside the bucket reducer — no driver-side join, no
+# second read of the table.
+# ---------------------------------------------------------------------------
+def q_table_diff(sf_dir: str):
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        v = _cents(t["o_totalprice"].to_numpy())
+        keep = k % 97 != 0
+        bk, bv = k[keep], v[keep].copy()
+        bv[bk % 101 == 0] += 100
+        ins = k % 89 == 0
+        return pa.table(
+            {
+                "k": pa.array(
+                    np.concatenate([k, bk, k[ins] + 1_000_000_000])
+                ),
+                "side": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(k), dtype=np.int8),
+                            np.ones(len(bk) + int(ins.sum()), dtype=np.int8),
+                        ]
+                    )
+                ),
+                "v": pa.array(np.concatenate([v, bv, v[ins]])),
+            }
+        )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0].set_index("k")["v"]
+        b = df[df["side"] == 1].set_index("k")["v"]
+        j = a.to_frame("va").join(b.to_frame("vb"), how="outer")
+        status = np.where(
+            j["vb"].isna(),
+            "removed",
+            np.where(j["va"].isna(), "added", "changed"),
+        )
+        changed = j["va"].notna() & j["vb"].notna()
+        keep = ~changed | (j["va"] != j["vb"])
+        out = pd.DataFrame(
+            {"orderkey": j.index.to_numpy(), "status": status}
+        )[keep.to_numpy()]
+        out["orderkey"] = out["orderkey"].astype(np.int64)
+        return out.reset_index(drop=True)
+
+    out = hash_aggregate(
+        ds.map_batches(tag, batch_format="pyarrow"), ["k"], classify
+    ).materialize()  # diff output is small; count + collect share one run
+    if out.count() == 0:
+        # identical snapshots: typed empty (an empty Ray Dataset loses
+        # its column names through collect)
+        return pd.DataFrame(
+            {
+                "orderkey": pd.Series([], dtype=np.int64),
+                "status": pd.Series([], dtype=object),
+            }
+        )
+    res = collect_sorted(out, ["orderkey"])
+    res["status"] = res["status"].astype(object)
+    return res
+
+
+SQL_TABLE_DIFF = """
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+),
+b AS (
+  SELECT k, CASE WHEN k % 101 = 0 THEN v + 100 ELSE v END AS v
+  FROM a WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + 1000000000, v FROM a WHERE k % 89 = 0
+)
+SELECT COALESCE(a.k, b.k) AS orderkey,
+       CASE WHEN b.k IS NULL THEN 'removed'
+            WHEN a.k IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE b.k IS NULL OR a.k IS NULL OR a.v <> b.v
+ORDER BY orderkey
+"""
+
+
+ORACLE_QUERIES["table_diff"] = (q_table_diff, SQL_TABLE_DIFF)
