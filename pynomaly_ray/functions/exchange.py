@@ -778,7 +778,25 @@ def topk(ds, sort_cols: Sequence[str], k: int, descending: Sequence[bool]):
             None
         )
 
-    survivors = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    # arrow refs, not to_pandas: a 0-row Dataset drops its columns in
+    # to_pandas, but empty Arrow blocks still carry their schema — the
+    # empty result keeps typed columns (e.g. an empty-filter top-k)
+    tabs = [ray.get(r) for r in ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()]
+    # permissive concat of ALL blocks (0-row ones included): Ray skips
+    # running map fns on empty blocks, so a read-split can leave 0-row
+    # blocks with NO columns at all — the union schema recovers typing
+    # from whichever blocks carry it
+    if tabs:
+        survivors = pa.concat_tables(tabs, promote_options="permissive").to_pandas()
+    else:
+        survivors = pd.DataFrame()
+    if not all(c in survivors.columns for c in sort_cols):
+        if len(survivors):
+            raise KeyError(
+                f"topk sort columns {list(sort_cols)} missing from "
+                f"{list(survivors.columns)}"
+            )
+        survivors = pd.DataFrame({c: [] for c in sort_cols})
     return (
         survivors.sort_values(list(sort_cols), ascending=asc, kind="mergesort")
         .head(k)

@@ -6170,3 +6170,313 @@ ORDER BY orderkey
 
 
 ORACLE_QUERIES["table_diff"] = (q_table_diff, SQL_TABLE_DIFF)
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_keep_best — normalized-content dedup with a keep-BEST policy
+# (vs exact_dedup's keep-first): group by whitespace-collapsed,
+# ASCII-lowercased text and keep the longest raw copy (tie-break min
+# doc_id).  This is the crawl-dedup shape where near-identical copies
+# differ only in casing/whitespace and the policy keeps the richest one.
+# Only the int64 hash of the normalized text crosses the exchange — the
+# text itself never leaves the scan task.
+# ---------------------------------------------------------------------------
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def q_dedup_keep_best(sf_dir: str):
+    import re
+
+    from pynomaly_ray.functions.hashing import hash_strings
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    def keep_best(df: pd.DataFrame) -> pd.DataFrame:
+        # shared partial/final reducer: raw rows arrive without a
+        # ``copies`` column (each row is one copy); merged partials
+        # carry their copy counts forward
+        if "copies" not in df.columns:
+            df = df.assign(copies=np.ones(len(df), dtype=np.int64))
+        if not len(df):
+            return df[["key", "doc_id", "source", "n_chars", "copies"]]
+        df = df.sort_values(
+            ["key", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        copies = df.groupby("key", sort=False)["copies"].sum()
+        best = df.drop_duplicates("key", keep="first").set_index("key")
+        best["copies"] = copies
+        return best.reset_index()[["key", "doc_id", "source", "n_chars", "copies"]]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # explicit ASCII lower + ASCII whitespace class on BOTH sides
+        # (SQL: translate + regexp_replace + trim) so parity is
+        # independent of unicode case-folding differences
+        norm = (
+            df["text"]
+            .str.translate(_ASCII_LOWER)
+            .str.replace(ws, " ", regex=True)
+            .str.strip(" ")
+        )
+        df["key"] = hash_strings(norm).astype(np.int64)
+        return _from_pandas(
+            keep_best(df[["key", "doc_id", "source", "n_chars"]])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = hash_aggregate(partials, ["key"], keep_best)
+    df = collect_sorted(out, ["doc_id"])
+    return df[["doc_id", "source", "n_chars", "copies"]]
+
+
+SQL_DEDUP_KEEP_BEST = r"""
+WITH norm AS (
+  SELECT doc_id, source, n_chars,
+         trim(regexp_replace(
+             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'abcdefghijklmnopqrstuvwxyz'),
+             '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS key
+  FROM documents
+)
+SELECT doc_id, source, n_chars, copies FROM (
+  SELECT doc_id, source, n_chars,
+         COUNT(*) OVER (PARTITION BY key) AS copies,
+         ROW_NUMBER() OVER (
+             PARTITION BY key ORDER BY n_chars DESC, doc_id) AS rn
+  FROM norm
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["dedup_keep_best"] = (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST)
+
+
+# ---------------------------------------------------------------------------
+# Q: top_unshipped_orders — TPC-H Q3-shaped 3-way join + top-k: open
+# orders from BUILDING-segment customers placed before a cutoff, ranked
+# by revenue from lineitems shipping after the cutoff.  Shape: the
+# customer dimension broadcasts as a key set (pc.is_in, no shuffle),
+# lineitem revenue pre-aggregates map-side per orderkey behind a
+# shipdate predicate pushed INTO the read, and only the two slim
+# per-orderkey streams meet in the partitioned hash join.
+# ---------------------------------------------------------------------------
+_Q3_CUTOFF_US = 883_612_800_000_000  # 1998-01-01 epoch-us
+
+
+def q_top_unshipped_orders(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.functions.exchange import hash_join
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    cutoff = _dt.datetime(1998, 1, 1)
+    # small dimension: one driver-side projected read -> broadcast key
+    # set (TPC-H customer is ~1.5k rows/SF-0.01; at the 100x corpus this
+    # side stays a key column, or swaps to bloom_semi_join's pushdown)
+    cust = papq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_keys = pc.filter(
+        cust["c_custkey"], pc.equal(cust["c_mktsegment"], "BUILDING")
+    ).combine_chunks()
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"],
+        filter=(pads.field("o_orderstatus") == "O")
+        & (pads.field("o_orderdate") < cutoff),
+    )
+
+    def orders_slim(t: pa.Table) -> pa.Table:
+        member = pc.fill_null(
+            pc.is_in(t["o_custkey"], value_set=seg_keys), False
+        )
+        t = t.filter(member)
+        # explicit us cast: int64-of-timestamp is unit-dependent, and a
+        # writer may store ns or s where the testdata stores us
+        day = pc.divide(
+            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+            86_400_000_000,
+        )
+        return pa.table(
+            {"l_orderkey": t["o_orderkey"], "order_day": day}
+        )
+
+    orders_k = orders.map_batches(orders_slim, batch_format="pyarrow")
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > cutoff,
+        override_num_blocks=None,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rev = _cents(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+        )
+        g = (
+            pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev": rev})
+            .groupby("l_orderkey", sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        # li partials may split one orderkey across blocks; the orders
+        # side is unique per key, so summing after the merge closes it
+        g = (
+            df.groupby(["l_orderkey", "order_day"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return g.rename(
+            columns={"l_orderkey": "o_orderkey", "rev": "sum_revenue_cents"}
+        )
+
+    joined = hash_join(li_agg, orders_k, ["l_orderkey"], merge_fn=bucket_sum)
+    res = topk(
+        joined,
+        ["sum_revenue_cents", "o_orderkey"],
+        10,
+        descending=[True, False],
+    )
+    cols = ["o_orderkey", "order_day", "sum_revenue_cents"]
+    if not len(res):
+        # typed empty (an all-filtered join can lose non-key columns)
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    return res[cols]
+
+
+SQL_TOP_UNSHIPPED_ORDERS = """
+SELECT o_orderkey, order_day, sum_revenue_cents FROM (
+  SELECT o.o_orderkey,
+         CAST(FLOOR(epoch_us(o.o_orderdate) / 86400000000) AS BIGINT) AS order_day,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_revenue_cents
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderstatus = 'O'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+)
+ORDER BY sum_revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+ORACLE_QUERIES["top_unshipped_orders"] = (
+    q_top_unshipped_orders,
+    SQL_TOP_UNSHIPPED_ORDERS,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q: late_orders — TPC-H Q4-shaped EXISTS semi-join with an inequality:
+# count orders per priority having at least one lineitem that shipped
+# more than 90 days after the order date.  The scale rewrite: EXISTS
+# (l_shipdate > X) over a group is equivalent to max(l_shipdate) > X,
+# so lineitem collapses to a per-orderkey MAX map-side (a one-column
+# partial) before the join — the exchange carries one row per orderkey
+# instead of one per lineitem, and the EXISTS never materializes.
+# ---------------------------------------------------------------------------
+def q_late_orders(sf_dir: str):
+    from pynomaly_ray.functions.exchange import hash_join
+
+    orders = _pq(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def orders_slim(t: pa.Table) -> pa.Table:
+        order_us = pc.cast(
+            pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "order_us": order_us,
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    ok = orders.map_batches(orders_slim, batch_format="pyarrow")
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_max(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_orderkey", "l_shipdate"])
+            .group_by("l_orderkey")
+            .aggregate([("l_shipdate", "max")])
+        )
+        ship_us = pc.cast(
+            pc.cast(g["l_shipdate_max"], pa.timestamp("us")), pa.int64()
+        )
+        return pa.table({"l_orderkey": g["l_orderkey"], "max_ship_us": ship_us})
+
+    li_agg = li.map_batches(li_max, batch_format="pyarrow", batch_size=65536)
+    late_us = 90 * 86_400_000_000
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        # li partials may split one orderkey across blocks; fold the MAX
+        # before applying the lateness predicate
+        m = (
+            df.groupby(["l_orderkey", "order_us", "o_orderpriority"], sort=False)[
+                "max_ship_us"
+            ]
+            .max()
+            .reset_index()
+        )
+        late = m[m["max_ship_us"] > m["order_us"] + late_us]
+        g = (
+            late.groupby("o_orderpriority", sort=False)
+            .size()
+            .rename("n_late")
+            .reset_index()
+        )
+        return g
+
+    joined = hash_join(li_agg, ok, ["l_orderkey"], merge_fn=bucket_count)
+    out = hash_aggregate(
+        joined,
+        ["o_orderpriority"],
+        lambda df: df.groupby("o_orderpriority", sort=False)["n_late"]
+        .sum()
+        .reset_index(),
+    )
+    df = collect_sorted(out, ["o_orderpriority"])
+    df["n_late"] = df["n_late"].astype(np.int64)
+    return df
+
+
+SQL_LATE_ORDERS = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+ORACLE_QUERIES["late_orders"] = (q_late_orders, SQL_LATE_ORDERS)

@@ -1,0 +1,220 @@
+"""Edge-case tests for the round-5 seventh-session operators
+(dedup_keep_best, top_unshipped_orders).  Oracle parity at sf0.001 is
+covered by the parametrized test_query_matches_oracle sweep; these pin
+the hand-checkable corner semantics."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as papq
+
+
+def _write(tmp_path, table: str, df: pd.DataFrame, schema=None) -> str:
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    if schema is not None:
+        t = t.cast(schema)
+    papq.write_table(t, os.path.join(tmp_path, f"{table}.parquet"))
+    return str(tmp_path)
+
+
+def _docs(tmp_path, rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len().astype(np.int32)
+    return _write(tmp_path, "documents", df)
+
+
+def test_keep_best_picks_longest_then_min_doc_id(ray_session, tmp_path):
+    """Case/whitespace variants collapse to one group; the longest raw
+    copy wins; equal lengths tie-break to the smaller doc_id."""
+    from pynomaly_ray.pipelines.queries import q_dedup_keep_best
+
+    sf = _docs(
+        tmp_path,
+        [
+            (1, "Hello World", "a"),
+            (2, "hello   world", "b"),  # longest after raw-length compare (13)
+            (3, " HELLO WORLD ", "c"),  # also 13 chars -> tie, doc_id 2 wins
+            (4, "unrelated", "d"),
+        ],
+    )
+    out = q_dedup_keep_best(sf)
+    assert out["doc_id"].tolist() == [2, 4]
+    grp = out.set_index("doc_id")
+    assert grp.loc[2, "copies"] == 3
+    assert grp.loc[2, "source"] == "b"
+    assert grp.loc[4, "copies"] == 1
+
+
+def test_keep_best_nul_bytes_not_conflated(ray_session, tmp_path):
+    """Strings differing only after an embedded NUL are distinct groups
+    (the normalized-key hash is NUL-safe, VERDICT r4 bug class)."""
+    from pynomaly_ray.pipelines.queries import q_dedup_keep_best
+
+    sf = _docs(
+        tmp_path,
+        [
+            (1, "a\x00b", "s"),
+            (2, "a\x00c", "s"),
+            (3, "a", "s"),
+        ],
+    )
+    out = q_dedup_keep_best(sf)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["copies"].tolist() == [1, 1, 1]
+
+
+def _q3_tables(tmp_path):
+    us = pa.timestamp("us")
+    _write(
+        tmp_path,
+        "customer",
+        pd.DataFrame(
+            {
+                "c_custkey": np.array([1, 2, 3], np.int64),
+                "c_mktsegment": ["BUILDING", "AUTOMOBILE", "BUILDING"],
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": np.array([10, 11, 12, 13, 14], np.int64),
+                "o_custkey": np.array([1, 1, 2, 3, 3], np.int64),
+                "o_orderstatus": ["O", "F", "O", "O", "O"],
+                "o_orderdate": pd.to_datetime(
+                    [
+                        "1997-06-01",  # 10: qualifies
+                        "1997-06-01",  # 11: status F -> out
+                        "1997-06-01",  # 12: segment AUTOMOBILE -> out
+                        "1997-06-01",  # 13: qualifies
+                        "1998-06-01",  # 14: orderdate >= cutoff -> out
+                    ]
+                ),
+            }
+        ),
+        schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("o_orderdate", us),
+            ]
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": np.array([10, 10, 13, 13, 14], np.int64),
+                "l_extendedprice": [100.0, 50.0, 200.0, 10.0, 999.0],
+                "l_discount": [0.1, 0.0, 0.5, 0.0, 0.0],
+                "l_shipdate": pd.to_datetime(
+                    [
+                        "1998-02-01",  # 10: ships after cutoff
+                        "1997-12-01",  # 10: ships BEFORE cutoff -> excluded
+                        "1998-02-01",  # 13
+                        "1998-03-01",  # 13
+                        "1998-02-01",  # 14: order filtered out anyway
+                    ]
+                ),
+            }
+        ),
+        schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+                ("l_shipdate", us),
+            ]
+        ),
+    )
+    return str(tmp_path)
+
+
+def test_top_unshipped_orders_filters_and_revenue(ray_session, tmp_path):
+    """All four predicates applied; revenue sums only post-cutoff
+    lineitems; descending revenue order."""
+    from pynomaly_ray.pipelines.queries import q_top_unshipped_orders
+
+    sf = _q3_tables(tmp_path)
+    out = q_top_unshipped_orders(sf)
+    # order 13: 200*0.5 + 10 = 110.00 -> 11000; order 10: 100*0.9 = 9000
+    assert out["o_orderkey"].tolist() == [13, 10]
+    assert out["sum_revenue_cents"].tolist() == [11000, 9000]
+    day = pd.Timestamp("1997-06-01").value // 1000 // 86_400_000_000
+    assert out["order_day"].tolist() == [day, day]
+
+
+def test_top_unshipped_orders_empty_segment(ray_session, tmp_path):
+    """No customer in the segment -> empty result with stable columns."""
+    from pynomaly_ray.pipelines.queries import q_top_unshipped_orders
+
+    sf = _q3_tables(tmp_path)
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.array([1], np.int64),
+            "c_mktsegment": ["MACHINERY"],
+        }
+    )
+    _write(tmp_path, "customer", cust)
+    out = q_top_unshipped_orders(sf)
+    assert len(out) == 0
+    assert list(out.columns) == ["o_orderkey", "order_day", "sum_revenue_cents"]
+
+
+def test_late_orders_boundary_and_orphans(ray_session, tmp_path):
+    """Exactly-90-days ships are NOT late (strict >); orders without
+    lineitems never count; one late lineitem suffices (EXISTS, not
+    per-line count)."""
+    from pynomaly_ray.pipelines.queries import q_late_orders
+
+    us = pa.timestamp("us")
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": np.array([1, 2, 3], np.int64),
+                "o_orderdate": pd.to_datetime(["2000-01-01"] * 3),
+                "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"],
+            }
+        ),
+        schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", us),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": np.array([1, 1, 2], np.int64),
+                "l_shipdate": pd.to_datetime(
+                    [
+                        "2000-05-01",  # order 1: late (121 days)
+                        "2000-01-02",  # order 1: on-time line, irrelevant
+                        "2000-03-31",  # order 2: exactly +90 days -> NOT late
+                    ]
+                ),
+            }
+        ),
+        schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_shipdate", us)]
+        ),
+    )
+    out = q_late_orders(str(tmp_path))
+    assert out["o_orderpriority"].tolist() == ["1-URGENT"]
+    assert out["n_late"].tolist() == [1]
