@@ -163,8 +163,15 @@ def _merge_bucket(merge_fn, arrow, *pieces: pa.Table) -> pa.Table:
             return pa.table({})
         # run merge_fn on an empty (schema-carrying) frame so the empty
         # bucket's block has merge_fn's OUTPUT schema, matching the
-        # non-empty buckets
-        tables = [pieces[0]]
+        # non-empty buckets.  Prefer the piece with the most columns:
+        # Ray skips map fns on 0-row blocks, so a read-split can leave
+        # 0-row blocks with NO columns at all alongside typed ones.
+        best = max(pieces, key=lambda t: t.num_columns)
+        if best.num_columns == 0:
+            # every piece is schemaless (fully-pruned pushdown read):
+            # there is no schema to run merge_fn against
+            return pa.table({})
+        tables = [best]
     cat = pa.concat_tables(tables, promote_options="permissive")
     if arrow:
         # Arrow-native reducer: merge_fn takes AND returns a pa.Table.
@@ -275,6 +282,19 @@ def hash_join(
         rdf = pa.concat_tables(
             pieces[n_left:], promote_options="permissive"
         ).to_pandas()
+        # a side whose EVERY block was 0-row-schemaless (fully-pruned
+        # pushdown read; Ray skips map fns on empty blocks) arrives with
+        # no columns at all — the join result is empty, and there is no
+        # schema to synthesize for non-inner modes
+        for side_df in (ldf, rdf):
+            if not len(side_df) and any(k not in side_df.columns for k in keys):
+                if how == "inner":
+                    return pa.table({})
+                raise ValueError(
+                    f"hash_join(how={how!r}): one side has no schema "
+                    "(all blocks empty and column-less); filter after a "
+                    "map stage or guard the empty input upstream"
+                )
         out = ldf.merge(rdf, on=keys, how=how)
         if merge_fn is not None:
             out = merge_fn(out)
@@ -754,13 +774,26 @@ def collect_sorted(ds_or_table, sort_cols, ascending=None) -> pd.DataFrame:
     """Materialize a SMALL result and sort it on the driver (replaces
     Dataset.sort for final presentation ordering — a full distributed
     sort is wasted on driver-bound results)."""
-    df = (
-        ds_or_table
-        if isinstance(ds_or_table, pd.DataFrame)
-        else ds_or_table.to_pandas()
-    )
+    if isinstance(ds_or_table, pd.DataFrame):
+        df = ds_or_table
+    elif isinstance(ds_or_table, pa.Table):
+        df = ds_or_table.to_pandas()
+    else:
+        # arrow refs + permissive concat, not to_pandas: Ray's to_pandas
+        # on a 0-row Dataset drops all columns, and a read-split can mix
+        # 0-row schemaless blocks with typed ones (map fns are skipped
+        # on empty blocks) — the union schema recovers the typing
+        tabs = [ray.get(r) for r in ds_or_table.to_arrow_refs()]
+        df = (
+            pa.concat_tables(tabs, promote_options="permissive").to_pandas()
+            if tabs
+            else pd.DataFrame()
+        )
     if ascending is None:
         ascending = [True] * len(sort_cols)
+    if not len(df) and any(c not in df.columns for c in sort_cols):
+        # all-schemaless empty input: no typing anywhere to recover
+        return pd.DataFrame({c: [] for c in sort_cols})
     return df.sort_values(
         list(sort_cols), ascending=ascending, kind="mergesort"
     ).reset_index(drop=True)

@@ -34,27 +34,19 @@ def read_parquet_clean(
     difference between scanning the table and scanning the answer.
     Rows the statistics cannot exclude are filtered exactly by the
     scanner, so the result equals a post-read filter."""
+    # NOTE: a read-split (and especially a pushdown filter) can yield
+    # 0-row blocks with an EMPTY schema (no columns at all), and Ray
+    # SKIPS map fns on 0-row blocks, so no map stage here could repair
+    # them.  Downstream consumers handle the mix instead: topk /
+    # collect_sorted concat blocks permissively (the union schema
+    # recovers typing from whichever blocks carry it) and the exchange
+    # merge/join tasks guard the all-schemaless case.
     kwargs = {}
-    fix = strip_schema_metadata
     if filter is not None:
         kwargs["filter"] = filter
-        # a pushdown filter that prunes EVERYTHING yields 0-row blocks
-        # with an EMPTY schema (no columns at all), which poisons every
-        # downstream map/join with KeyErrors; repair such blocks to a
-        # typed empty table carrying the projected file schema
-        import pyarrow.dataset as _pads
-
-        sch = _pads.dataset(paths).schema
-        if columns is not None:
-            sch = pa.schema([sch.field(c) for c in columns])
-        sch = sch.remove_metadata()
-
-        def fix(t: pa.Table) -> pa.Table:  # noqa: F811
-            if t.num_rows == 0 and not t.column_names:
-                return sch.empty_table()
-            return t.replace_schema_metadata(None)
-
     ds = rd.read_parquet(
         paths, columns=columns, override_num_blocks=override_num_blocks, **kwargs
     )
-    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )

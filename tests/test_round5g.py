@@ -218,3 +218,50 @@ def test_late_orders_boundary_and_orphans(ray_session, tmp_path):
     out = q_late_orders(str(tmp_path))
     assert out["o_orderpriority"].tolist() == ["1-URGENT"]
     assert out["n_late"].tolist() == [1]
+
+
+def test_fully_pruned_read_through_exchange(ray_session, tmp_path):
+    """A pushdown filter that prunes EVERY row leaves 0-row blocks with
+    no schema at all (Ray skips map fns on empty blocks).  The exchange
+    layer and driver collectors must survive the mix: hash_aggregate ->
+    collect_sorted and hash_join(inner) -> topk both yield empty, typed
+    results instead of KeyErrors."""
+    import pyarrow.dataset as pads
+
+    from pynomaly_ray.functions.exchange import (
+        collect_sorted,
+        hash_aggregate,
+        hash_join,
+        topk,
+    )
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    path = os.path.join(tmp_path, "t.parquet")
+    papq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "v": pa.array([10, 20, 30], pa.int64()),
+            }
+        ),
+        path,
+    )
+    empty = read_parquet_clean(path, filter=pads.field("k") > 100)
+
+    agg = hash_aggregate(
+        empty,
+        ["k"],
+        lambda df: df.groupby("k", sort=False)["v"].sum().reset_index(),
+    )
+    out = collect_sorted(agg, ["k"])
+    assert len(out) == 0
+
+    full = read_parquet_clean(path)
+    joined = hash_join(empty, full, ["k"])
+    res = topk(joined, ["v"], 5, descending=[True])
+    assert len(res) == 0
+
+    # the reverse orientation (typed left, schemaless right) too
+    joined2 = hash_join(full, empty, ["k"])
+    res2 = topk(joined2, ["v"], 5, descending=[True])
+    assert len(res2) == 0
