@@ -6480,3 +6480,78 @@ ORDER BY o_orderpriority
 
 
 ORACLE_QUERIES["late_orders"] = (q_late_orders, SQL_LATE_ORDERS)
+
+
+# ---------------------------------------------------------------------------
+# Q: embedding_dim_profile — per-DIMENSION drift profile of the
+# embedding column (count / sum / min / max of e6-scaled values for
+# each of the 64 coordinates).  The unnest-and-aggregate shape with the
+# explode done as a numpy column reduction inside each scan task: a
+# batch of n vectors collapses to 64 partial rows before the exchange,
+# so the shuffle carries O(64 x blocks) rows regardless of corpus size.
+# This is the stat vector a LoOP drift detector consumes per partition.
+# ---------------------------------------------------------------------------
+def q_embedding_dim_profile(sf_dir: str):
+    from pynomaly_ray.stages.similarity import _embedding_matrix
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_e6": pa.array([], pa.int64()),
+                    "min_e6": pa.array([], pa.int64()),
+                    "max_e6": pa.array([], pa.int64()),
+                }
+            )
+        e6 = np.floor(m * 1_000_000.0 + 0.5).astype(np.int64)
+        d = e6.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n": pa.array(np.full(d, e6.shape[0], dtype=np.int64)),
+                "sum_e6": pa.array(e6.sum(axis=0)),
+                "min_e6": pa.array(e6.min(axis=0)),
+                "max_e6": pa.array(e6.max(axis=0)),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("dim", sort=False)
+            .agg(
+                n=("n", "sum"),
+                sum_e6=("sum_e6", "sum"),
+                min_e6=("min_e6", "min"),
+                max_e6=("max_e6", "max"),
+            )
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = hash_aggregate(partials, ["dim"], merge)
+    return collect_sorted(out, ["dim"])
+
+
+# CAST(... AS DOUBLE) before the scale: DuckDB evaluates FLOAT * INT in
+# single precision, which rounds differently from the engine's
+# float64 path; the cast pins both sides to the same double grid.
+SQL_EMBEDDING_DIM_PROFILE = """
+SELECT t.i AS dim, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e6,
+       MIN(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS min_e6,
+       MAX(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS max_e6
+FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+GROUP BY t.i
+ORDER BY dim
+"""
+
+
+ORACLE_QUERIES["embedding_dim_profile"] = (
+    q_embedding_dim_profile,
+    SQL_EMBEDDING_DIM_PROFILE,
+)
