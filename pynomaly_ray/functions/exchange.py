@@ -284,17 +284,28 @@ def hash_join(
         ).to_pandas()
         # a side whose EVERY block was 0-row-schemaless (fully-pruned
         # pushdown read; Ray skips map fns on empty blocks) arrives with
-        # no columns at all — the join result is empty, and there is no
-        # schema to synthesize for non-inner modes
-        for side_df in (ldf, rdf):
-            if not len(side_df) and any(k not in side_df.columns for k in keys):
-                if how == "inner":
-                    return pa.table({})
-                raise ValueError(
-                    f"hash_join(how={how!r}): one side has no schema "
-                    "(all blocks empty and column-less); filter after a "
-                    "map stage or guard the empty input upstream"
-                )
+        # no columns at all.  The join result is well-defined (0 rows)
+        # whenever the schemaless side is NOT null-extended: inner with
+        # either side empty, left with an empty LEFT, right with an
+        # empty RIGHT.  Only when the typed side's rows must survive
+        # padded with the schemaless side's columns is there genuinely
+        # no schema to synthesize.
+        l_bare = not len(ldf) and any(k not in ldf.columns for k in keys)
+        r_bare = not len(rdf) and any(k not in rdf.columns for k in keys)
+        if l_bare or r_bare:
+            preserved_is_bare = (
+                how == "inner"
+                or (how == "left" and l_bare)
+                or (how == "right" and r_bare)
+                or (l_bare and r_bare)
+            )
+            if preserved_is_bare:
+                return pa.table({})
+            raise ValueError(
+                f"hash_join(how={how!r}): the null-extended side has no "
+                "schema (all blocks empty and column-less); filter after "
+                "a map stage or guard the empty input upstream"
+            )
         out = ldf.merge(rdf, on=keys, how=how)
         if merge_fn is not None:
             out = merge_fn(out)
@@ -783,7 +794,7 @@ def collect_sorted(ds_or_table, sort_cols, ascending=None) -> pd.DataFrame:
         # on a 0-row Dataset drops all columns, and a read-split can mix
         # 0-row schemaless blocks with typed ones (map fns are skipped
         # on empty blocks) — the union schema recovers the typing
-        tabs = [ray.get(r) for r in ds_or_table.to_arrow_refs()]
+        tabs = ray.get(list(ds_or_table.to_arrow_refs()))
         df = (
             pa.concat_tables(tabs, promote_options="permissive").to_pandas()
             if tabs
@@ -814,7 +825,7 @@ def topk(ds, sort_cols: Sequence[str], k: int, descending: Sequence[bool]):
     # arrow refs, not to_pandas: a 0-row Dataset drops its columns in
     # to_pandas, but empty Arrow blocks still carry their schema — the
     # empty result keeps typed columns (e.g. an empty-filter top-k)
-    tabs = [ray.get(r) for r in ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()]
+    tabs = ray.get(list(ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()))
     # permissive concat of ALL blocks (0-row ones included): Ray skips
     # running map fns on empty blocks, so a read-split can leave 0-row
     # blocks with NO columns at all — the union schema recovers typing
@@ -874,7 +885,7 @@ def global_kth_smallest(
         lambda df: df.groupby(col, sort=False).sum().reset_index(),
         num_partitions=num_partitions,
     )
-    tabs = [ray.get(r) for r in folded.to_arrow_refs()]
+    tabs = ray.get(list(folded.to_arrow_refs()))
     tabs = [t for t in tabs if t.num_rows]
     n_distinct = sum(t.num_rows for t in tabs)
     if n_distinct > distinct_cap:

@@ -64,7 +64,7 @@ def _collect(ds, schema: pa.Schema) -> pa.Table:
     Dataset otherwise loses its column names)."""
     import ray
 
-    tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
+    tables = ray.get(list(ds.to_arrow_refs()))
     tables = [t.select(schema.names).cast(schema) for t in tables if t.num_rows]
     if not tables:
         return schema.empty_table()
@@ -5867,7 +5867,7 @@ def q_ntile_buckets(sf_dir: str):
         df = t.to_pandas()
         df = df[df["value"].notna()]
         df["value_e6"] = np.floor(
-            df.pop("value").to_numpy() * 1_000_000.0 + 0.5
+            df.pop("value").to_numpy(dtype=np.float64) * 1_000_000.0 + 0.5
         ).astype(np.int64)
         return _from_pandas(df)
 
@@ -5889,12 +5889,13 @@ def q_ntile_buckets(sf_dir: str):
             agg = pd.DataFrame({"tile": tile + 1, "value_e6": v}).groupby(
                 "tile", sort=True
             )["value_e6"]
+            sz = agg.size()
             out.append(
                 pd.DataFrame(
                     {
                         "event_type": etype,
-                        "tile": agg.size().index.to_numpy(),
-                        "n": agg.size().to_numpy().astype(np.int64),
+                        "tile": sz.index.to_numpy(),
+                        "n": sz.to_numpy().astype(np.int64),
                         "min_e6": agg.min().to_numpy().astype(np.int64),
                         "max_e6": agg.max().to_numpy().astype(np.int64),
                     }
@@ -6266,9 +6267,6 @@ ORACLE_QUERIES["dedup_keep_best"] = (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST)
 # shipdate predicate pushed INTO the read, and only the two slim
 # per-orderkey streams meet in the partitioned hash join.
 # ---------------------------------------------------------------------------
-_Q3_CUTOFF_US = 883_612_800_000_000  # 1998-01-01 epoch-us
-
-
 def q_top_unshipped_orders(sf_dir: str):
     import datetime as _dt
 
@@ -6290,11 +6288,19 @@ def q_top_unshipped_orders(sf_dir: str):
         cust["c_custkey"], pc.equal(cust["c_mktsegment"], "BUILDING")
     ).combine_chunks()
 
+    def _blocks(path: str) -> int:
+        # same row-sized block count as _pq (Ray's default ~2x-CPU
+        # shatter schedules dozens of sub-100-row tasks on small tables)
+        rows = papq.read_metadata(path).num_rows
+        return max(1, min(64, rows // _ROWS_PER_BLOCK + 1))
+
+    orders_path = os.path.join(sf_dir, "orders.parquet")
     orders = read_parquet_clean(
-        os.path.join(sf_dir, "orders.parquet"),
+        orders_path,
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"],
         filter=(pads.field("o_orderstatus") == "O")
         & (pads.field("o_orderdate") < cutoff),
+        override_num_blocks=_blocks(orders_path),
     )
 
     def orders_slim(t: pa.Table) -> pa.Table:
@@ -6314,11 +6320,12 @@ def q_top_unshipped_orders(sf_dir: str):
 
     orders_k = orders.map_batches(orders_slim, batch_format="pyarrow")
 
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
     li = read_parquet_clean(
-        os.path.join(sf_dir, "lineitem.parquet"),
+        li_path,
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=pads.field("l_shipdate") > cutoff,
-        override_num_blocks=None,
+        override_num_blocks=_blocks(li_path),
     )
 
     def li_partial(t: pa.Table) -> pa.Table:

@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as papq
+import pytest
 
 
 def _write(tmp_path, table: str, df: pd.DataFrame, schema=None) -> str:
@@ -265,3 +266,11 @@ def test_fully_pruned_read_through_exchange(ray_session, tmp_path):
     joined2 = hash_join(full, empty, ["k"])
     res2 = topk(joined2, ["v"], 5, descending=[True])
     assert len(res2) == 0
+
+    # non-inner modes: a schemaless ROW-PRESERVING side is still a
+    # well-defined 0-row result; only a schemaless null-extended side
+    # (whose columns must pad surviving typed rows) raises
+    left_pruned = hash_join(empty, full, ["k"], how="left")
+    assert len(topk(left_pruned, ["v"], 5, descending=[True])) == 0
+    with pytest.raises(Exception, match="null-extended"):
+        hash_join(full, empty, ["k"], how="left").materialize()
