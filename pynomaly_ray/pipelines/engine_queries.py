@@ -1573,7 +1573,7 @@ def q_cms_heavy_hitters(sf_dir: str):
     import ray
 
     grid = np.zeros((DEPTH, WIDTH), dtype=np.int64)
-    for t in (ray.get(r) for r in cells.to_arrow_refs()):
+    for t in ray.get(list(cells.to_arrow_refs())):
         if t.num_rows:
             grid[
                 t["row"].to_numpy(zero_copy_only=False),
