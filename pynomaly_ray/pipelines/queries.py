@@ -6562,3 +6562,151 @@ ORACLE_QUERIES["embedding_dim_profile"] = (
     q_embedding_dim_profile,
     SQL_EMBEDDING_DIM_PROFILE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: blocklist_filter — C4-style bad-word document filter (Raffel et
+# al. 2020 drop any page containing a blocklist term): per source,
+# docs kept vs dropped when a doc containing ANY blocklist whitespace
+# token is removed.  Engine shape: the blocklist is a constant Arrow
+# value set evaluated map-side with ONE pc.is_in over the batch's flat
+# token stream + a bincount per doc — no exchange carries text, only
+# (source, kept, dropped) partials meet in the aggregate.  At 100 TB a
+# user-supplied blocklist rides ray.put exactly like the decontaminate
+# benchmark set.
+# ---------------------------------------------------------------------------
+_BLOCKLIST = ("spark", "dup", "merge")
+
+
+def q_blocklist_filter(sf_dir: str):
+    from pynomaly_ray.functions.hashing import nul_safe_key
+    from pynomaly_ray.stages.text import WS_TOKEN_RE
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    block = pa.array(list(_BLOCKLIST), pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        lists = texts.str.findall(WS_TOKEN_RE)
+        lens = lists.str.len().to_numpy(dtype=np.int64)
+        flat = pa.array(
+            [tok for x in lists for tok in x], pa.string()
+        )
+        hit = pc.is_in(flat, value_set=block).to_numpy(
+            zero_copy_only=False
+        )
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        bad = np.bincount(doc_idx[hit], minlength=len(lens)) > 0
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "kept": (~bad).astype(np.int64),
+                "dropped": bad.astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(nul_safe_key(df["source"]), sort=False)[
+                ["kept", "dropped"]
+            ]
+            .sum()
+            .rename_axis("source")
+            .reset_index()
+        )
+        g["source"] = g["source"].astype(object)
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(nul_safe_key(df["source"]), sort=False)[
+                ["kept", "dropped"]
+            ]
+            .sum()
+            .rename_axis("source")
+            .reset_index()
+        )
+        g["source"] = g["source"].astype(object)
+        return g
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["source"], merge)
+    return collect_sorted(out, ["source"])
+
+
+SQL_BLOCKLIST_FILTER = r"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+'),
+             x -> x IN ('spark', 'dup', 'merge'))) > 0 AS bad
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_QUERIES["blocklist_filter"] = (q_blocklist_filter, SQL_BLOCKLIST_FILTER)
+
+
+# ---------------------------------------------------------------------------
+# Q: winnow_fingerprints — MOSS-style winnowing fingerprint profile
+# (Schleimer et al. 2003): per doc, total 3-word shingles and the
+# number of DISTINCT window-of-4 minima — the sub-document overlap
+# fingerprint density.  Selection minimizes the lexicographic shingle
+# STRING (numpy U-dtype order == DuckDB binary MIN), so the SQL window
+# function reproduces the engine exactly; see stages/decontam.py
+# winnow_profile for the vectorized kernel.
+# ---------------------------------------------------------------------------
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    from pynomaly_ray.stages.decontam import winnow_profile
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        winnow_profile(docs, k=_WINNOW_K, w=_WINNOW_W),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_sh", pa.int64()),
+                ("n_fp", pa.int64()),
+            ]
+        ),
+    )
+    return collect_sorted(out, ["doc_id"])
+
+
+SQL_WINNOW_FINGERPRINTS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i,
+         array_to_string(list_transform(w[i:i+2], t -> CONCAT(len(t), ':', t)), '') AS s
+  FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+wm AS (
+  SELECT doc_id, i,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh,
+         MIN(s) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS msel
+  FROM sh
+)
+SELECT doc_id, CAST(MAX(n_sh) AS BIGINT) AS n_sh,
+       CAST(COUNT(DISTINCT msel) AS BIGINT) AS n_fp
+FROM wm
+WHERE i <= n_sh - 3
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["winnow_fingerprints"] = (
+    q_winnow_fingerprints,
+    SQL_WINNOW_FINGERPRINTS,
+)

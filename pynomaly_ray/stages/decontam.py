@@ -554,3 +554,109 @@ def ngram_novelty_profile(docs_ds, k: int = 4, num_partitions: int | None = None
         )
 
     return hash_aggregate(flagged, ["doc_id"], fold, num_partitions=num_partitions)
+
+
+def winnow_profile(docs_ds, k: int = 3, w: int = 4):
+    """Per-doc winnowing fingerprint profile (doc_id, n_sh, n_fp).
+
+    Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    fingerprint selector): slide a window of ``w`` consecutive k-gram
+    values over each document and keep the minimum of every window; the
+    doc's fingerprint set is the distinct selected values.  Guarantees
+    at least one fingerprint per ``w + k - 1`` tokens while staying
+    position-robust — the standard sub-document overlap detector where
+    whole-doc hashes (SimHash/MinHash) are too coarse.
+
+    To stay EXACTLY reproducible by the SQL oracle, selection minimizes
+    the lexicographic ORDER OF THE SHINGLE STRING (length-prefixed
+    ``len:token`` concat — the injective encoding the decontaminate /
+    jaccard oracles already certify), not a private hash: numpy U-dtype
+    sort order == UTF-8 memcmp == DuckDB's binary string MIN.  Only
+    full windows select (docs with fewer than ``w`` shingles emit
+    nothing), matching the oracle's ``i <= n_sh - w + 1`` filter.
+
+    Engine shape: pure map-side (docs whole per batch, no exchange).
+    Per batch: one vectorized piece build (``len:tok``), a k-fold
+    elementwise concat, ONE np.unique for batch-local lexicographic
+    ranks, one sliding-window min over the rank codes, and a bincount
+    for distinct-per-doc — no per-shingle Python.  At 100 TB this runs
+    embarrassingly parallel; the fingerprint sets themselves (not
+    emitted here) would flow into the same bucket-exchange the MinHash
+    band tables use.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from pynomaly_ray.stages.text import WS_TOKEN_RE
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_sh": pa.array([], pa.int64()),
+            "n_fp": pa.array([], pa.int64()),
+        }
+    )
+
+    def profile(t: pa.Table) -> pa.Table:
+        import operator
+
+        # built per batch: a frompyfunc ufunc is not picklable, so it
+        # cannot live in the task closure
+        _padd = np.frompyfunc(operator.add, 2, 1)
+        texts = t["text"].to_pandas().fillna("")
+        lists = texts.str.findall(WS_TOKEN_RE)
+        lens = lists.str.len().to_numpy(dtype=np.int64)
+        keep = (lens - (k - 1)) >= w  # full-window docs only
+        if not keep.any():
+            return empty
+        ids = (
+            t["doc_id"]
+            .to_pandas()
+            .to_numpy(dtype=np.int64)[keep]
+        )
+        kept_lists = [x for x, kp in zip(lists, keep) if kp]
+        lens_k = lens[keep]
+        m_k = lens_k - (k - 1)  # shingles per doc
+        nd = len(kept_lists)
+
+        flat = pd.Series(
+            [tok for x in kept_lists for tok in x], dtype=object
+        )
+        pieces = (
+            flat.str.len().astype(str).str.cat(flat, sep=":").to_numpy()
+        )
+        m = len(pieces) - k + 1
+        acc = pieces[:m].astype(object)
+        for j in range(1, k):
+            acc = _padd(acc, pieces[j : j + m])
+        # drop windows crossing doc boundaries
+        woff = np.concatenate([[0], np.cumsum(lens_k)])
+        doc_of = np.repeat(np.arange(nd), lens_k)[:m]
+        valid = (np.arange(m) + k) <= woff[doc_of + 1]
+        sh = np.asarray(acc[valid], dtype=str)  # U-dtype: memcmp order
+        _uq, codes = np.unique(sh, return_inverse=True)
+        n_codes = np.int64(len(_uq))
+
+        # sliding-window min over batch-local lexicographic ranks; keep
+        # only windows fully inside one doc
+        soff = np.concatenate([[0], np.cumsum(m_k)])
+        mw = len(codes) - w + 1
+        win_min = sliding_window_view(codes, w).min(axis=1)
+        sdoc = np.repeat(np.arange(nd), m_k)[:mw]
+        wvalid = (np.arange(mw) + w) <= soff[sdoc + 1]
+        sel_doc = sdoc[wvalid]
+        sel = win_min[wvalid]
+        # distinct (doc, value) pairs via one flat unique
+        key = sel_doc.astype(np.int64) * n_codes + sel
+        upairs = np.unique(key)
+        n_fp = np.bincount(
+            (upairs // n_codes).astype(np.int64), minlength=nd
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_sh": pa.array(m_k),
+                "n_fp": pa.array(n_fp),
+            }
+        )
+
+    return docs_ds.map_batches(profile, batch_format="pyarrow")

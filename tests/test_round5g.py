@@ -274,3 +274,45 @@ def test_fully_pruned_read_through_exchange(ray_session, tmp_path):
     assert len(topk(left_pruned, ["v"], 5, descending=[True])) == 0
     with pytest.raises(Exception, match="null-extended"):
         hash_join(full, empty, ["k"], how="left").materialize()
+
+
+def test_blocklist_filter_token_exact(ray_session, tmp_path):
+    """Blocklist matches whole whitespace tokens only: 'merged' and
+    'merge?' are NOT the blocklist token 'merge'."""
+    from pynomaly_ray.pipelines.queries import q_blocklist_filter
+
+    sf = _docs(
+        tmp_path,
+        [
+            (1, "good text here", "s1"),
+            (2, "contains spark word", "s1"),
+            (3, "dup", "s2"),
+            (4, "merged not merge?", "s2"),
+        ],
+    )
+    out = q_blocklist_filter(sf).set_index("source")
+    assert out.loc["s1", "kept"] == 1 and out.loc["s1", "dropped"] == 1
+    assert out.loc["s2", "kept"] == 1 and out.loc["s2", "dropped"] == 1
+
+
+def test_winnow_fingerprints_hand_checked(ray_session, tmp_path):
+    """k=3/w=4 winnowing on hand-computable docs: increasing shingles
+    select one min per window (3 distinct), constant docs collapse to
+    one fingerprint, docs with fewer than w full windows of shingles
+    are excluded, and adjacent docs never share windows."""
+    from pynomaly_ray.pipelines.queries import q_winnow_fingerprints
+
+    sf = _docs(
+        tmp_path,
+        [
+            (1, "a b c d e f g h", "s"),  # 6 shingles, 3 windows -> 3 fps
+            (2, "z z z z z z z", "s"),    # 5 equal shingles -> 1 fp
+            (3, "a b c d e f", "s"),      # 4 shingles, 1 window -> 1 fp
+            (4, "a b c d e", "s"),        # 3 shingles < w -> excluded
+            (5, "", "s"),                 # no tokens -> excluded
+        ],
+    )
+    out = q_winnow_fingerprints(sf)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_sh"].tolist() == [6, 5, 4]
+    assert out["n_fp"].tolist() == [3, 1, 1]
