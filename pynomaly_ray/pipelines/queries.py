@@ -6710,3 +6710,181 @@ ORACLE_QUERIES["winnow_fingerprints"] = (
     q_winnow_fingerprints,
     SQL_WINNOW_FINGERPRINTS,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: source_divergence — per-source total-variation distance between
+# the source's unigram token distribution and the whole-corpus
+# distribution, the data-mixing balance signal (which sources skew the
+# token diet; cf. the domain-weighting analyses in The Pile / DoReMi).
+# TVD is exact-integer up to the FINAL float division: with c_st =
+# count(token t in source s), ct = count(t anywhere), ts = source
+# total, tot = grand total,
+#   TVD(s) = [ sum_t |c_st*tot - ct*ts| + (tot - sum_{t in s} ct)*ts ]
+#            / (2*ts*tot)
+# (the second term closed-forms all tokens ABSENT from s).  Both sides
+# compute floor(num/(2.0*ts*tot)*1e6 + 0.5) in the same float64 op
+# order, so the e6 surface hash-matches.  Engine shape: map-side
+# (source, token) Arrow-groupby partials -> ONE token-keyed exchange
+# whose reducer attaches each token's global ct -> a map-side fold to
+# per-(bucket, source) partial sums -> 20-row driver finish with the
+# tiny source-totals dict broadcast in a closure.  No stage grows with
+# corpus size except the token exchange (vocab-bound); int64 holds to
+# ~1e18 = tot * ts, past which the reducer would emit the sum in
+# 128-bit pieces (DuckDB's HUGEINT does so natively).
+# ---------------------------------------------------------------------------
+def q_source_divergence(sf_dir: str):
+    from pynomaly_ray.stages.text import WS_TOKEN_RE
+
+    docs = _pq(sf_dir, "documents", ["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        lists = texts.str.findall(WS_TOKEN_RE)
+        lens = lists.str.len().to_numpy(dtype=np.int64)
+        src = np.repeat(t["source"].to_pandas().to_numpy(), lens)
+        tab = pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "token": pa.array(
+                    [tok for x in lists for tok in x], pa.string()
+                ),
+            }
+        )
+        g = tab.group_by(["source", "token"]).aggregate([("token", "count")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "token": g["token"],
+                "c": g["token_count"].cast(pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(
+                [nul_safe_key(df["token"]), nul_safe_key(df["source"])],
+                sort=False,
+            )["c"]
+            .sum()
+            .rename_axis(["token", "source"])
+            .reset_index()
+        )
+        g["token"] = g["token"].astype(object)
+        g["source"] = g["source"].astype(object)
+        # each token's corpus-wide total rides along: every source row
+        # of a token is in this bucket by construction
+        g["ct"] = g.groupby(nul_safe_key(g["token"]), sort=False)[
+            "c"
+        ].transform("sum")
+        return g
+
+    ex = hash_aggregate(partials, ["token"], merge).materialize()
+
+    # tiny side: per-source token totals (numbers of sources, not vocab)
+    def src_tot(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(nul_safe_key(df["source"]), sort=False)["c"]
+            .sum()
+            .rename_axis("source")
+            .reset_index()
+        )
+        g["source"] = g["source"].astype(object)
+        return _from_pandas(g)
+
+    stot_df = collect_sorted(
+        hash_aggregate(
+            ex.map_batches(src_tot, batch_format="pyarrow"),
+            ["source"],
+            lambda df: df.groupby(nul_safe_key(df["source"]), sort=False)["c"]
+            .sum()
+            .rename_axis("source")
+            .reset_index(),
+        ),
+        ["source"],
+    )
+    ts_of = dict(zip(stot_df["source"], stot_df["c"].astype(np.int64)))
+    tot = int(stot_df["c"].sum())
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ts = df["source"].map(ts_of).to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        ct = df["ct"].to_numpy(dtype=np.int64)
+        contrib = np.abs(c * tot - ct * ts)
+        g = (
+            pd.DataFrame(
+                {
+                    "source": df["source"],
+                    "num_present": contrib,
+                    "ct_present": ct,
+                }
+            )
+            .groupby(nul_safe_key(df["source"]), sort=False)[
+                ["num_present", "ct_present"]
+            ]
+            .sum()
+            .rename_axis("source")
+            .reset_index()
+        )
+        g["source"] = g["source"].astype(object)
+        return _from_pandas(g)
+
+    folded = collect_sorted(
+        hash_aggregate(
+            ex.map_batches(fold, batch_format="pyarrow"),
+            ["source"],
+            lambda df: df.groupby(nul_safe_key(df["source"]), sort=False)[
+                ["num_present", "ct_present"]
+            ]
+            .sum()
+            .rename_axis("source")
+            .reset_index(),
+        ),
+        ["source"],
+    )
+    ts = folded["source"].map(ts_of).to_numpy(dtype=np.int64)
+    num = folded["num_present"].to_numpy(dtype=np.int64) + (
+        tot - folded["ct_present"].to_numpy(dtype=np.int64)
+    ) * ts
+    tvd = np.floor(
+        num / (2.0 * ts * tot) * 1_000_000.0 + 0.5
+    ).astype(np.int64)
+    return pd.DataFrame({"source": folded["source"], "tvd_e6": tvd})
+
+
+SQL_SOURCE_DIVERGENCE = r"""
+WITH tok AS (
+  SELECT source,
+         UNNEST(regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+')) AS token
+  FROM documents
+),
+st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tok GROUP BY source, token),
+tt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY token),
+stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM st GROUP BY source),
+g AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM st),
+pres AS (
+  SELECT st.source,
+         CAST(SUM(ABS(st.c * g.tot - tt.ct * stot.ts)) AS BIGINT)
+             AS num_present,
+         CAST(SUM(tt.ct) AS BIGINT) AS ct_present
+  FROM st JOIN tt USING (token) JOIN stot USING (source) CROSS JOIN g
+  GROUP BY st.source
+)
+SELECT p.source,
+       CAST(FLOOR((p.num_present + (g.tot - p.ct_present) * s.ts)
+                  / (2.0 * s.ts * g.tot) * 1000000 + 0.5) AS BIGINT)
+           AS tvd_e6
+FROM pres p JOIN stot s USING (source) CROSS JOIN g
+ORDER BY source
+"""
+
+
+ORACLE_QUERIES["source_divergence"] = (
+    q_source_divergence,
+    SQL_SOURCE_DIVERGENCE,
+)

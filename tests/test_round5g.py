@@ -316,3 +316,16 @@ def test_winnow_fingerprints_hand_checked(ray_session, tmp_path):
     assert out["doc_id"].tolist() == [1, 2, 3]
     assert out["n_sh"].tolist() == [6, 5, 4]
     assert out["n_fp"].tolist() == [3, 1, 1]
+
+
+def test_source_divergence_hand_checked(ray_session, tmp_path):
+    """TVD vs the corpus distribution, absent-token closed form
+    included: A={x:2,y:1}, B={x:1,z:1}; tot=5, ct={x:3,y:1,z:1}.
+    TVD(A) = (|10-9| + |5-3| + 1*3) / 30 = 6/30 = 0.2;
+    TVD(B) = (|5-6| + |5-2| + 1*2) / 20 = 6/20 = 0.3."""
+    from pynomaly_ray.pipelines.queries import q_source_divergence
+
+    sf = _docs(tmp_path, [(1, "x x y", "A"), (2, "x z", "B")])
+    out = q_source_divergence(sf).set_index("source")
+    assert out.loc["A", "tvd_e6"] == 200000
+    assert out.loc["B", "tvd_e6"] == 300000
