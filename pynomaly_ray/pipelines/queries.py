@@ -6888,3 +6888,112 @@ ORACLE_QUERIES["source_divergence"] = (
     q_source_divergence,
     SQL_SOURCE_DIVERGENCE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: editdist_pairs — FastSS / SymSpell deletion-neighborhood near-dup
+# on the doc "title" (first 3 whitespace tokens): pairs of docs whose
+# titles are within Levenshtein distance 1.  The record-linkage
+# blocking pattern the other dedups don't cover: each title emits
+# itself + its single-char deletions, an exchange on the variant string
+# collects candidate pairs (d<=1 IMPLIES a shared variant, not
+# conversely), a second pair-keyed exchange dedups candidates found
+# via multiple variants, and the vectorized UCS4 kernel
+# (stages/dedup.editdist_le1, fuzz-verified against a DP) certifies
+# exactly.  Variant volume is O(total title chars) and bucket sizes
+# are near-duplicate-bound — no all-pairs stage anywhere, so the shape
+# holds at corpus scale.
+# ---------------------------------------------------------------------------
+def q_editdist_pairs(sf_dir: str):
+    from pynomaly_ray.stages.dedup import editdist_le1
+    from pynomaly_ray.stages.text import WS_TOKEN_RE
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        titles = (
+            texts.str.findall(WS_TOKEN_RE).str[:3].str.join(" ")
+        ).to_numpy(dtype=object)
+        ids = t["doc_id"].to_pandas().to_numpy(dtype=np.int64)
+        var, vid, vtitle = [], [], []
+        for i, s in enumerate(titles):
+            if not s:
+                continue
+            var.append(s)
+            vid.append(ids[i])
+            vtitle.append(s)
+            for p in range(len(s)):
+                var.append(s[:p] + s[p + 1 :])
+                vid.append(ids[i])
+                vtitle.append(s)
+        return pa.table(
+            {
+                "variant": pa.array(var, pa.string()),
+                "doc_id": pa.array(np.asarray(vid, dtype=np.int64)),
+                "title": pa.array(vtitle, pa.string()),
+            }
+        )
+
+    def pair_up(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["variant", "doc_id"])
+        m = df.merge(df, on="variant", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return m[
+            ["doc_id_a", "doc_id_b", "title_a", "title_b"]
+        ].drop_duplicates(["doc_id_a", "doc_id_b"])
+
+    cands = hash_aggregate(
+        docs.map_batches(variants, batch_format="pyarrow"),
+        ["variant"],
+        pair_up,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["doc_id_a", "doc_id_b"])
+        dist = editdist_le1(
+            df["title_a"].to_numpy(dtype=object),
+            df["title_b"].to_numpy(dtype=object),
+        )
+        keep = dist <= 1
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_id_a"].to_numpy(dtype=np.int64)[keep],
+                "doc_b": df["doc_id_b"].to_numpy(dtype=np.int64)[keep],
+                "dist": dist[keep],
+            }
+        )
+
+    out = hash_aggregate(cands, ["doc_id_a", "doc_id_b"], verify)
+    return collect_sorted(out, ["doc_a", "doc_b"])
+
+
+SQL_EDITDIST_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(
+           (regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+'))[1:3],
+           ' ') AS title
+  FROM documents
+),
+v AS (
+  SELECT doc_id, title,
+         CASE WHEN i = 0 THEN title
+              ELSE substr(title, 1, i - 1) || substr(title, i + 1) END
+             AS variant
+  FROM t, UNNEST(generate_series(0, len(title))) AS d(i)
+  WHERE len(title) > 0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.title AS ta, b.title AS tb
+  FROM v a JOIN v b ON a.variant = b.variant AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(ta, tb) <= 1
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_QUERIES["editdist_pairs"] = (q_editdist_pairs, SQL_EDITDIST_PAIRS)

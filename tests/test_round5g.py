@@ -329,3 +329,67 @@ def test_source_divergence_hand_checked(ray_session, tmp_path):
     out = q_source_divergence(sf).set_index("source")
     assert out.loc["A", "tvd_e6"] == 200000
     assert out.loc["B", "tvd_e6"] == 300000
+
+
+def _lev_ref(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[len(b)]
+
+
+def test_editdist_le1_kernel_vs_dp():
+    """Vectorized <=1 kernel agrees with a reference DP on hand cases
+    (incl. the 'ab'/'ba' shared-variant-but-distance-2 trap, unicode,
+    and empty strings) and on a random fuzz."""
+    import random
+
+    from pynomaly_ray.stages.dedup import editdist_le1
+
+    ta = ["abc", "abc", "abc", "ab", "ba", "abcd", "aéc", "", "a"]
+    tb = ["abc", "abd", "xbd", "abc", "ab", "abc", "aéd", "a", ""]
+    got = list(editdist_le1(ta, tb))
+    want = [min(_lev_ref(a, b), 2) for a, b in zip(ta, tb)]
+    assert got == want
+    rng = random.Random(11)
+    pairs = [
+        (
+            "".join(rng.choice("abéc") for _ in range(rng.randint(0, 8))),
+            "".join(rng.choice("abéc") for _ in range(rng.randint(0, 8))),
+        )
+        for _ in range(2000)
+    ]
+    got = editdist_le1([p[0] for p in pairs], [p[1] for p in pairs])
+    for (a, b), g in zip(pairs, got):
+        assert g == min(_lev_ref(a, b), 2), (a, b)
+
+
+def test_editdist_pairs_planted(ray_session, tmp_path):
+    """Candidates come only from shared deletion variants; the verify
+    kill the 'ab x y'/'ba x y' transposition false candidate; distance
+    0 (identical titles) and 1 (one substitution / one deletion) pairs
+    survive with their exact distance."""
+    from pynomaly_ray.pipelines.queries import q_editdist_pairs
+
+    sf = _docs(
+        tmp_path,
+        [
+            (1, "the fast key tail tail tail", "s"),
+            (2, "the fast key other words here", "s"),   # identical title -> 0
+            (3, "the fast kex trailing junk words", "s"), # 1 substitution
+            (4, "the fast ke words words words", "s"),    # 1 deletion
+            (5, "eht fast key a b c", "s"),               # far -> no pair
+        ],
+    )
+    out = q_editdist_pairs(sf)
+    pairs = set(zip(out["doc_a"], out["doc_b"], out["dist"]))
+    assert (1, 2, 0) in pairs
+    assert (1, 3, 1) in pairs and (2, 3, 1) in pairs
+    assert (1, 4, 1) in pairs and (2, 4, 1) in pairs
+    assert not any(5 in (a, b) for a, b, _ in pairs)
+    # 3 vs 4: 'the fast kex' vs 'the fast ke' -> distance 1 as well
+    assert (3, 4, 1) in pairs
