@@ -6997,3 +6997,174 @@ ORDER BY doc_a, doc_b
 
 
 ORACLE_QUERIES["editdist_pairs"] = (q_editdist_pairs, SQL_EDITDIST_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# Q: embedding_gram — exact upper-triangle Gram matrix of the e6-scaled
+# embedding columns (the one-pass reduction behind PCA / covariance /
+# whitening of an embedding corpus).  Per batch the e6 integer matrix
+# multiplies itself through float64 BLAS in 8k-row chunks — every
+# partial product (<= ~3.4e11) and chunk sum (<= 2.7e15) is an integer
+# below 2^53, so the GEMM is EXACT and the int64 accumulation carries
+# no rounding; the fixed 64x64 partial (2,080 rows) is what crosses
+# the exchange regardless of corpus size.  SQL reproduces the grid via
+# a double generate_series unnest with the same e6 floor.
+# ---------------------------------------------------------------------------
+def q_embedding_gram(sf_dir: str):
+    from pynomaly_ray.stages.similarity import _embedding_matrix
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _GEMM_CHUNK = 8192  # max rows with exact float64 integer sums
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "dim_i": pa.array([], pa.int64()),
+                    "dim_j": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_prod_e12": pa.array([], pa.int64()),
+                }
+            )
+        e6 = np.floor(m * 1_000_000.0 + 0.5)
+        d = e6.shape[1]
+        g = np.zeros((d, d), dtype=np.int64)
+        for s in range(0, e6.shape[0], _GEMM_CHUNK):
+            c = e6[s : s + _GEMM_CHUNK]
+            g += (c.T @ c).astype(np.int64)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "dim_i": pa.array((iu + 1).astype(np.int64)),
+                "dim_j": pa.array((ju + 1).astype(np.int64)),
+                "n": pa.array(
+                    np.full(len(iu), e6.shape[0], dtype=np.int64)
+                ),
+                "sum_prod_e12": pa.array(g[iu, ju]),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["dim_i", "dim_j"], sort=False)
+            .agg(n=("n", "sum"), sum_prod_e12=("sum_prod_e12", "sum"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = hash_aggregate(partials, ["dim_i", "dim_j"], merge)
+    return collect_sorted(out, ["dim_i", "dim_j"])
+
+
+SQL_EMBEDDING_GRAM = """
+WITH e AS (
+  SELECT i.i AS di, j.j AS dj,
+         CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         * CAST(FLOOR(CAST(embedding[j.j] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             AS p
+  FROM embeddings
+  CROSS JOIN generate_series(1, 64) AS i(i)
+  CROSS JOIN generate_series(1, 64) AS j(j)
+  WHERE j.j >= i.i
+)
+SELECT di AS dim_i, dj AS dim_j, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(p) AS BIGINT) AS sum_prod_e12
+FROM e GROUP BY di, dj ORDER BY dim_i, dim_j
+"""
+
+
+ORACLE_QUERIES["embedding_gram"] = (q_embedding_gram, SQL_EMBEDDING_GRAM)
+
+
+# ---------------------------------------------------------------------------
+# Q: winsorized_stats — robust per-type statistics: clamp each event
+# value into its type's nearest-rank [p05, p95] band and report the
+# exact winsorized e6 sum (the outlier-resistant mean/sum used before
+# training-signal aggregation).  Same count-vector sufficient statistic
+# as median_interp: per-(type, value_e6) counts are the whole
+# distribution, so percentile ranks and the clamped sum are integer
+# arithmetic on the reducer's cumulative vector — no row collection, no
+# float interpolation anywhere.  Nearest-rank = ceil(p*n), spelled
+# (n+19)//20 and (19n+19)//20 in BOTH the reducer and the SQL.
+# ---------------------------------------------------------------------------
+def q_winsorized_stats(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["value"].notna()]
+        e6 = np.floor(
+            df["value"].to_numpy(dtype=np.float64) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "e6": e6})
+            .groupby(["event_type", "e6"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return _from_pandas(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["event_type", "e6"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        rows = []
+        for etype, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("e6", kind="mergesort")
+            cnt = grp["cnt"].to_numpy(dtype=np.int64)
+            vals = grp["e6"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            lo = vals[int(np.searchsorted(cum, (n + 19) // 20))]
+            hi = vals[int(np.searchsorted(cum, (19 * n + 19) // 20))]
+            wsum = int(np.clip(vals, lo, hi) @ cnt)
+            rows.append((etype, n, lo, hi, wsum))
+        return pd.DataFrame(
+            rows, columns=["event_type", "n", "lo_e6", "hi_e6", "wsum_e6"]
+        ).astype(
+            {
+                "n": np.int64,
+                "lo_e6": np.int64,
+                "hi_e6": np.int64,
+                "wsum_e6": np.int64,
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["event_type"], merge)
+    return collect_sorted(out, ["event_type"])
+
+
+SQL_WINSORIZED_STATS = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS e6
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, e6,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY e6) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+b AS (
+  SELECT event_type,
+         CAST(MAX(CASE WHEN rk = (n + 19) // 20 THEN e6 END) AS BIGINT)
+             AS lo_e6,
+         CAST(MAX(CASE WHEN rk = (19 * n + 19) // 20 THEN e6 END) AS BIGINT)
+             AS hi_e6,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM r GROUP BY event_type
+)
+SELECT v.event_type, b.n, b.lo_e6, b.hi_e6,
+       CAST(SUM(LEAST(GREATEST(v.e6, b.lo_e6), b.hi_e6)) AS BIGINT)
+           AS wsum_e6
+FROM v JOIN b USING (event_type)
+GROUP BY v.event_type, b.n, b.lo_e6, b.hi_e6
+ORDER BY event_type
+"""
+
+
+ORACLE_QUERIES["winsorized_stats"] = (q_winsorized_stats, SQL_WINSORIZED_STATS)

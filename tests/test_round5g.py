@@ -393,3 +393,49 @@ def test_editdist_pairs_planted(ray_session, tmp_path):
     assert not any(5 in (a, b) for a, b, _ in pairs)
     # 3 vs 4: 'the fast kex' vs 'the fast ke' -> distance 1 as well
     assert (3, 4, 1) in pairs
+
+
+def test_winsorized_stats_hand_checked(ray_session, tmp_path):
+    """Nearest-rank p05/p95 on n=20 distinct values 1..20: lo = rank 1
+    (value 1), hi = rank 19 (value 19); winsorized sum clamps only the
+    max: 1+..+19 + 19 = 209."""
+    from pynomaly_ray.pipelines.queries import q_winsorized_stats
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["t"] * 20,
+            "value": [float(i) for i in range(1, 21)],
+        }
+    )
+    _write(tmp_path, "events", df)
+    out = q_winsorized_stats(str(tmp_path))
+    assert out["n"].tolist() == [20]
+    assert out["lo_e6"].tolist() == [1_000_000]
+    assert out["hi_e6"].tolist() == [19_000_000]
+    assert out["wsum_e6"].tolist() == [209_000_000]
+
+
+def test_embedding_gram_hand_checked(ray_session, tmp_path):
+    """Two 2-dim-nonzero vectors: gram entries are exact e6 products."""
+    from pynomaly_ray.pipelines.queries import q_embedding_gram
+
+    dim = 64
+    v1 = [0.0] * dim
+    v2 = [0.0] * dim
+    v1[0], v1[1] = 0.5, 0.25
+    v2[0], v2[1] = -0.5, 0.125
+    df = pd.DataFrame({"vec_id": np.array([1, 2], np.int64), "embedding": [v1, v2]})
+    _write(
+        tmp_path,
+        "embeddings",
+        df,
+        schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+        ),
+    )
+    out = q_embedding_gram(str(tmp_path)).set_index(["dim_i", "dim_j"])
+    assert out.loc[(1, 1), "sum_prod_e12"] == 500000**2 + 500000**2
+    assert out.loc[(1, 2), "sum_prod_e12"] == 500000 * 250000 - 500000 * 125000
+    assert out.loc[(2, 2), "sum_prod_e12"] == 250000**2 + 125000**2
+    assert (out["n"] == 2).all()
+    assert len(out) == dim * (dim + 1) // 2
