@@ -7168,3 +7168,248 @@ ORDER BY event_type
 
 
 ORACLE_QUERIES["winsorized_stats"] = (q_winsorized_stats, SQL_WINSORIZED_STATS)
+
+
+# ---------------------------------------------------------------------------
+# Q: customer_returns — TPC-H Q10-shaped FOUR-way join: revenue lost to
+# returned lineitems per customer in a one-quarter order window, with
+# the customer's nation name, top 20.  The multi-join planning shape:
+# lineitem collapses map-side to per-orderkey return revenue behind a
+# returnflag pushdown, orders arrives date-pruned AT THE READ and slim,
+# the two meet in a partitioned join whose merge_fn immediately
+# re-aggregates to per-custkey (the join output never materializes),
+# customer joins partitioned on custkey, and the 25-row nation table is
+# a broadcast dict inside the final map — one wide side per join, never
+# two.
+# ---------------------------------------------------------------------------
+def q_customer_returns(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.functions.exchange import hash_join
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1997, 4, 1)
+
+    def _blocks(path: str) -> int:
+        rows = papq.read_metadata(path).num_rows
+        return max(1, min(64, rows // _ROWS_PER_BLOCK + 1))
+
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    li = read_parquet_clean(
+        li_path,
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R",
+        override_num_blocks=_blocks(li_path),
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rev = _cents(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+        )
+        g = (
+            pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev": rev})
+            .groupby("l_orderkey", sort=False)["rev"]
+            .sum()
+            .reset_index(name="rev_cents")
+        )
+        return _from_pandas(g)
+
+    ord_path = os.path.join(sf_dir, "orders.parquet")
+    orders = read_parquet_clean(
+        ord_path,
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+        override_num_blocks=_blocks(ord_path),
+    )
+
+    def ord_slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
+        )
+
+    def to_cust(df: pd.DataFrame) -> pd.DataFrame:
+        # collapse the join output inside the bucket task
+        return (
+            df.groupby("o_custkey", sort=False)["rev_cents"]
+            .sum()
+            .reset_index(name="rev_cents")
+        )
+
+    per_cust = hash_aggregate(
+        hash_join(
+            li.map_batches(li_partial, batch_format="pyarrow"),
+            orders.map_batches(ord_slim, batch_format="pyarrow"),
+            ["l_orderkey"],
+            merge_fn=to_cust,
+        ),
+        ["o_custkey"],
+        lambda df: df.groupby("o_custkey", sort=False)["rev_cents"]
+        .sum()
+        .reset_index(name="rev_cents"),
+    )
+
+    nat = papq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    n_name = dict(
+        zip(
+            nat["n_nationkey"].to_pylist(),
+            nat["n_name"].to_pylist(),
+        )
+    )
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+
+    def cust_slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "c_nationkey": t["c_nationkey"],
+            }
+        )
+
+    def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"o_custkey": "c_custkey"})
+        out["n_name"] = out.pop("c_nationkey").map(n_name)
+        return out
+
+    joined = hash_join(
+        per_cust,
+        cust.map_batches(cust_slim, batch_format="pyarrow"),
+        ["o_custkey"],
+        merge_fn=attach_nation,
+    )
+    res = topk(
+        joined,
+        ["rev_cents", "c_custkey"],
+        20,
+        descending=[True, False],
+    )
+    return res[["c_custkey", "c_name", "n_name", "rev_cents"]].reset_index(
+        drop=True
+    )
+
+
+SQL_CUSTOMER_RETURNS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY rev_cents DESC, c_custkey LIMIT 20
+"""
+
+
+ORACLE_QUERIES["customer_returns"] = (q_customer_returns, SQL_CUSTOMER_RETURNS)
+
+
+# ---------------------------------------------------------------------------
+# Q: late_events — watermark lateness profile: an event is LATE when
+# its EVENT TIME lags the running maximum event time of its user's
+# earlier ARRIVALS by more than the 300 s watermark tolerance (the
+# signal that sizes allowed-lateness in any streaming ingest).
+# Event time is ``ts``; arrival order is SIMULATED as the Knuth hash
+# of event_id (the shared knuth32 kernel with its SQL twin) — the
+# testdata stream is perfectly time-ordered, so a real ingest sequence
+# would make every event on time; the deterministic permutation stands
+# in for network reordering and keeps the operator non-degenerate on
+# both sides of the oracle.  Engine: one user-keyed exchange; the
+# reducer sorts its bucket once by (user, arrival, event_id) and
+# computes the per-user shifted running max of ts with a cython
+# groupby cummax + one shift; event_id is unique, so both sides are
+# order-pinned.
+# ---------------------------------------------------------------------------
+_WATERMARK_TOL_US = 300_000_000  # 300 s
+
+
+def q_late_events(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        from pynomaly_ray.functions.hashing import knuth32
+
+        df = t.to_pandas()
+        df = df[df["user_id"].notna() & df["ts"].notna()]
+        df["ts_us"] = df.pop("ts").astype("int64")
+        df["arrival"] = knuth32(df["event_id"].to_numpy(dtype=np.int64))
+        return _from_pandas(df)
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            ["user_id", "arrival", "event_id"], kind="mergesort"
+        )
+        u = d["user_id"].to_numpy()
+        ts = d["ts_us"].to_numpy(dtype=np.int64)
+        n = len(d)
+        if not n:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=df["user_id"].dtype),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "n_late": pd.Series([], dtype=np.int64),
+                }
+            )
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, n]))
+        cm = pd.Series(ts).groupby(seg).cummax().to_numpy()
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = cm[:-1]
+        first = np.r_[0, starts]  # positions == starts are segment firsts
+        is_first = np.zeros(n, dtype=bool)
+        is_first[starts] = True
+        lateness = (~is_first) & (prev - _WATERMARK_TOL_US > ts)
+        n_events = np.diff(np.r_[starts, n]).astype(np.int64)
+        n_late = np.bincount(
+            seg[lateness], minlength=len(starts)
+        ).astype(np.int64)
+        keep = n_late >= 1
+        return pd.DataFrame(
+            {
+                "user_id": u[starts][keep],
+                "n_events": n_events[keep],
+                "n_late": n_late[keep],
+            }
+        )
+
+    partials = ds.map_batches(pre, batch_format="pyarrow")
+    out = hash_aggregate(partials, ["user_id"], late)
+    return collect_sorted(out, ["user_id"])
+
+
+SQL_LATE_EVENTS = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+w AS (
+  SELECT user_id, ts_us,
+         MAX(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY ((event_id % 4294967296) * 2654435761)
+                                   % 4294967296, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+  FROM e
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev_max - 300000000 > ts_us THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late
+FROM w GROUP BY user_id
+HAVING SUM(CASE WHEN prev_max - 300000000 > ts_us THEN 1 ELSE 0 END) >= 1
+ORDER BY user_id
+"""
+
+
+ORACLE_QUERIES["late_events"] = (q_late_events, SQL_LATE_EVENTS)

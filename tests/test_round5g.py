@@ -439,3 +439,115 @@ def test_embedding_gram_hand_checked(ray_session, tmp_path):
     assert out.loc[(2, 2), "sum_prod_e12"] == 250000**2 + 125000**2
     assert (out["n"] == 2).all()
     assert len(out) == dim * (dim + 1) // 2
+
+
+def test_late_events_simulated_arrival(ray_session, tmp_path):
+    """Differential check vs a naive per-user replay: sort by the
+    simulated (knuth32) arrival, run a running max of ts, count events
+    more than 300 s behind it."""
+    from pynomaly_ray.functions.hashing import knuth32
+    from pynomaly_ray.pipelines.queries import q_late_events
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 8, n).astype(np.int64),
+            "event_type": "t",
+            "value": 1.0,
+            "ts": pd.to_datetime(
+                np.sort(rng.integers(0, 10**6, n)) * 10**6, unit="ns"
+            ),
+            "props": "{}",
+        }
+    )
+    _write(tmp_path, "events", ev)
+    out = q_late_events(str(tmp_path)).set_index("user_id")
+
+    arr = knuth32(ev["event_id"].to_numpy())
+    want = {}
+    for uid, grp in ev.assign(arrival=arr).groupby("user_id"):
+        g = grp.sort_values(["arrival", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()
+        best, late = -(2**62), 0
+        for x in ts:
+            if best - 300_000_000 > x:
+                late += 1
+            best = max(best, x)
+        if late:
+            want[uid] = (len(g), late)
+    assert len(out) == len(want) > 0
+    for uid, (ne, nl) in want.items():
+        assert out.loc[uid, "n_events"] == ne
+        assert out.loc[uid, "n_late"] == nl
+
+
+def test_customer_returns_hand_checked(ray_session, tmp_path):
+    """Q10 shape: only R-flagged lineitems of in-window orders count;
+    revenue aggregates across a customer's orders; nation name attaches
+    from the broadcast dict."""
+    from pynomaly_ray.pipelines.queries import q_customer_returns
+
+    us = pa.timestamp("us")
+    _write(
+        tmp_path,
+        "nation",
+        pd.DataFrame(
+            {
+                "n_nationkey": np.array([7], np.int64),
+                "n_name": ["FRANCE"],
+                "n_regionkey": np.array([1], np.int64),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "customer",
+        pd.DataFrame(
+            {
+                "c_custkey": np.array([1, 2], np.int64),
+                "c_name": ["alice", "bob"],
+                "c_nationkey": np.array([7, 7], np.int64),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": np.array([10, 11, 12], np.int64),
+                "o_custkey": np.array([1, 1, 2], np.int64),
+                "o_orderdate": pd.to_datetime(
+                    ["1997-02-01", "1996-12-31", "1997-03-31"]
+                ),
+            }
+        ),
+        schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", us),
+            ]
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": np.array([10, 10, 11, 12], np.int64),
+                "l_extendedprice": [100.0, 50.0, 999.0, 20.0],
+                "l_discount": [0.1, 0.0, 0.0, 0.5],
+                "l_returnflag": ["R", "N", "R", "R"],
+            }
+        ),
+    )
+    out = q_customer_returns(str(tmp_path))
+    # cust 1: order 10 only (11 out of window), R line: 100*0.9 = 9000c
+    # cust 2: order 12: 20*0.5 = 1000c
+    assert out["c_custkey"].tolist() == [1, 2]
+    assert out["rev_cents"].tolist() == [9000, 1000]
+    assert out["n_name"].tolist() == ["FRANCE", "FRANCE"]
+    assert out["c_name"].tolist() == ["alice", "bob"]
