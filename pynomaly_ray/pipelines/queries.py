@@ -7413,3 +7413,148 @@ ORDER BY user_id
 
 
 ORACLE_QUERIES["late_events"] = (q_late_events, SQL_LATE_EVENTS)
+
+
+# ---------------------------------------------------------------------------
+# Q: weighted_sample — deterministic importance sampling: each doc is
+# kept with probability proportional to a quality proxy (here
+# n_chars, capped), decided by comparing the doc's Knuth-hash coin
+# against an integer permille threshold — repeatable across runs and
+# machines (the property "sampling" needs at 100 TB: a resumed or
+# re-sharded job keeps EXACTLY the same docs).  All-integer: keep iff
+# knuth32(doc_id) % 4096 < min(4095, n_chars // 8); the aggregate per
+# source reports kept count and kept char mass.  Shares the ONE
+# knuth32 kernel with hash_sample / domain_mix / epoch_shuffle.
+# ---------------------------------------------------------------------------
+def q_weighted_sample(sf_dir: str):
+    from pynomaly_ray.functions.hashing import knuth32
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        coin = knuth32(df["doc_id"].to_numpy(dtype=np.uint64)) % 4096
+        thresh = np.minimum(
+            4095, df["n_chars"].to_numpy(dtype=np.int64) // 8
+        )
+        kept = coin < thresh
+        g = (
+            pd.DataFrame(
+                {
+                    "source": df["source"],
+                    "n_kept": kept.astype(np.int64),
+                    "chars_kept": np.where(
+                        kept, df["n_chars"].to_numpy(dtype=np.int64), 0
+                    ),
+                }
+            )
+            .groupby("source", sort=False)[["n_kept", "chars_kept"]]
+            .sum()
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        lambda df: df.groupby("source", sort=False)[["n_kept", "chars_kept"]]
+        .sum()
+        .reset_index(),
+    )
+    return collect_sorted(out, ["source"])
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH t AS (
+  SELECT source, n_chars,
+         CAST(((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296
+              AS BIGINT) % 4096 AS coin,
+         LEAST(4095, n_chars // 8) AS thresh
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(CASE WHEN coin < thresh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN coin < thresh THEN n_chars ELSE 0 END) AS BIGINT)
+           AS chars_kept
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_QUERIES["weighted_sample"] = (q_weighted_sample, SQL_WEIGHTED_SAMPLE)
+
+
+# ---------------------------------------------------------------------------
+# Q: top_quartile_docs — per-source RELATIVE quality gate: keep docs at
+# or above their source's nearest-rank p75 of n_chars, report per
+# source the threshold and the kept count.  The two-phase broadcast
+# pattern: phase 1 reduces the tiny per-(source, n_chars) count vector
+# to exact p75 thresholds (nearest-rank = ceil(0.75 n) = (3n+3)//4,
+# spelled identically in SQL); phase 2 would stream the corpus against
+# the broadcast thresholds — here the aggregate comes straight from
+# the same count vector, so the corpus is scanned ONCE total.
+# ---------------------------------------------------------------------------
+def q_top_quartile_docs(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["source", "n_chars"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return _from_pandas(g)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["source", "n_chars"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        rows = []
+        for src, grp in g.groupby("source", sort=False):
+            grp = grp.sort_values("n_chars", kind="mergesort")
+            cnt = grp["cnt"].to_numpy(dtype=np.int64)
+            vals = grp["n_chars"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            p75 = vals[int(np.searchsorted(cum, (3 * n + 3) // 4))]
+            kept = int(cnt[vals >= p75].sum())
+            rows.append((src, p75, kept))
+        return pd.DataFrame(
+            rows, columns=["source", "p75_chars", "n_kept"]
+        ).astype({"p75_chars": np.int64, "n_kept": np.int64})
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source"], finish
+    )
+    return collect_sorted(out, ["source"])
+
+
+SQL_TOP_QUARTILE_DOCS = """
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+b AS (
+  SELECT source,
+         CAST(MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN n_chars END)
+              AS BIGINT) AS p75_chars
+  FROM r GROUP BY source
+)
+SELECT d.source, b.p75_chars,
+       CAST(SUM(CASE WHEN d.n_chars >= b.p75_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM documents d JOIN b USING (source)
+GROUP BY d.source, b.p75_chars
+ORDER BY source
+"""
+
+
+ORACLE_QUERIES["top_quartile_docs"] = (
+    q_top_quartile_docs,
+    SQL_TOP_QUARTILE_DOCS,
+)

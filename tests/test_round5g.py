@@ -551,3 +551,40 @@ def test_customer_returns_hand_checked(ray_session, tmp_path):
     assert out["rev_cents"].tolist() == [9000, 1000]
     assert out["n_name"].tolist() == ["FRANCE", "FRANCE"]
     assert out["c_name"].tolist() == ["alice", "bob"]
+
+
+def test_top_quartile_docs_hand_checked(ray_session, tmp_path):
+    """Nearest-rank p75 of 1..8 is rank ceil(0.75*8)=6 -> value 6;
+    kept = values >= 6 -> 3 docs."""
+    from pynomaly_ray.pipelines.queries import q_top_quartile_docs
+
+    rows = [(i, "x " * i, "s") for i in range(1, 9)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["lang"] = "en"
+    df["n_chars"] = np.arange(1, 9, dtype=np.int64)
+    _write(tmp_path, "documents", df)
+    out = q_top_quartile_docs(str(tmp_path))
+    assert out["p75_chars"].tolist() == [6]
+    assert out["n_kept"].tolist() == [3]
+
+
+def test_weighted_sample_deterministic(ray_session, tmp_path):
+    """The keep decision is a pure function of (doc_id, n_chars):
+    re-running yields identical aggregates, and a doc with n_chars=0
+    can never be kept (threshold 0)."""
+    from pynomaly_ray.pipelines.queries import q_weighted_sample
+
+    rows = [(i, "t", "s") for i in range(100)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["lang"] = "en"
+    nch = np.zeros(100, dtype=np.int64)
+    nch[50:] = 40000  # threshold 4095 -> always kept
+    df["n_chars"] = nch
+    _write(tmp_path, "documents", df)
+    out1 = q_weighted_sample(str(tmp_path))
+    out2 = q_weighted_sample(str(tmp_path))
+    pd.testing.assert_frame_equal(out1, out2)
+    assert out1["n_kept"].tolist() == [50]
+    assert out1["chars_kept"].tolist() == [50 * 40000]
