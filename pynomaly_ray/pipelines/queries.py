@@ -7558,3 +7558,347 @@ ORACLE_QUERIES["top_quartile_docs"] = (
     q_top_quartile_docs,
     SQL_TOP_QUARTILE_DOCS,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: small_qty_revenue — TPC-H Q17 shape: revenue from lineitems whose
+# quantity sits below 20% of their part's average quantity, restricted
+# to one brand.  The distributed plan is the canonical correlated-
+# aggregate join: pass 1 reduces the fact table to per-part (sum_qty,
+# cnt) partials, joins them to the brand-filtered part keys inside the
+# bucket tasks; pass 2 re-joins those thresholds onto the fact rows in
+# the SAME key-hash exchange and evaluates the predicate all-integer
+# (qty < 0.2 * sum/cnt  <=>  5 * qty * cnt < sum — l_quantity is
+# whole-valued), so no float ratio ever crosses the compare.  Neither
+# the part table nor the threshold vector is broadcast: at 100 TB both
+# are #parts-sized, so they ride the exchange.
+# ---------------------------------------------------------------------------
+def q_small_qty_revenue(sf_dir: str, brand: str = "Brand#23"):
+    import pyarrow.dataset as pads
+
+    from pynomaly_ray.functions.exchange import hash_join
+
+    parts = _pq(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def part_slim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["p_brand"], brand))
+        return pa.table({"l_partkey": t["p_partkey"]})
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def li_qty_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            pd.DataFrame(
+                {
+                    "l_partkey": df["l_partkey"],
+                    "sum_qty": df["l_quantity"].to_numpy(np.int64),
+                    "cnt": np.ones(len(df), np.int64),
+                }
+            )
+            .groupby("l_partkey", sort=False)[["sum_qty", "cnt"]]
+            .sum()
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    def thresh_merge(df: pd.DataFrame) -> pd.DataFrame:
+        # partials for one key land in one bucket: finish the aggregate
+        # AFTER the inner join has already restricted to brand parts
+        return (
+            df.groupby("l_partkey", sort=False)[["sum_qty", "cnt"]]
+            .sum()
+            .reset_index()
+        )
+
+    thresholds = hash_join(
+        li.map_batches(li_qty_partial, batch_format="pyarrow"),
+        parts.map_batches(part_slim, batch_format="pyarrow"),
+        ["l_partkey"],
+        merge_fn=thresh_merge,
+    )
+
+    li2 = _pq(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def fact_slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "l_partkey": df["l_partkey"],
+                    "qty": df["l_quantity"].to_numpy(np.int64),
+                    "price_cents": _cents(df["l_extendedprice"].to_numpy()),
+                }
+            )
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        keep = 5 * df["qty"].to_numpy(np.int64) * df["cnt"].to_numpy(
+            np.int64
+        ) < df["sum_qty"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "rev_cents": [int(df["price_cents"].to_numpy()[keep].sum())],
+                "n_items": [int(keep.sum())],
+            }
+        )
+
+    picked = hash_join(
+        li2.map_batches(fact_slim, batch_format="pyarrow"),
+        thresholds,
+        ["l_partkey"],
+        merge_fn=pick,
+    )
+    df = picked.to_pandas()
+    return pd.DataFrame(
+        {
+            "rev_cents": [np.int64(df["rev_cents"].sum())],
+            "n_items": [np.int64(df["n_items"].sum())],
+        }
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH t AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                               AS BIGINT)), 0) AS BIGINT) AS rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+JOIN t ON t.l_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * t.cnt < t.sum_qty
+"""
+
+
+ORACLE_QUERIES["small_qty_revenue"] = (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# Q: big_orders — TPC-H Q18 shape: orders whose total lineitem quantity
+# exceeds a threshold, decorated with the customer name and ranked by
+# order value.  The HAVING filter runs INSIDE the aggregate reducers
+# (keys are co-located after the exchange, so the post-filter is exact
+# and the surviving set — a tiny fraction — is all that flows into the
+# two decoration joins).  Both joins are key-hash exchanges: orders and
+# customer are fact-sized at 100 TB, never broadcast.  Final ranking is
+# the distributed top-k (per-block heads, then a driver merge of k-row
+# partials).
+# ---------------------------------------------------------------------------
+def q_big_orders(sf_dir: str, min_qty: int = 150):
+    from pynomaly_ray.functions.exchange import hash_join, topk
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            pd.DataFrame(
+                {
+                    "o_orderkey": df["l_orderkey"],
+                    "sum_qty": df["l_quantity"].to_numpy(np.int64),
+                }
+            )
+            .groupby("o_orderkey", sort=False)["sum_qty"]
+            .sum()
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("o_orderkey", sort=False)["sum_qty"]
+            .sum()
+            .reset_index()
+        )
+        return g[g["sum_qty"] > min_qty]
+
+    heavy = hash_aggregate(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        ["o_orderkey"],
+        having,
+    )
+
+    orders = _pq(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def ord_slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "o_orderkey": df["o_orderkey"],
+                    "c_custkey": df["o_custkey"],
+                    "order_day": (
+                        df["o_orderdate"].astype("int64") // 86_400_000_000
+                    ).astype(np.int64),
+                    "total_cents": _cents(df["o_totalprice"].to_numpy()),
+                }
+            )
+        )
+
+    decorated = hash_join(
+        heavy,
+        orders.map_batches(ord_slim, batch_format="pyarrow"),
+        ["o_orderkey"],
+    )
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    named = hash_join(decorated, cust, ["c_custkey"])
+    res = topk(
+        named,
+        ["total_cents", "order_day", "o_orderkey"],
+        100,
+        descending=[True, False, False],
+    )
+    return res[
+        ["c_name", "c_custkey", "o_orderkey", "order_day", "total_cents", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+SQL_BIG_ORDERS = """
+WITH h AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(FLOOR(epoch_us(o.o_orderdate) / 86400000000) AS BIGINT) AS order_day,
+       CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       h.sum_qty
+FROM h
+JOIN orders o ON o.o_orderkey = h.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_cents DESC, order_day, o.o_orderkey
+LIMIT 100
+"""
+
+
+ORACLE_QUERIES["big_orders"] = (q_big_orders, SQL_BIG_ORDERS)
+
+
+# ---------------------------------------------------------------------------
+# Q: idle_rich_customers — TPC-H Q22 shape: per market segment, count
+# and balance mass of positive-balance customers whose balance exceeds
+# the GLOBAL positive-balance average and who have placed no RECENT
+# order (none since 2001-01-01 — the lapsed-buyer window; the date
+# filter is pushed into the parquet read so only recent order rows
+# ever leave storage).
+# Three scale ingredients composed: (1) the global scalar is a partial
+# mean reduced map-side to (sum, cnt) pairs — one tiny driver fold, the
+# corpus never collects; (2) the above-average test is all-integer
+# (cents * cnt > sum_cents), bit-identical to the SQL; (3) "has no
+# orders" is the size-adaptive anti_membership (broadcast key set under
+# the cap, key-partitioned hash anti-join above it) — never a driver
+# set.  Final per-segment rollup is a partial+final hash_aggregate.
+# ---------------------------------------------------------------------------
+def q_idle_rich_customers(sf_dir: str):
+    from pynomaly_ray.functions.exchange import anti_membership
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"].to_numpy(zero_copy_only=False))
+        pos = cents > 0
+        return pa.table(
+            {
+                "sum_cents": pa.array([int(cents[pos].sum())], pa.int64()),
+                "cnt": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    scal = (
+        cust.map_batches(bal_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    sum_cents, cnt = int(scal["sum_cents"]), int(scal["cnt"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cents = _cents(df["c_acctbal"].to_numpy())
+        keep = (cents > 0) & (cents * cnt > sum_cents)
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "c_custkey": df["c_custkey"].to_numpy()[keep],
+                    "c_mktsegment": df["c_mktsegment"].to_numpy()[keep],
+                    "bal_cents": cents[keep],
+                }
+            )
+        )
+
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= _dt.datetime(2001, 1, 1),
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+    idle = anti_membership(
+        cust.map_batches(rich, batch_format="pyarrow"), orders, "c_custkey"
+    )
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.assign(n_cust=np.int64(1))
+            .groupby("c_mktsegment", sort=False)[["n_cust", "bal_cents"]]
+            .sum()
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    out = hash_aggregate(
+        idle.map_batches(seg_partial, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        lambda df: df.groupby("c_mktsegment", sort=False)[
+            ["n_cust", "bal_cents"]
+        ]
+        .sum()
+        .reset_index(),
+    )
+    return collect_sorted(out, ["c_mktsegment"])
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+s AS (
+  SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c WHERE bal_cents > 0
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(c.bal_cents) AS BIGINT) AS bal_cents
+FROM c, s
+WHERE c.bal_cents > 0
+  AND c.bal_cents * s.cnt > s.sum_cents
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                          WHERE o_orderdate >= DATE '2001-01-01')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+ORACLE_QUERIES["idle_rich_customers"] = (
+    q_idle_rich_customers,
+    SQL_IDLE_RICH_CUSTOMERS,
+)

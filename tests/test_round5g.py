@@ -588,3 +588,92 @@ def test_weighted_sample_deterministic(ray_session, tmp_path):
     pd.testing.assert_frame_equal(out1, out2)
     assert out1["n_kept"].tolist() == [50]
     assert out1["chars_kept"].tolist() == [50 * 40000]
+
+
+def test_small_qty_revenue_integer_predicate(ray_session, tmp_path):
+    """qty < 0.2*avg evaluated as 5*qty*cnt < sum: part 1 has
+    quantities (1, 10, 10, 10) -> avg 7.75, 0.2*avg = 1.55; only the
+    qty-1 row qualifies.  qty exactly AT the threshold is excluded
+    (strict <): part 2 has (1, 4) -> 0.2*avg = 0.5, neither row is
+    below it."""
+    from pynomaly_ray.pipelines.queries import q_small_qty_revenue
+
+    li = pd.DataFrame(
+        {
+            "l_partkey": np.array([1, 1, 1, 1, 2, 2], np.int64),
+            "l_quantity": np.array([1, 10, 10, 10, 1, 4], np.float64),
+            "l_extendedprice": np.array(
+                [5.0, 100.0, 100.0, 100.0, 7.0, 7.0], np.float64
+            ),
+        }
+    )
+    _write(tmp_path, "lineitem", li)
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.array([1, 2], np.int64),
+            "p_brand": ["Brand#23", "Brand#23"],
+        }
+    )
+    _write(tmp_path, "part", part)
+    out = q_small_qty_revenue(str(tmp_path))
+    assert out["rev_cents"].tolist() == [500]
+    assert out["n_items"].tolist() == [1]
+
+
+def test_big_orders_having_boundary(ray_session, tmp_path):
+    """sum_qty must be STRICTLY greater than the threshold: an order
+    summing exactly 150 is excluded even when split across blocks."""
+    from pynomaly_ray.pipelines.queries import q_big_orders
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.array([1] * 3 + [2] * 2, np.int64),
+            "l_quantity": np.array([50, 50, 50, 100, 51], np.float64),
+        }
+    )
+    _write(tmp_path, "lineitem", li)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.array([1, 2], np.int64),
+            "o_custkey": np.array([7, 7], np.int64),
+            "o_orderdate": pd.to_datetime(["1997-01-01", "1997-01-02"]),
+            "o_totalprice": [10.0, 20.0],
+        }
+    )
+    _write(tmp_path, "orders", orders)
+    cust = pd.DataFrame(
+        {"c_custkey": np.array([7], np.int64), "c_name": ["alice"]}
+    )
+    _write(tmp_path, "customer", cust)
+    out = q_big_orders(str(tmp_path))
+    assert out["o_orderkey"].tolist() == [2]
+    assert out["sum_qty"].tolist() == [151]
+    assert out["c_name"].tolist() == ["alice"]
+
+
+def test_idle_rich_customers_window_and_mean(ray_session, tmp_path):
+    """Above-GLOBAL-mean test among positive balances (100, 200, 300 ->
+    mean 200; only 300 is strictly above), then the lapsed filter: a
+    customer with a 2001 order is dropped, one whose orders are all
+    older survives."""
+    from pynomaly_ray.pipelines.queries import q_idle_rich_customers
+
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.array([1, 2, 3, 4], np.int64),
+            "c_acctbal": [100.0, 200.0, 300.0, 300.0],
+            "c_mktsegment": ["A", "A", "A", "B"],
+        }
+    )
+    _write(tmp_path, "customer", cust)
+    orders = pd.DataFrame(
+        {
+            "o_custkey": np.array([3, 4], np.int64),
+            "o_orderdate": pd.to_datetime(["2001-02-01", "2000-12-31"]),
+        }
+    )
+    _write(tmp_path, "orders", orders)
+    out = q_idle_rich_customers(str(tmp_path))
+    assert out["c_mktsegment"].tolist() == ["B"]
+    assert out["n_cust"].tolist() == [1]
+    assert out["bal_cents"].tolist() == [30000]
