@@ -7902,3 +7902,112 @@ ORACLE_QUERIES["idle_rich_customers"] = (
     q_idle_rich_customers,
     SQL_IDLE_RICH_CUSTOMERS,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: cdc_merge — Delta/Iceberg-style MERGE: apply a keyed change log
+# onto a snapshot.  events is the changelog (key user_id, version
+# order (ts, event_id), event_type 'error' = delete tombstone, any
+# other type = upsert carrying a new value); customer is the snapshot
+# (key c_custkey, original value c_acctbal).  Final state: snapshot
+# rows never touched by the log pass through 'unchanged'; rows whose
+# LAST log entry is an upsert carry the upserted value as 'updated';
+# rows whose last entry is a tombstone are dropped.  The distributed
+# plan is two-level per-key argmax (each block keeps its last entry
+# per key — a sort + keep-last, so a key's log can be arbitrarily long
+# without any single task seeing all of it — then the key-hash
+# exchange finishes the argmax among per-block winners) followed by a
+# LEFT hash join against the snapshot: both sides are fact-sized at
+# 100 TB, nothing broadcasts, and the merge output collapses inside
+# the bucket tasks.
+# ---------------------------------------------------------------------------
+def q_cdc_merge(sf_dir: str):
+    from pynomaly_ray.functions.exchange import hash_join
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def last_per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return df.drop_duplicates("user_id", keep="last")
+
+    def block_last(t: pa.Table) -> pa.Table:
+        df = last_per_key(t.to_pandas())
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "ts": df["ts"],
+                    "event_id": df["event_id"],
+                    "ev_type": df["event_type"],
+                    "val_cents": _cents(df["value"].to_numpy()),
+                }
+            )
+        )
+
+    last = hash_aggregate(
+        ev.map_batches(block_last, batch_format="pyarrow"),
+        ["user_id"],
+        last_per_key,
+    )
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def cust_slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": df["c_custkey"],
+                    "snap_cents": _cents(df["c_acctbal"].to_numpy()),
+                }
+            )
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        touched = df["ev_type"].notna().to_numpy()
+        keep = ~(touched & (df["ev_type"].to_numpy() == "error"))
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64)[keep],
+                "bal_cents": np.where(
+                    touched[keep],
+                    df["val_cents"].to_numpy(np.float64)[keep],
+                    df["snap_cents"].to_numpy(np.float64)[keep],
+                ).astype(np.int64),
+                "src": np.where(touched[keep], "updated", "unchanged"),
+            }
+        )
+        return out
+
+    merged = hash_join(
+        cust.map_batches(cust_slim, batch_format="pyarrow"),
+        last,
+        ["user_id"],
+        merge_fn=finish,
+        how="left",
+    )
+    return collect_sorted(merged, ["user_id"])
+
+
+SQL_CDC_MERGE = """
+WITH last AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS val_cents
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey AS user_id,
+       CAST(CASE WHEN l.user_id IS NULL
+                 THEN FLOOR(c.c_acctbal * 100 + 0.5)
+                 ELSE l.val_cents END AS BIGINT) AS bal_cents,
+       CASE WHEN l.user_id IS NULL THEN 'unchanged' ELSE 'updated' END AS src
+FROM customer c LEFT JOIN last l ON l.user_id = c.c_custkey
+WHERE l.event_type IS NULL OR l.event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+ORACLE_QUERIES["cdc_merge"] = (q_cdc_merge, SQL_CDC_MERGE)

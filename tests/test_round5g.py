@@ -677,3 +677,35 @@ def test_idle_rich_customers_window_and_mean(ray_session, tmp_path):
     assert out["c_mktsegment"].tolist() == ["B"]
     assert out["n_cust"].tolist() == [1]
     assert out["bal_cents"].tolist() == [30000]
+
+
+def test_cdc_merge_tombstone_resurrect_tiebreak(ray_session, tmp_path):
+    """Last entry per key wins in (ts, event_id) order: user 1 is
+    deleted then re-upserted at the same ts (higher event_id wins ->
+    survives with the new value); user 2's last entry is the tombstone
+    (dropped); user 3 never appears in the log (passes through)."""
+    from pynomaly_ray.pipelines.queries import q_cdc_merge
+
+    ev = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1, 2, 3], np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-01-02", "2024-01-03"]
+            ),
+            "user_id": np.array([1, 1, 2, 2], np.int64),
+            "event_type": ["error", "click", "click", "error"],
+            "value": [0.0, 7.5, 1.0, 0.0],
+        }
+    )
+    _write(tmp_path, "events", ev)
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.array([1, 2, 3], np.int64),
+            "c_acctbal": [10.0, 20.0, 30.0],
+        }
+    )
+    _write(tmp_path, "customer", cust)
+    out = q_cdc_merge(str(tmp_path))
+    assert out["user_id"].tolist() == [1, 3]
+    assert out["bal_cents"].tolist() == [750, 3000]
+    assert out["src"].tolist() == ["updated", "unchanged"]
