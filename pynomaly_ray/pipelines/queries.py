@@ -8011,3 +8011,463 @@ ORDER BY user_id
 
 
 ORACLE_QUERIES["cdc_merge"] = (q_cdc_merge, SQL_CDC_MERGE)
+
+
+# ---------------------------------------------------------------------------
+# Q: lonely_late_supplier — TPC-H Q21 shape (suppliers who kept orders
+# waiting): the hardest TPC-H correlation — an EXISTS (another supplier
+# on the same order) AND a NOT EXISTS (another LATE supplier) against
+# the fact table itself.  Decomposed into ONE orderkey-keyed exchange:
+# lineitem and 'F'-status orders land in the same bucket, where a
+# vectorized per-order analysis (nunique suppliers / nunique late
+# suppliers / the single culprit) replaces both correlated subqueries —
+# no task ever sees more than one bucket of orders, and the join output
+# collapses to per-supplier partial counts before leaving the bucket.
+# Lateness is l_shipdate > o_orderdate + 90 days (this corpus has no
+# commit/receipt dates; reference shape per TPC-H Q21).
+# ---------------------------------------------------------------------------
+def q_lonely_late_supplier(sf_dir: str):
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.functions.exchange import dim_lookup, hash_join
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    ord_path = os.path.join(sf_dir, "orders.parquet")
+    rows = papq.read_metadata(ord_path).num_rows
+    orders = read_parquet_clean(
+        ord_path,
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        filter=pads.field("o_orderstatus") == "F",
+        override_num_blocks=max(1, min(64, rows // _ROWS_PER_BLOCK + 1)),
+    )
+
+    def ord_slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"]}
+        )
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        # whole orders are co-located in this bucket (join key ==
+        # orderkey), so distinct-supplier counts per order are exact
+        late = (
+            df["l_shipdate"].to_numpy()
+            > df["o_orderdate"].to_numpy() + np.timedelta64(90, "D")
+        )
+        n_supp = df.groupby("l_orderkey", sort=False)["l_suppkey"].nunique()
+        lf = df.loc[late, ["l_orderkey", "l_suppkey"]]
+        g = lf.groupby("l_orderkey", sort=False)["l_suppkey"]
+        n_late = g.nunique()
+        culprit = g.max()
+        keep = (n_supp.reindex(n_late.index) >= 2) & (n_late == 1)
+        winners = culprit[keep]
+        return (
+            winners.value_counts()
+            .rename_axis("s_suppkey")
+            .reset_index(name="numwait")
+        )
+
+    partials = hash_join(
+        li,
+        orders.map_batches(ord_slim, batch_format="pyarrow"),
+        ["l_orderkey"],
+        merge_fn=per_order,
+    )
+    agg = hash_aggregate(
+        partials,
+        ["s_suppkey"],
+        lambda df: df.groupby("s_suppkey", sort=False)["numwait"]
+        .sum()
+        .reset_index(),
+    )
+    s_name = dim_lookup(
+        papq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+        ),
+        "s_suppkey",
+        "s_name",
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["s_name"] = df["s_suppkey"].map(s_name)
+        return _from_pandas(df)
+
+    res = topk(
+        agg.map_batches(attach, batch_format="pyarrow"),
+        ["numwait", "s_name"],
+        20,
+        descending=[True, False],
+    )
+    df = res[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
+    df["numwait"] = df["numwait"].astype(np.int64)
+    return df
+
+
+SQL_LONELY_LATE_SUPPLIER = """
+WITH l AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+g AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN late THEN l_suppkey END) AS culprit
+  FROM l GROUP BY l_orderkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM g JOIN supplier s ON s.s_suppkey = g.culprit
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: disjunctive_revenue — TPC-H Q19 shape (discounted revenue under an
+# OR-of-ANDs join predicate).  The part side is a dimension: its two
+# predicate columns are broadcast ONCE as dense partkey-indexed numpy
+# arrays (TPC-H partkeys are dense), so the disjunctive mask is three
+# vectorized AND-chains per batch — the join never shuffles and the
+# per-batch output is one (rev, count) partial row.  Guarded: a part
+# table too big to broadcast raises toward the hash_join path.
+# ---------------------------------------------------------------------------
+def q_disjunctive_revenue(sf_dir: str):
+    import pyarrow.parquet as papq
+
+    part = papq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    if part.num_rows > 2_000_000:
+        raise ValueError(
+            "disjunctive_revenue: part too large to broadcast; route the "
+            "predicate through hash_join on l_partkey instead"
+        )
+    pk = part["p_partkey"].to_numpy()
+    hi = int(pk.max()) + 1
+    brand_code = np.zeros(hi, dtype=np.int8)
+    for code, b in ((1, "Brand#11"), (2, "Brand#12"), (3, "Brand#13")):
+        brand_code[pk[np.asarray(part["p_brand"]) == b]] = code
+    size_of = np.zeros(hi, dtype=np.int64)
+    size_of[pk] = part["p_size"].to_numpy()
+
+    li = _pq(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lp = t["l_partkey"].to_numpy()
+        qty = t["l_quantity"].to_numpy()
+        bc = brand_code[lp]
+        sz = size_of[lp]
+        m = (
+            ((bc == 1) & (sz <= 15) & (qty >= 1) & (qty <= 11))
+            | ((bc == 2) & (sz <= 25) & (qty >= 10) & (qty <= 20))
+            | ((bc == 3) & (sz <= 35) & (qty >= 20) & (qty <= 30))
+        )
+        rev = _cents(
+            t["l_extendedprice"].to_numpy()[m]
+            * (1.0 - t["l_discount"].to_numpy()[m])
+        )
+        return pa.table(
+            {
+                "rev_cents": pa.array([int(rev.sum())], pa.int64()),
+                "n_lines": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "rev_cents": [np.int64(parts["rev_cents"].sum())],
+            "n_lines": [np.int64(parts["n_lines"].sum())],
+        }
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+      (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top_supplier — TPC-H Q15 shape (supplier(s) with the maximum
+# revenue in a quarter): per-supplier revenue via map-side partials +
+# one keyed exchange, then the global max is reduced from per-block
+# 1-row maxima (never collecting the per-supplier aggregate), and the
+# argmax-equality filter streams over the same aggregate Dataset — the
+# scalar-subquery JOIN decomposed without materializing anything bigger
+# than #blocks rows on the driver.
+# ---------------------------------------------------------------------------
+def q_top_supplier(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.functions.exchange import dim_lookup
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1997, 4, 1)
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    rows = papq.read_metadata(li_path).num_rows
+    li = read_parquet_clean(
+        li_path,
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+        override_num_blocks=max(1, min(64, rows // _ROWS_PER_BLOCK + 1)),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["total_cents"] = _cents(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        )
+        g = (
+            df.groupby("l_suppkey", sort=False)["total_cents"]
+            .sum()
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    agg = hash_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"],
+        lambda df: df.groupby("l_suppkey", sort=False)["total_cents"]
+        .sum()
+        .reset_index(),
+    )
+
+    def block_max(t: pa.Table) -> pa.Table:
+        col = t["total_cents"].to_numpy()
+        if len(col) == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array([int(col.max())], pa.int64())})
+
+    maxima = agg.map_batches(block_max, batch_format="pyarrow").to_pandas()
+    if maxima.empty:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype=np.int64),
+                "s_name": pd.Series([], dtype=object),
+                "total_cents": pd.Series([], dtype=np.int64),
+            }
+        )
+    best = np.int64(maxima["m"].max())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["total_cents"], pa.scalar(int(best))))
+
+    winners = agg.map_batches(pick, batch_format="pyarrow").to_pandas()
+    s_name = dim_lookup(
+        papq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+        ),
+        "s_suppkey",
+        "s_name",
+    )
+    winners = winners.rename(columns={"l_suppkey": "s_suppkey"})
+    winners["s_name"] = winners["s_suppkey"].map(s_name)
+    winners["total_cents"] = winners["total_cents"].astype(np.int64)
+    return collect_sorted(
+        winners[["s_suppkey", "s_name", "total_cents"]], ["s_suppkey"]
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_cents = (SELECT MAX(total_cents) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: nation_pair_volume — TPC-H Q7 shape (shipping volume between two
+# nations by year).  Two-sided dimension decoration: the SUPPLIER
+# nation rides a dense suppkey-indexed broadcast array applied at the
+# lineitem scan (rows outside the two nations never leave the map),
+# while the CUSTOMER nation — whose table scales with the corpus and
+# must NOT be broadcast — arrives through an orderkey then custkey
+# keyed exchange, each join collapsing to (nation, nation, year)
+# partials inside its bucket.
+# ---------------------------------------------------------------------------
+def q_nation_pair_volume(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.functions.exchange import hash_join
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    NK_A, NK_B = 3, 7  # NATION_3 / NATION_7
+    supp = papq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    if supp.num_rows > 2_000_000:
+        raise ValueError(
+            "nation_pair_volume: supplier too large to broadcast; decorate "
+            "the supplier nation through a suppkey hash_join instead"
+        )
+    sk = supp["s_suppkey"].to_numpy()
+    supp_nk = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    supp_nk[sk] = supp["s_nationkey"].to_numpy()
+
+    nat = papq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    n_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    rows = papq.read_metadata(li_path).num_rows
+    li = read_parquet_clean(
+        li_path,
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+        override_num_blocks=max(1, min(64, rows // _ROWS_PER_BLOCK + 1)),
+    )
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        nk = supp_nk[df["l_suppkey"].to_numpy()]
+        keep = (nk == NK_A) | (nk == NK_B)
+        df = df.loc[keep]
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(),
+                    "supp_nk": nk[keep],
+                    "l_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
+                    "rev": _cents(
+                        df["l_extendedprice"].to_numpy()
+                        * (1.0 - df["l_discount"].to_numpy())
+                    ),
+                }
+            )
+        )
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def collapse1(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["o_custkey", "supp_nk", "l_year"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+
+    stage1 = hash_join(
+        li.map_batches(li_slim, batch_format="pyarrow"),
+        orders,
+        ["l_orderkey"],
+        merge_fn=collapse1,
+    )
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = df["c_nationkey"].isin([NK_A, NK_B]).to_numpy()
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "o_custkey": df["c_custkey"].to_numpy()[keep],
+                    "cust_nk": df["c_nationkey"].to_numpy()[keep],
+                }
+            )
+        )
+
+    def collapse2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["supp_nk"].to_numpy() != df["cust_nk"].to_numpy()]
+        return (
+            df.groupby(["supp_nk", "cust_nk", "l_year"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+
+    stage2 = hash_join(
+        stage1,
+        cust.map_batches(cust_slim, batch_format="pyarrow"),
+        ["o_custkey"],
+        merge_fn=collapse2,
+    )
+    out = hash_aggregate(
+        stage2,
+        ["supp_nk", "cust_nk", "l_year"],
+        lambda df: df.groupby(["supp_nk", "cust_nk", "l_year"], sort=False)["rev"]
+        .sum()
+        .reset_index(),
+    )
+    df = out.to_pandas()
+    res = pd.DataFrame(
+        {
+            "supp_nation": df["supp_nk"].map(n_name),
+            "cust_nation": df["cust_nk"].map(n_name),
+            "l_year": df["l_year"].astype(np.int64),
+            "rev_cents": df["rev"].astype(np.int64),
+        }
+    )
+    return collect_sorted(res, ["supp_nation", "cust_nation", "l_year"])
+
+
+SQL_NATION_PAIR_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "lonely_late_supplier": (q_lonely_late_supplier, SQL_LONELY_LATE_SUPPLIER),
+        "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
+        "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
+        "nation_pair_volume": (q_nation_pair_volume, SQL_NATION_PAIR_VOLUME),
+    }
+)
