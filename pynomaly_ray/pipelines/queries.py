@@ -8471,3 +8471,182 @@ ORACLE_QUERIES.update(
         "nation_pair_volume": (q_nation_pair_volume, SQL_NATION_PAIR_VOLUME),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: lineitem_skyline — Pareto front (skyline) over the FACT table:
+# lineitems not dominated on (price low, quantity high).  The classic
+# distributed-skyline decomposition: a vectorized local front per block
+# (sort by price, per-price max, strict-lower-price running max) — any
+# globally dominated row is already dominated inside its own block's
+# front, so the union of local fronts contains exactly the global
+# front's superset — then the same kernel once more over the tiny
+# candidate union.  No self-join, no shuffle; candidate volume is
+# O(front) per block.  Comparisons run on integer cents both sides.
+# ---------------------------------------------------------------------------
+def _pareto_front(df: pd.DataFrame) -> pd.DataFrame:
+    """Rows not dominated on (price_cents minimize, qty maximize).
+    Dominance: b dominates a iff b.price<=a.price and b.qty>=a.qty with
+    at least one strict; equal-(price,qty) rows all survive."""
+    df = df.sort_values(
+        ["price_cents", "qty"], ascending=[True, False], kind="mergesort"
+    )
+    price = df["price_cents"].to_numpy()
+    qty = df["qty"].to_numpy()
+    if len(df) == 0:
+        return df
+    new_g = np.r_[True, price[1:] != price[:-1]]
+    gidx = np.cumsum(new_g) - 1
+    gmax = qty[new_g]  # per-price max (first row of each price group)
+    prev = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(gmax)[:-1]]
+    keep = (qty == gmax[gidx]) & (qty > prev[gidx])
+    return df[keep]
+
+
+def q_lineitem_skyline(sf_dir: str):
+    li = _pq(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
+    )
+
+    def local_front(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(),
+                "l_linenumber": t["l_linenumber"].to_numpy(),
+                "price_cents": _cents(t["l_extendedprice"].to_numpy()),
+                "qty": t["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+        return _from_pandas(_pareto_front(df))
+
+    cands = li.map_batches(local_front, batch_format="pyarrow").to_pandas()
+    front = _pareto_front(cands)
+    front = front[["l_orderkey", "l_linenumber", "price_cents", "qty"]]
+    return collect_sorted(front, ["l_orderkey", "l_linenumber"])
+
+
+SQL_LINEITEM_SKYLINE = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+g AS (
+  SELECT *,
+         MAX(qty) OVER (PARTITION BY price_cents) AS gmax,
+         MAX(qty) OVER (ORDER BY price_cents
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev
+  FROM t
+)
+SELECT l_orderkey, l_linenumber, price_cents, qty
+FROM g
+WHERE qty = gmax AND (prev IS NULL OR qty > prev)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: peak_concurrency — max number of simultaneously open 30-minute
+# view windows, the sweep-line shape (peak concurrent sessions /
+# connections).  Start/end deltas are pre-aggregated into UNIQUE
+# (time, delta) keys by one keyed exchange (so no tie group can span a
+# range boundary), range_sort orders the keys globally, each ordered
+# block reduces to ONE (min_key, rows, total, local_peak) summary row,
+# and the driver combines #blocks rows with an exclusive prefix sum —
+# the global running count never materializes anywhere.  Key encoding
+# t*2+(end:0|start:1) reproduces SQL's ORDER BY t, d (ends close
+# before starts open at the same instant; windows are half-open).
+# ---------------------------------------------------------------------------
+def q_peak_concurrency(sf_dir: str):
+    from pynomaly_ray.functions.exchange import range_sort
+
+    ev = _pq(sf_dir, "events", ["ts", "event_type"])
+    WIN_US = 30 * 60 * 1_000_000
+
+    def pts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = df.loc[df["event_type"] == "view", "ts"].astype("int64").to_numpy()
+        key = np.concatenate([s * 2 + 1, (s + WIN_US) * 2])
+        d = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(s), np.int64)]
+        )
+        g = (
+            pd.DataFrame({"key": key, "d": d})
+            .groupby("key", sort=False)["d"]
+            .sum()
+            .reset_index(name="dd")
+        )
+        return _from_pandas(g)
+
+    grouped = hash_aggregate(
+        ev.map_batches(pts, batch_format="pyarrow"),
+        ["key"],
+        lambda df: df.groupby("key", sort=False)["dd"].sum().reset_index(),
+    )
+    s = range_sort(grouped, "key", num_partitions=8)
+
+    def summary(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy()
+        dd = t["dd"].to_numpy()
+        if len(k) == 0:
+            return pa.table(
+                {
+                    "min_key": pa.array([], pa.int64()),
+                    "rows": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                    "local_peak": pa.array([], pa.int64()),
+                }
+            )
+        c = np.cumsum(dd)
+        return pa.table(
+            {
+                "min_key": pa.array([int(k[0])], pa.int64()),
+                "rows": pa.array([len(k)], pa.int64()),
+                "total": pa.array([int(c[-1])], pa.int64()),
+                "local_peak": pa.array([int(c.max())], pa.int64()),
+            }
+        )
+
+    summ = (
+        s.map_batches(summary, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("min_key")  # block order == key order (range_sort)
+    )
+    if summ.empty:
+        return pd.DataFrame(
+            {
+                "peak": pd.Series([0], dtype=np.int64),
+                "n_keys": pd.Series([0], dtype=np.int64),
+            }
+        )
+    off = summ["total"].cumsum().shift(1, fill_value=0).to_numpy()
+    peak = np.int64((summ["local_peak"].to_numpy() + off).max())
+    return pd.DataFrame(
+        {"peak": [peak], "n_keys": [np.int64(summ["rows"].sum())]}
+    )
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH v AS (SELECT ts FROM events WHERE event_type = 'view'),
+pts AS (
+  SELECT ts AS t, 1 AS d FROM v
+  UNION ALL
+  SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS d FROM v
+),
+g AS (SELECT t, d, SUM(d) AS dd FROM pts GROUP BY t, d),
+c AS (SELECT SUM(dd) OVER (ORDER BY t, d) AS conc FROM g)
+SELECT CAST(MAX(conc) AS BIGINT) AS peak,
+       CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_keys
+FROM c
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "lineitem_skyline": (q_lineitem_skyline, SQL_LINEITEM_SKYLINE),
+        "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
+    }
+)
