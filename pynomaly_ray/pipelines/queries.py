@@ -8650,3 +8650,175 @@ ORACLE_QUERIES.update(
         "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: hourly_gap_fill — dense time-spine zero-fill + centered 3-hour
+# window (the ops/monitoring shape: a moving window over a series WITH
+# its silent hours, which a plain groupby can never produce).  Hour
+# counts reduce through one keyed exchange; the dense spine is
+# TIME-bounded, not data-bounded (hours in range, independent of
+# corpus size), so reindex + window run on the driver over a result
+# whose size a 100-TB corpus cannot grow.  Window stays integer:
+# (sum3, n3), never a float average.
+# ---------------------------------------------------------------------------
+def q_hourly_gap_fill(sf_dir: str):
+    ev = _pq(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        h = (
+            df.loc[df["event_type"] == "click", "ts"].astype("int64")
+            // 3_600_000_000
+        )
+        g = h.value_counts().rename_axis("hour").reset_index(name="cnt")
+        return _from_pandas(g)
+
+    agg = hash_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["hour"],
+        lambda df: df.groupby("hour", sort=False)["cnt"].sum().reset_index(),
+    )
+    df = agg.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "hour": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64),
+                "sum3": pd.Series([], dtype=np.int64),
+                "n3": pd.Series([], dtype=np.int64),
+            }
+        )
+    spine = np.arange(df["hour"].min(), df["hour"].max() + 1, dtype=np.int64)
+    cnt = (
+        df.set_index("hour")["cnt"]
+        .reindex(spine, fill_value=0)
+        .to_numpy(np.int64)
+    )
+    c = np.r_[np.int64(0), np.cumsum(cnt)]
+    n = len(cnt)
+    lo = np.maximum(np.arange(n) - 1, 0)
+    hi = np.minimum(np.arange(n) + 2, n)
+    return pd.DataFrame(
+        {
+            "hour": spine,
+            "cnt": cnt,
+            "sum3": (c[hi] - c[lo]).astype(np.int64),
+            "n3": (hi - lo).astype(np.int64),
+        }
+    )
+
+
+SQL_HOURLY_GAP_FILL = """
+WITH h AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+         COUNT(*) AS cnt
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+spine AS (
+  SELECT UNNEST(generate_series((SELECT MIN(hour) FROM h),
+                                (SELECT MAX(hour) FROM h))) AS hour
+),
+f AS (
+  SELECT s.hour, COALESCE(h.cnt, 0) AS cnt
+  FROM spine s LEFT JOIN h ON h.hour = s.hour
+)
+SELECT hour, CAST(cnt AS BIGINT) AS cnt,
+       CAST(SUM(cnt) OVER (ORDER BY hour
+                           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+            AS BIGINT) AS sum3,
+       CAST(COUNT(*) OVER (ORDER BY hour
+                           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+            AS BIGINT) AS n3
+FROM f ORDER BY hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: attribution_last_touch — per purchase, the LAST click by the same
+# user within a 2-hour lookback (streaming ad-attribution shape).  One
+# user-keyed asof_join (backward, exact-match allowed) finds the latest
+# click <= purchase time; the window constraint is a vectorized
+# post-filter — the latest click either IS the in-window maximum or no
+# in-window click exists, so asof + filter equals the windowed MAX
+# aggregate exactly.  Emitting the matched TIME (not a click id) keeps
+# the result tie-insensitive when several clicks share a timestamp.
+# ---------------------------------------------------------------------------
+def q_attribution_last_touch(sf_dir: str):
+    from pynomaly_ray.functions.exchange import asof_join
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    LOOKBACK_US = 2 * 3600 * 1_000_000
+
+    def purchases(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"] == "purchase"]
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(),
+                    "event_id": df["event_id"].to_numpy(),
+                    "p_us": df["ts"].astype("int64").to_numpy(),
+                }
+            )
+        )
+
+    def clicks(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"] == "click"]
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(),
+                    "c_us": df["ts"].astype("int64").to_numpy(),
+                }
+            )
+        )
+
+    joined = asof_join(
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        by="user_id",
+        left_on="p_us",
+        right_on="c_us",
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = df["c_us"].to_numpy() > df["p_us"].to_numpy() - LOOKBACK_US
+        df = df.loc[keep]
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": df["event_id"].to_numpy(np.int64),
+                    "user_id": df["user_id"].to_numpy(np.int64),
+                    "click_us": df["c_us"].to_numpy(np.int64),
+                }
+            )
+        )
+
+    out = joined.map_batches(window, batch_format="pyarrow")
+    return collect_sorted(out, ["event_id"])
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       CAST(epoch_us(MAX(c.ts)) AS BIGINT) AS click_us
+FROM p JOIN c ON c.user_id = p.user_id
+              AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 2 HOUR
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "hourly_gap_fill": (q_hourly_gap_fill, SQL_HOURLY_GAP_FILL),
+        "attribution_last_touch": (
+            q_attribution_last_touch,
+            SQL_ATTRIBUTION_LAST_TOUCH,
+        ),
+    }
+)
