@@ -8822,3 +8822,87 @@ ORACLE_QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: bucketed_segment_counts — join through the PERSISTED sort-merge-
+# bucket layout (sources/bucketed.py): orders and customer are each
+# written once into custkey-hash bucket directories, then the join runs
+# ONE task per bucket over bucket-aligned files with zero shuffle —
+# the repeated-join path a 100-TB pipeline takes when the same key is
+# joined on across many jobs.  The per-bucket merge collapses straight
+# to per-segment partials, so the join output never materializes.
+# ---------------------------------------------------------------------------
+def q_bucketed_segment_counts(sf_dir: str):
+    import shutil
+    import tempfile
+
+    from pynomaly_ray.sources.bucketed import bucketed_join, write_bucketed
+
+    root = tempfile.mkdtemp(prefix="pnr-smb-", dir="/tmp")
+    try:
+        orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+        def ord_slim(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "cents": pa.array(
+                        _cents(t["o_totalprice"].to_numpy()), pa.int64()
+                    ),
+                }
+            )
+
+        cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        write_bucketed(
+            orders.map_batches(ord_slim, batch_format="pyarrow"),
+            ["o_custkey"],
+            8,
+            os.path.join(root, "orders"),
+        )
+        write_bucketed(
+            cust, ["c_custkey"], 8, os.path.join(root, "customer")
+        )
+
+        def per_segment(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.groupby("c_mktsegment", sort=False)
+                .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+                .reset_index()
+            )
+
+        joined = bucketed_join(
+            os.path.join(root, "orders"),
+            os.path.join(root, "customer"),
+            merge_fn=per_segment,
+        )
+        out = hash_aggregate(
+            joined,
+            ["c_mktsegment"],
+            lambda df: df.groupby("c_mktsegment", sort=False)
+            .sum()
+            .reset_index(),
+        )
+        df = out.to_pandas()
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        df["sum_cents"] = df["sum_cents"].astype(np.int64)
+        return collect_sorted(df, ["c_mktsegment"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_BUCKETED_SEGMENT_COUNTS = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+ORACLE_QUERIES["bucketed_segment_counts"] = (
+    q_bucketed_segment_counts,
+    SQL_BUCKETED_SEGMENT_COUNTS,
+)
