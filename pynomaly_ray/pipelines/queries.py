@@ -8906,3 +8906,129 @@ ORACLE_QUERIES["bucketed_segment_counts"] = (
     q_bucketed_segment_counts,
     SQL_BUCKETED_SEGMENT_COUNTS,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: bag_difference — EXCEPT ALL with multiplicities (bag semantics):
+# occurrences of each user in 'click' events minus occurrences in
+# 'error' events, keeping users with positive remainder.  Pure count
+# arithmetic: map-side per-(user,type) partials, ONE user-keyed
+# exchange merges both sides, and the bag difference is a vectorized
+# subtraction inside the reducer — the row-explosion EXCEPT ALL would
+# imply never exists anywhere.
+# ---------------------------------------------------------------------------
+def q_bag_difference(sf_dir: str):
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(["click", "error"])]
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        pos = g["event_type"].to_numpy() == "click"
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].to_numpy(),
+                    "clicks": np.where(pos, g["c"].to_numpy(), 0),
+                    "errors": np.where(pos, 0, g["c"].to_numpy()),
+                }
+            )
+        )
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).sum().reset_index()
+        g["mult"] = g["clicks"].to_numpy() - g["errors"].to_numpy()
+        g = g[(g["mult"] > 0) & (g["clicks"] > 0)]
+        return g[["user_id", "mult"]]
+
+    out = hash_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"), ["user_id"], diff
+    )
+    df = out.to_pandas()
+    df["mult"] = df["mult"].astype(np.int64)
+    return collect_sorted(df, ["user_id"])
+
+
+SQL_BAG_DIFFERENCE = """
+WITH l AS (SELECT user_id, COUNT(*) AS c FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+r AS (SELECT user_id, COUNT(*) AS c FROM events
+      WHERE event_type = 'error' GROUP BY 1)
+SELECT l.user_id, CAST(l.c - COALESCE(r.c, 0) AS BIGINT) AS mult
+FROM l LEFT JOIN r USING (user_id)
+WHERE l.c - COALESCE(r.c, 0) > 0
+ORDER BY l.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top_values_with_ties — per-group top-2 by DENSE_RANK over a coarse
+# value band, ALL tied rows kept (WITH TIES semantics: result size is
+# data-dependent, unlike row_number top-k).  Map-side pre-filter: a
+# block can only contribute rows in its own top-2 bands, so the
+# exchange moves a band-bounded subset; the reducer re-ranks exactly.
+# ---------------------------------------------------------------------------
+def q_top_values_with_ties(sf_dir: str):
+    ev = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["band"] = np.floor(df["value"].to_numpy() / 100.0).astype(np.int64)
+        # local top-2 DISTINCT bands per type bound what the exchange
+        # moves (any row in the global top-2 bands survives: two higher
+        # distinct bands in its own block would imply global rank >= 3)
+        top2 = (
+            df.groupby("event_type", sort=False)["band"]
+            .apply(
+                lambda s: s.drop_duplicates().nlargest(2).min()
+                if len(s)
+                else 0
+            )
+            .rename("cut")
+        )
+        df = df.join(top2, on="event_type")
+        df = df[df["band"] >= df["cut"]]
+        return _from_pandas(df[["event_id", "event_type", "band"]])
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.groupby("event_type", sort=False)["band"].rank(
+            method="dense", ascending=False
+        )
+        return df[r <= 2]
+
+    out = hash_aggregate(
+        ev.map_batches(pre, batch_format="pyarrow"), ["event_type"], rank
+    )
+    df = out.to_pandas()
+    df["band"] = df["band"].astype(np.int64)
+    return collect_sorted(
+        df[["event_type", "event_id", "band"]], ["event_type", "event_id"]
+    )
+
+
+SQL_TOP_VALUES_WITH_TIES = """
+SELECT event_type, event_id, band FROM (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value / 100) AS BIGINT) AS band,
+         DENSE_RANK() OVER (PARTITION BY event_type
+                            ORDER BY CAST(FLOOR(value / 100) AS BIGINT) DESC)
+             AS rk
+  FROM events)
+WHERE rk <= 2
+ORDER BY event_type, event_id
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "bag_difference": (q_bag_difference, SQL_BAG_DIFFERENCE),
+        "top_values_with_ties": (
+            q_top_values_with_ties,
+            SQL_TOP_VALUES_WITH_TIES,
+        ),
+    }
+)
