@@ -9032,3 +9032,85 @@ ORACLE_QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: event_pattern_matches — CEP / MATCH_RECOGNIZE shape: count
+# click->(view|error)*->purchase pattern occurrences in each user's
+# time-ordered event sequence.  One user-keyed exchange co-locates each
+# user's history; the reducer sorts the bucket ONCE (whole-bucket
+# lexsort, not per user), slices each user's initials out of a single
+# contiguous bytes buffer, and runs ONE precompiled regex per user —
+# per-user work is the operator's semantics (a pattern over an ordered
+# sequence), not an avoidable row loop.  Pattern class excludes the
+# terminator, so greedy (Python re) and RE2 (DuckDB) agree exactly.
+# ---------------------------------------------------------------------------
+def q_event_pattern_matches(sf_dir: str):
+    import re as _re
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(),
+                    "ts_us": df["ts"].astype("int64").to_numpy(),
+                    "event_id": df["event_id"].to_numpy(),
+                    "i": df["event_type"].str.slice(0, 1),
+                }
+            )
+        )
+
+    pat = _re.compile(rb"c[ve]*p")
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        buf = "".join(df["i"]).encode("ascii")  # one contiguous bytes
+        new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(u)]
+        users, matches, counts = [], [], []
+        for s, e in zip(starts, ends):
+            m = len(pat.findall(buf[s:e]))
+            if m:
+                users.append(u[s])
+                matches.append(m)
+                counts.append(e - s)
+        return pd.DataFrame(
+            {
+                "user_id": np.array(users, dtype=np.int64),
+                "n_matches": np.array(matches, dtype=np.int64),
+                "n_events": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    out = hash_aggregate(
+        ev.map_batches(pre, batch_format="pyarrow"), ["user_id"], match
+    )
+    return collect_sorted(out, ["user_id"])
+
+
+SQL_EVENT_PATTERN_MATCHES = """
+WITH o AS (
+  SELECT user_id, substr(event_type, 1, 1) AS i, ts, event_id FROM events
+),
+s AS (
+  SELECT user_id, string_agg(i, '' ORDER BY ts, event_id) AS seq,
+         COUNT(*) AS n_events
+  FROM o GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, 'c[ve]*p')) AS BIGINT) AS n_matches,
+       CAST(n_events AS BIGINT) AS n_events
+FROM s WHERE len(regexp_extract_all(seq, 'c[ve]*p')) > 0
+ORDER BY user_id
+"""
+
+
+ORACLE_QUERIES["event_pattern_matches"] = (
+    q_event_pattern_matches,
+    SQL_EVENT_PATTERN_MATCHES,
+)
