@@ -159,3 +159,34 @@ def bucketed_join(
 
     ids = rd.from_items([{"bucket": i} for i in range(p)])
     return ids.map_batches(join_bucket, batch_format="pyarrow", batch_size=1)
+
+
+def bucketed_aggregate(
+    path: str,
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+):
+    """Shuffle-free grouped aggregate over a bucketed layout.
+
+    Every occurrence of a key lives in exactly one bucket (that is what
+    the layout paid its one exchange for), so a per-bucket ``merge_fn``
+    (e.g. ``df.groupby(keys).sum()``) is globally exact with ZERO data
+    movement — the repeated-aggregate twin of :func:`bucketed_join`.
+    Returns a ray.data.Dataset of the merged rows, one task per bucket.
+    """
+    m = load_manifest(path)
+    schema = _bucket_schema(m)
+    p = m["num_buckets"]
+
+    def agg_bucket(t: pa.Table) -> pa.Table:
+        outs = []
+        for i in t["bucket"].to_pylist():
+            df = _read_bucket(path, i, schema).to_pandas()
+            outs.append(
+                pa.Table.from_pandas(
+                    merge_fn(df), preserve_index=False
+                ).replace_schema_metadata(None)
+            )
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    ids = rd.from_items([{"bucket": i} for i in range(p)])
+    return ids.map_batches(agg_bucket, batch_format="pyarrow", batch_size=1)

@@ -159,3 +159,24 @@ def test_peak_concurrency_tiny_exact(ray_session, tmp_path, monkeypatch):
     out = q_peak_concurrency(str(tmp_path))
     assert int(out["peak"].iloc[0]) == 3
     assert int(out["n_keys"].iloc[0]) == 8
+
+
+def test_bucketed_aggregate_matches_pandas(ray_session, tmp_path):
+    from pynomaly_ray.sources.bucketed import bucketed_aggregate, write_bucketed
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 25, 400), "v": rng.integers(0, 100, 400)}
+    )
+    write_bucketed(_mkds(df, 4), ["k"], 6, str(tmp_path / "t"))
+    got = (
+        bucketed_aggregate(
+            str(tmp_path / "t"),
+            lambda d: d.groupby("k", sort=False)["v"].sum().reset_index(),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = df.groupby("k")["v"].sum().reset_index()
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
