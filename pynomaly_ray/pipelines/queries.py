@@ -9114,3 +9114,182 @@ ORACLE_QUERIES["event_pattern_matches"] = (
     q_event_pattern_matches,
     SQL_EVENT_PATTERN_MATCHES,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: cheapest_supplier_per_part — TPC-H Q2 shape (min-cost supplier
+# correlated subquery): for every part, the cheapest region-1 shipment
+# and the smallest supplier key achieving it.  Two-level argmin with a
+# deterministic tiebreak chain: each block lexsorts (part, price, supp)
+# and keeps first-per-part, ONE partkey-keyed exchange repeats the same
+# reduction — the MIN-equality join never happens; no task sees more
+# than its bucket.  Region membership rides a dense suppkey-indexed
+# broadcast, so out-of-region rows die at the scan.
+# ---------------------------------------------------------------------------
+def q_cheapest_supplier_per_part(sf_dir: str):
+    import pyarrow.parquet as papq
+
+    supp = papq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    nat = papq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    region_of = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist())
+    )
+    sk = supp["s_suppkey"].to_numpy()
+    in_region = np.zeros(int(sk.max()) + 1, dtype=bool)
+    in_region[sk] = (
+        np.array([region_of[n] for n in supp["s_nationkey"].to_pylist()]) == 1
+    )
+
+    li = _pq(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+
+    def argmin_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["l_partkey", "best_cents", "s_suppkey"], kind="mergesort"
+        )
+        first = np.r_[
+            True,
+            df["l_partkey"].to_numpy()[1:] != df["l_partkey"].to_numpy()[:-1],
+        ]
+        return df[first]
+
+    def block_min(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": t["l_partkey"].to_numpy(),
+                "s_suppkey": t["l_suppkey"].to_numpy(),
+                "best_cents": _cents(t["l_extendedprice"].to_numpy()),
+            }
+        )
+        df = df[in_region[df["s_suppkey"].to_numpy()]]
+        return _from_pandas(argmin_rows(df))
+
+    out = hash_aggregate(
+        li.map_batches(block_min, batch_format="pyarrow"),
+        ["l_partkey"],
+        argmin_rows,
+    )
+    df = out.to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return collect_sorted(
+        df[["l_partkey", "s_suppkey", "best_cents"]], ["l_partkey"]
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = """
+WITH li AS (
+  SELECT l_partkey,
+         l_suppkey,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_regionkey = 1
+),
+m AS (SELECT l_partkey, MIN(price_cents) AS best_cents FROM li GROUP BY 1)
+SELECT li.l_partkey,
+       CAST(MIN(li.l_suppkey) AS BIGINT) AS s_suppkey,
+       m.best_cents
+FROM li JOIN m ON li.l_partkey = m.l_partkey
+             AND li.price_cents = m.best_cents
+GROUP BY li.l_partkey, m.best_cents
+ORDER BY li.l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: schema_evolution_union — UNION ALL BY NAME across two snapshots
+# with DIFFERENT column sets (the lake schema-evolution shape: an old
+# partition lacks a column added later).  Each read maps to the
+# superset schema (absent column null/sentinel-filled) before
+# Dataset.union, and the unioned stream aggregates per priority —
+# proving downstream operators are insensitive to which snapshot a row
+# came from.
+# ---------------------------------------------------------------------------
+def q_schema_evolution_union(sf_dir: str):
+    old = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    new = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def old_shape(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["o_orderkey"].to_numpy() % 2 == 0]
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "priority": np.full(len(df), "legacy", dtype=object),
+                    "cents": _cents(df["o_totalprice"].to_numpy()),
+                }
+            )
+        )
+
+    def new_shape(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["o_orderkey"].to_numpy() % 2 == 1]
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "priority": df["o_orderpriority"].to_numpy(),
+                    "cents": np.zeros(len(df), dtype=np.int64),
+                }
+            )
+        )
+
+    unioned = old.map_batches(old_shape, batch_format="pyarrow").union(
+        new.map_batches(new_shape, batch_format="pyarrow")
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby("priority", sort=False)
+            .agg(n=("cents", "size"), sum_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return _from_pandas(g)
+
+    out = hash_aggregate(
+        unioned.map_batches(partial, batch_format="pyarrow"),
+        ["priority"],
+        lambda df: df.groupby("priority", sort=False).sum().reset_index(),
+    )
+    df = out.to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    df["sum_cents"] = df["sum_cents"].astype(np.int64)
+    return collect_sorted(df, ["priority"])
+
+
+SQL_SCHEMA_EVOLUTION_UNION = """
+WITH u AS (
+  SELECT 'legacy' AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderpriority AS priority, 0 AS cents
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM u GROUP BY priority ORDER BY priority
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "cheapest_supplier_per_part": (
+            q_cheapest_supplier_per_part,
+            SQL_CHEAPEST_SUPPLIER_PER_PART,
+        ),
+        "schema_evolution_union": (
+            q_schema_evolution_union,
+            SQL_SCHEMA_EVOLUTION_UNION,
+        ),
+    }
+)
