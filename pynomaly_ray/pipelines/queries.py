@@ -8744,7 +8744,7 @@ FROM f ORDER BY hour
 # aggregate exactly.  Emitting the matched TIME (not a click id) keeps
 # the result tie-insensitive when several clicks share a timestamp.
 # ---------------------------------------------------------------------------
-def q_attribution_last_touch(sf_dir: str):
+def q_attribution_last_touch(sf_dir: str, as_dataset: bool = False):
     from pynomaly_ray.functions.exchange import asof_join
 
     ev = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
@@ -8798,6 +8798,11 @@ def q_attribution_last_touch(sf_dir: str):
         )
 
     out = joined.map_batches(window, batch_format="pyarrow")
+    if as_dataset:
+        # purchase-sized result: at corpus scale it streams straight to
+        # write_parquet/iter_batches; the collect below exists only for
+        # the oracle harness's value hash
+        return out
     return collect_sorted(out, ["event_id"])
 
 
@@ -8917,7 +8922,7 @@ ORACLE_QUERIES["bucketed_segment_counts"] = (
 # subtraction inside the reducer — the row-explosion EXCEPT ALL would
 # imply never exists anywhere.
 # ---------------------------------------------------------------------------
-def q_bag_difference(sf_dir: str):
+def q_bag_difference(sf_dir: str, as_dataset: bool = False):
     ev = _pq(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -8948,6 +8953,8 @@ def q_bag_difference(sf_dir: str):
     out = hash_aggregate(
         ev.map_batches(partial, batch_format="pyarrow"), ["user_id"], diff
     )
+    if as_dataset:
+        return out  # user-sized result: stream it at corpus scale
     df = out.to_pandas()
     df["mult"] = df["mult"].astype(np.int64)
     return collect_sorted(df, ["user_id"])
@@ -8972,7 +8979,7 @@ ORDER BY l.user_id
 # block can only contribute rows in its own top-2 bands, so the
 # exchange moves a band-bounded subset; the reducer re-ranks exactly.
 # ---------------------------------------------------------------------------
-def q_top_values_with_ties(sf_dir: str):
+def q_top_values_with_ties(sf_dir: str, as_dataset: bool = False):
     ev = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def pre(t: pa.Table) -> pa.Table:
@@ -9003,6 +9010,8 @@ def q_top_values_with_ties(sf_dir: str):
     out = hash_aggregate(
         ev.map_batches(pre, batch_format="pyarrow"), ["event_type"], rank
     )
+    if as_dataset:
+        return out  # WITH TIES output is data-dependent: stream it
     df = out.to_pandas()
     df["band"] = df["band"].astype(np.int64)
     return collect_sorted(
@@ -9045,7 +9054,7 @@ ORACLE_QUERIES.update(
 # sequence), not an avoidable row loop.  Pattern class excludes the
 # terminator, so greedy (Python re) and RE2 (DuckDB) agree exactly.
 # ---------------------------------------------------------------------------
-def q_event_pattern_matches(sf_dir: str):
+def q_event_pattern_matches(sf_dir: str, as_dataset: bool = False):
     import re as _re
 
     ev = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
@@ -9090,6 +9099,8 @@ def q_event_pattern_matches(sf_dir: str):
     out = hash_aggregate(
         ev.map_batches(pre, batch_format="pyarrow"), ["user_id"], match
     )
+    if as_dataset:
+        return out  # user-sized result: stream it at corpus scale
     return collect_sorted(out, ["user_id"])
 
 
@@ -9126,7 +9137,7 @@ ORACLE_QUERIES["event_pattern_matches"] = (
 # than its bucket.  Region membership rides a dense suppkey-indexed
 # broadcast, so out-of-region rows die at the scan.
 # ---------------------------------------------------------------------------
-def q_cheapest_supplier_per_part(sf_dir: str):
+def q_cheapest_supplier_per_part(sf_dir: str, as_dataset: bool = False):
     import pyarrow.parquet as papq
 
     supp = papq.read_table(
@@ -9176,6 +9187,8 @@ def q_cheapest_supplier_per_part(sf_dir: str):
         ["l_partkey"],
         argmin_rows,
     )
+    if as_dataset:
+        return out  # part-sized result: stream it at corpus scale
     df = out.to_pandas()
     for c in df.columns:
         df[c] = df[c].astype(np.int64)
