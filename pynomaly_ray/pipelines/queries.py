@@ -9306,3 +9306,77 @@ ORACLE_QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: promo_revenue_share — TPC-H Q14 shape (promotion revenue share)
+# per shipping year, kept EXACT: the numerator (PROMO-part revenue) and
+# denominator (all revenue) ship as integer-cents partials — the ratio
+# is the caller's one float, never the engine's.  Part type rides the
+# same dense partkey-indexed broadcast as disjunctive_revenue; one
+# (year, promo_cents, total_cents) partial row per batch, tiny final
+# exchange on year.
+# ---------------------------------------------------------------------------
+def q_promo_revenue_share(sf_dir: str):
+    import pyarrow.parquet as papq
+
+    part = papq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = part["p_partkey"].to_numpy()
+    is_promo = np.zeros(int(pk.max()) + 1, dtype=bool)
+    is_promo[pk] = np.asarray(part["p_type"]) == "PROMO"
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rev = _cents(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+        )
+        year = df["l_shipdate"].dt.year.to_numpy(np.int64)
+        promo = is_promo[df["l_partkey"].to_numpy()]
+        g = pd.DataFrame(
+            {
+                "l_year": year,
+                "promo_cents": np.where(promo, rev, 0),
+                "total_cents": rev,
+            }
+        )
+        return _from_pandas(
+            g.groupby("l_year", sort=False).sum().reset_index()
+        )
+
+    out = hash_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_year"],
+        lambda df: df.groupby("l_year", sort=False).sum().reset_index(),
+    )
+    df = out.to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return collect_sorted(df, ["l_year"])
+
+
+SQL_PROMO_REVENUE_SHARE = """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_QUERIES["promo_revenue_share"] = (
+    q_promo_revenue_share,
+    SQL_PROMO_REVENUE_SHARE,
+)

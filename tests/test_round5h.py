@@ -1,7 +1,6 @@
 """Wave-15 surfaces: SMB bucketed layout, skyline, sweep-line, and the
 new TPC-H shapes' edge semantics."""
 
-import json
 import os
 
 import numpy as np
