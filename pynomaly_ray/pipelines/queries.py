@@ -9380,3 +9380,153 @@ ORACLE_QUERIES["promo_revenue_share"] = (
     q_promo_revenue_share,
     SQL_PROMO_REVENUE_SHARE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: market_share — TPC-H Q8 shape (nation market share): NATION_3
+# suppliers' share of STANDARD-part revenue sold to region-1 customers,
+# per order year — kept exact as (nation_cents, total_cents) integer
+# pairs.  Composition of the engine's two decoration modes: part-type
+# and supplier-nation ride dense broadcasts at the scan (non-STANDARD
+# rows die immediately), the customer region arrives through the
+# orderkey -> custkey exchange chain, every join collapsing to
+# (year, num, den) partials in its bucket.
+# ---------------------------------------------------------------------------
+def q_market_share(sf_dir: str):
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.functions.exchange import hash_join
+
+    part = papq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = part["p_partkey"].to_numpy()
+    is_std = np.zeros(int(pk.max()) + 1, dtype=bool)
+    is_std[pk] = np.asarray(part["p_type"]) == "STANDARD"
+
+    supp = papq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    sk = supp["s_suppkey"].to_numpy()
+    is_n3 = np.zeros(int(sk.max()) + 1, dtype=bool)
+    is_n3[sk] = supp["s_nationkey"].to_numpy() == 3
+
+    nat = papq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    region_of = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist())
+    )
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = is_std[df["l_partkey"].to_numpy()]
+        df = df.loc[keep]
+        rev = _cents(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+        )
+        n3 = is_n3[df["l_suppkey"].to_numpy()]
+        g = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "nation_cents": np.where(n3, rev, 0),
+                "total_cents": rev,
+            }
+        )
+        return _from_pandas(
+            g.groupby("l_orderkey", sort=False).sum().reset_index()
+        )
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _from_pandas(
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["o_orderkey"].to_numpy(),
+                    "o_custkey": df["o_custkey"].to_numpy(),
+                    "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64),
+                }
+            )
+        )
+
+    def collapse1(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["o_custkey", "o_year"], sort=False)[
+                ["nation_cents", "total_cents"]
+            ]
+            .sum()
+            .reset_index()
+        )
+
+    stage1 = hash_join(
+        li.map_batches(li_slim, batch_format="pyarrow"),
+        orders.map_batches(ord_slim, batch_format="pyarrow"),
+        ["l_orderkey"],
+        merge_fn=collapse1,
+    )
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        reg = df["c_nationkey"].map(region_of).to_numpy()
+        return _from_pandas(
+            pd.DataFrame(
+                {"o_custkey": df["c_custkey"].to_numpy()[reg == 1]}
+            )
+        )
+
+    def collapse2(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("o_year", sort=False)[["nation_cents", "total_cents"]]
+            .sum()
+            .reset_index()
+        )
+
+    stage2 = hash_join(
+        stage1,
+        cust.map_batches(cust_slim, batch_format="pyarrow"),
+        ["o_custkey"],
+        merge_fn=collapse2,
+    )
+    out = hash_aggregate(
+        stage2,
+        ["o_year"],
+        lambda df: df.groupby("o_year", sort=False).sum().reset_index(),
+    )
+    df = out.to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return collect_sorted(df, ["o_year"])
+
+
+SQL_MARKET_SHARE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN s_nationkey = 3
+                THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey AND cn.n_regionkey = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_QUERIES["market_share"] = (q_market_share, SQL_MARKET_SHARE)
