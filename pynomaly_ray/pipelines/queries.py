@@ -8610,18 +8610,17 @@ def q_peak_concurrency(sf_dir: str):
             }
         )
 
-    summ = (
-        s.map_batches(summary, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("min_key")  # block order == key order (range_sort)
-    )
-    if summ.empty:
+    summ = s.map_batches(summary, batch_format="pyarrow").to_pandas()
+    # zero view events: Ray skips map fns on 0-row blocks, so the empty
+    # summary frame can arrive COLUMNLESS — check before touching min_key
+    if summ.empty or "min_key" not in summ.columns:
         return pd.DataFrame(
             {
                 "peak": pd.Series([0], dtype=np.int64),
                 "n_keys": pd.Series([0], dtype=np.int64),
             }
         )
+    summ = summ.sort_values("min_key")  # block order == key order
     off = summ["total"].cumsum().shift(1, fill_value=0).to_numpy()
     peak = np.int64((summ["local_peak"].to_numpy() + off).max())
     return pd.DataFrame(
