@@ -8013,6 +8013,22 @@ ORDER BY user_id
 ORACLE_QUERIES["cdc_merge"] = (q_cdc_merge, SQL_CDC_MERGE)
 
 
+
+def _typed_empty(cols) -> pd.DataFrame:
+    """Empty result with the declared int64/object columns — used when a
+    filter leaves nothing and Ray's skipped-on-empty maps drop the
+    schema entirely."""
+    return pd.DataFrame(
+        {
+            c: pd.Series([], dtype=(object if c in _STR_COLS else np.int64))
+            for c in cols
+        }
+    )
+
+
+_STR_COLS = {"priority", "event_type", "supp_nation", "cust_nation", "s_name"}
+
+
 # ---------------------------------------------------------------------------
 # Q: lonely_late_supplier — TPC-H Q21 shape (suppliers who kept orders
 # waiting): the hardest TPC-H correlation — an EXISTS (another supplier
@@ -8434,6 +8450,8 @@ def q_nation_pair_volume(sf_dir: str):
         .reset_index(),
     )
     df = out.to_pandas()
+    if not len(df) or "supp_nk" not in df.columns:
+        return _typed_empty(["supp_nation", "cust_nation", "l_year", "rev_cents"])
     res = pd.DataFrame(
         {
             "supp_nation": df["supp_nk"].map(n_name),
@@ -8521,6 +8539,10 @@ def q_lineitem_skyline(sf_dir: str):
         return _from_pandas(_pareto_front(df))
 
     cands = li.map_batches(local_front, batch_format="pyarrow").to_pandas()
+    if not len(cands) or "price_cents" not in cands.columns:
+        return _typed_empty(
+            ["l_orderkey", "l_linenumber", "price_cents", "qty"]
+        )
     front = _pareto_front(cands)
     front = front[["l_orderkey", "l_linenumber", "price_cents", "qty"]]
     return collect_sorted(front, ["l_orderkey", "l_linenumber"])
@@ -8955,6 +8977,8 @@ def q_bag_difference(sf_dir: str, as_dataset: bool = False):
     if as_dataset:
         return out  # user-sized result: stream it at corpus scale
     df = out.to_pandas()
+    if not len(df) or "mult" not in df.columns:
+        return _typed_empty(["user_id", "mult"])
     df["mult"] = df["mult"].astype(np.int64)
     return collect_sorted(df, ["user_id"])
 
@@ -9012,6 +9036,8 @@ def q_top_values_with_ties(sf_dir: str, as_dataset: bool = False):
     if as_dataset:
         return out  # WITH TIES output is data-dependent: stream it
     df = out.to_pandas()
+    if not len(df) or "band" not in df.columns:
+        return _typed_empty(["event_type", "event_id", "band"])
     df["band"] = df["band"].astype(np.int64)
     return collect_sorted(
         df[["event_type", "event_id", "band"]], ["event_type", "event_id"]
@@ -9189,6 +9215,8 @@ def q_cheapest_supplier_per_part(sf_dir: str, as_dataset: bool = False):
     if as_dataset:
         return out  # part-sized result: stream it at corpus scale
     df = out.to_pandas()
+    if not len(df) or "l_partkey" not in df.columns:
+        return _typed_empty(["l_partkey", "s_suppkey", "best_cents"])
     for c in df.columns:
         df[c] = df[c].astype(np.int64)
     return collect_sorted(
@@ -9273,6 +9301,8 @@ def q_schema_evolution_union(sf_dir: str):
         lambda df: df.groupby("priority", sort=False).sum().reset_index(),
     )
     df = out.to_pandas()
+    if not len(df) or "n" not in df.columns:
+        return _typed_empty(["priority", "n", "sum_cents"])
     df["n"] = df["n"].astype(np.int64)
     df["sum_cents"] = df["sum_cents"].astype(np.int64)
     return collect_sorted(df, ["priority"])
@@ -9357,6 +9387,8 @@ def q_promo_revenue_share(sf_dir: str):
         lambda df: df.groupby("l_year", sort=False).sum().reset_index(),
     )
     df = out.to_pandas()
+    if not len(df) or "l_year" not in df.columns:
+        return _typed_empty(["l_year", "promo_cents", "total_cents"])
     for c in df.columns:
         df[c] = df[c].astype(np.int64)
     return collect_sorted(df, ["l_year"])
@@ -9505,6 +9537,8 @@ def q_market_share(sf_dir: str):
         lambda df: df.groupby("o_year", sort=False).sum().reset_index(),
     )
     df = out.to_pandas()
+    if not len(df) or "o_year" not in df.columns:
+        return _typed_empty(["o_year", "nation_cents", "total_cents"])
     for c in df.columns:
         df[c] = df[c].astype(np.int64)
     return collect_sorted(df, ["o_year"])

@@ -217,3 +217,37 @@ def test_hourly_gap_fill_spine_is_dense(ray_session, tmp_path):
     assert np.all(np.diff(out["hour"].to_numpy()) == 1)
     assert out["sum3"].tolist() == [1, 1, 0, 0, 1, 1]
     assert out["n3"].tolist() == [2, 3, 3, 3, 3, 2]
+
+
+def test_new_queries_empty_corpus_typed(ray_session, tmp_path):
+    """A corpus whose filters leave nothing must yield typed empties,
+    not KeyErrors from Ray's skipped-on-empty schemaless blocks."""
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.pipelines.queries import (
+        q_bag_difference,
+        q_top_values_with_ties,
+    )
+
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype=np.int64),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype=np.int64),
+            "event_type": pd.Series([], dtype=object),
+            "value": pd.Series([], dtype=np.float64),
+            "props": pd.Series([], dtype=object),
+        }
+    )
+    papq.write_table(
+        pa.Table.from_pandas(ev, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_bag_difference(str(tmp_path))
+    assert len(out) == 0 and list(out.columns) == ["user_id", "mult"]
+    out = q_top_values_with_ties(str(tmp_path))
+    assert len(out) == 0 and list(out.columns) == [
+        "event_type",
+        "event_id",
+        "band",
+    ]
