@@ -190,3 +190,51 @@ def bucketed_aggregate(
 
     ids = rd.from_items([{"bucket": i} for i in range(p)])
     return ids.map_batches(agg_bucket, batch_format="pyarrow", batch_size=1)
+
+
+def bucketed_join_live(
+    ds,
+    path: str,
+    live_keys: Sequence[str],
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    how: str = "inner",
+):
+    """Join a LIVE Dataset against a persisted layout — only the live
+    side moves.
+
+    The production increment shape: today's delta joins yesterday's
+    master layout without rewriting it.  The live side pays one keyed
+    exchange at the layout's bucket count (same ``_bucket_of`` hash, so
+    co-location is guaranteed); each reducer then reads its OWN bucket's
+    persisted file locally and merges — the persisted side is never
+    shuffled, never re-read outside its bucket.  ``live_keys`` match the
+    layout's key columns positionally (pd.merge left_on/right_on).
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    m = load_manifest(path)
+    schema = _bucket_schema(m)
+    p = m["num_buckets"]
+    live_keys = list(live_keys)
+    if len(live_keys) != len(m["key_cols"]):
+        raise ValueError("key width mismatch with the bucketed layout")
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.iloc[:0]
+        i = int(
+            _bucket_of(
+                pa.Table.from_pandas(
+                    df.iloc[:1], preserve_index=False
+                ),
+                live_keys,
+                p,
+            )[0]
+        )
+        right = _read_bucket(path, i, schema).to_pandas()
+        out = df.merge(
+            right, left_on=live_keys, right_on=m["key_cols"], how=how
+        )
+        return merge_fn(out) if merge_fn is not None else out
+
+    return hash_aggregate(ds, live_keys, join_bucket, num_partitions=p)

@@ -201,3 +201,32 @@ def test_as_dataset_variants_stream_to_parquet(ray_session, tmp_path):
         got = pd.read_parquet(out)
         want = fn(sf)
         assert len(got) == len(want)
+
+
+def test_bucketed_join_live_matches_pandas(ray_session, tmp_path):
+    """A live delta joins the persisted layout without the layout
+    moving; result equals a plain pandas merge."""
+    from pynomaly_ray.sources.bucketed import bucketed_join_live, write_bucketed
+
+    rng = np.random.default_rng(19)
+    master = pd.DataFrame(
+        {"k": rng.integers(0, 50, 300), "w": rng.integers(0, 9, 300)}
+    )
+    write_bucketed(_mkds(master, 3), ["k"], 5, str(tmp_path / "m"))
+    delta = pd.DataFrame(
+        {"dk": rng.integers(0, 60, 120), "v": rng.integers(0, 9, 120)}
+    )
+    got = (
+        bucketed_join_live(_mkds(delta, 4), str(tmp_path / "m"), ["dk"])
+        .to_pandas()
+        .sort_values(["dk", "v", "k", "w"])
+        .reset_index(drop=True)
+    )
+    want = (
+        delta.merge(master, left_on="dk", right_on="k")
+        .sort_values(["dk", "v", "k", "w"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype(np.int64), want.astype(np.int64)
+    )
