@@ -8276,13 +8276,7 @@ def q_top_supplier(sf_dir: str):
 
     maxima = agg.map_batches(block_max, batch_format="pyarrow").to_pandas()
     if maxima.empty:
-        return pd.DataFrame(
-            {
-                "s_suppkey": pd.Series([], dtype=np.int64),
-                "s_name": pd.Series([], dtype=object),
-                "total_cents": pd.Series([], dtype=np.int64),
-            }
-        )
+        return _typed_empty(["s_suppkey", "s_name", "total_cents"])
     best = np.int64(maxima["m"].max())
 
     def pick(t: pa.Table) -> pa.Table:
@@ -8638,10 +8632,10 @@ def q_peak_concurrency(sf_dir: str):
     if summ.empty or "min_key" not in summ.columns:
         return pd.DataFrame(
             {
-                "peak": pd.Series([0], dtype=np.int64),
-                "n_keys": pd.Series([0], dtype=np.int64),
+                "peak": np.array([0], dtype=np.int64),
+                "n_keys": np.array([0], dtype=np.int64),
             }
-        )
+        )  # 1-row zero record, not an empty: the peak of nothing is 0
     summ = summ.sort_values("min_key")  # block order == key order
     off = summ["total"].cumsum().shift(1, fill_value=0).to_numpy()
     peak = np.int64((summ["local_peak"].to_numpy() + off).max())
@@ -8702,14 +8696,7 @@ def q_hourly_gap_fill(sf_dir: str):
     )
     df = agg.to_pandas()
     if df.empty:
-        return pd.DataFrame(
-            {
-                "hour": pd.Series([], dtype=np.int64),
-                "cnt": pd.Series([], dtype=np.int64),
-                "sum3": pd.Series([], dtype=np.int64),
-                "n3": pd.Series([], dtype=np.int64),
-            }
-        )
+        return _typed_empty(["hour", "cnt", "sum3", "n3"])
     spine = np.arange(df["hour"].min(), df["hour"].max() + 1, dtype=np.int64)
     cnt = (
         df.set_index("hour")["cnt"]

@@ -14,6 +14,12 @@ Reference relation: the reference engine (PyNomaly, single process)
 never persists layouts; this is engine surface the 100-TB target needs
 (storage-bucketed joins a la Hive SMB / Iceberg bucket transform).
 
+Storage assumption: ``path`` must be on storage every node can read
+and write (shared FS / fuse-mounted object store) — writer tasks and
+later per-bucket readers run on arbitrary workers.  This sandbox is
+single-node so local paths work in tests; a multi-node deployment
+passing a node-local path would scatter buckets across machines.
+
 Crash/retry safety: the write routes through the SAME keyed exchange a
 live join would use, so exactly ONE task owns each bucket and writes
 ``bucket=<i>/data.parquet`` — a retried task overwrites its own file
@@ -51,6 +57,19 @@ def write_bucketed(ds, key_cols: Sequence[str], num_buckets: int, path: str) -> 
 
     key_cols = list(key_cols)
     os.makedirs(path, exist_ok=True)
+    # a REWRITE must not serve stale buckets: empty buckets write no
+    # file, so data from a previous (larger or differently-bucketed)
+    # layout would survive as phantom rows.  Retract the commit marker
+    # first, then clear every bucket dir — a crash mid-clear leaves an
+    # uncommitted layout that load_manifest refuses to serve.
+    marker = os.path.join(path, _MANIFEST)
+    if os.path.exists(marker):
+        os.remove(marker)
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith("bucket=") and os.path.isdir(full):
+            for f in os.listdir(full):
+                os.remove(os.path.join(full, f))
     for i in range(num_buckets):
         os.makedirs(os.path.join(path, f"bucket={i}"), exist_ok=True)
 
@@ -66,17 +85,26 @@ def write_bucketed(ds, key_cols: Sequence[str], num_buckets: int, path: str) -> 
         os.replace(tmp, dest)
         return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
+    schema = ds.schema()  # before the exchange consumes the Dataset
+    if schema is None:
+        # fully-empty input (a quiet delta day): no row ever reveals the
+        # value types, so pin at least the KEY columns (null-typed) so a
+        # later join against this rows=0 layout can still name them
+        arrow_schema = pa.schema([pa.field(c, pa.null()) for c in key_cols])
+    else:
+        arrow_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+        )
     parts = hash_aggregate(
         ds, key_cols, write_bucket, num_partitions=num_buckets, arrow=True
     ).to_pandas()
-    schema = ds.schema()
-    arrow_schema = pa.schema(
-        [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
-    )
+    # an all-empty input (a quiet delta day) yields schemaless empty
+    # merge outputs with no 'rows' column — that is rows=0, not a crash
+    n_rows = int(parts["rows"].sum()) if "rows" in parts.columns else 0
     manifest = {
         "key_cols": key_cols,
         "num_buckets": int(num_buckets),
-        "rows": int(parts["rows"].sum()),
+        "rows": n_rows,
         "schema_hex": arrow_schema.serialize().to_pybytes().hex(),
     }
     tmp = os.path.join(path, _MANIFEST + ".tmp")
@@ -209,9 +237,25 @@ def bucketed_join_live(
     persisted file locally and merges — the persisted side is never
     shuffled, never re-read outside its bucket.  ``live_keys`` match the
     layout's key columns positionally (pd.merge left_on/right_on).
+
+    ``how`` is restricted to inner/left: a right/outer join would need
+    persisted rows from buckets the live side never touched, and a
+    live-empty bucket carries no key to locate them — rewrite such a
+    join as :func:`bucketed_join` over two layouts instead.
+
+    The bucket id is recomputed from the reducer's ARROW slice, not a
+    pandas round trip: pandas widens a nullable int key to float64,
+    which would hash into a different bucket and silently read the
+    wrong persisted file (the exact trap _hash_key_column documents).
     """
     from pynomaly_ray.functions.exchange import hash_aggregate
 
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "bucketed_join_live supports how='inner'/'left' only; a "
+            "right/outer join needs live-untouched buckets — use "
+            "bucketed_join over two persisted layouts"
+        )
     m = load_manifest(path)
     schema = _bucket_schema(m)
     p = m["num_buckets"]
@@ -219,22 +263,26 @@ def bucketed_join_live(
     if len(live_keys) != len(m["key_cols"]):
         raise ValueError("key width mismatch with the bucketed layout")
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return df.iloc[:0]
-        i = int(
-            _bucket_of(
-                pa.Table.from_pandas(
-                    df.iloc[:1], preserve_index=False
-                ),
-                live_keys,
-                p,
-            )[0]
-        )
-        right = _read_bucket(path, i, schema).to_pandas()
+    def join_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # keep the block schema consistent with non-empty buckets:
+            # merge the (typed, 0-row) live frame against an empty
+            # persisted-schema frame instead of short-circuiting
+            right = schema.empty_table().to_pandas()
+            df = t.to_pandas()
+        else:
+            i = int(_bucket_of(t.slice(0, 1), live_keys, p)[0])
+            right = _read_bucket(path, i, schema).to_pandas()
+            df = t.to_pandas()
         out = df.merge(
             right, left_on=live_keys, right_on=m["key_cols"], how=how
         )
-        return merge_fn(out) if merge_fn is not None else out
+        if merge_fn is not None:
+            out = merge_fn(out)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
-    return hash_aggregate(ds, live_keys, join_bucket, num_partitions=p)
+    return hash_aggregate(
+        ds, live_keys, join_bucket, num_partitions=p, arrow=True
+    )

@@ -230,3 +230,71 @@ def test_bucketed_join_live_matches_pandas(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns].astype(np.int64), want.astype(np.int64)
     )
+
+
+def test_bucketed_join_live_null_keys_route_correctly(ray_session, tmp_path):
+    """A null in the live key column must not widen the frame and
+    re-route the bucket id (review finding: pandas int->float trap)."""
+    from pynomaly_ray.sources.bucketed import bucketed_join_live, write_bucketed
+
+    master = pd.DataFrame({"k": np.arange(50), "w": np.arange(50) * 10})
+    write_bucketed(_mkds(master, 2), ["k"], 5, str(tmp_path / "m"))
+    delta = pd.DataFrame(
+        {
+            "dk": pd.array(list(range(20)) + [None], dtype="Int64"),
+            "v": np.arange(21),
+        }
+    )
+    got = (
+        bucketed_join_live(_mkds(delta, 2), str(tmp_path / "m"), ["dk"])
+        .to_pandas()
+        .sort_values("dk")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 20  # every non-null key matched
+    assert sorted(got["dk"].astype(int)) == list(range(20))
+    assert (got.sort_values("dk")["w"].to_numpy() == np.arange(20) * 10).all()
+
+
+def test_bucketed_join_live_rejects_right_outer(ray_session, tmp_path):
+    from pynomaly_ray.sources.bucketed import bucketed_join_live, write_bucketed
+
+    master = pd.DataFrame({"k": np.arange(10), "w": np.arange(10)})
+    write_bucketed(_mkds(master, 1), ["k"], 3, str(tmp_path / "m"))
+    with pytest.raises(ValueError, match="inner.*left|left.*inner"):
+        bucketed_join_live(
+            _mkds(master, 1), str(tmp_path / "m"), ["k"], how="right"
+        )
+
+
+def test_bucketed_rewrite_clears_stale_buckets(ray_session, tmp_path):
+    """Rewriting a layout with fewer rows/buckets must not serve
+    phantom rows from the previous layout (review finding)."""
+    from pynomaly_ray.sources.bucketed import bucketed_aggregate, write_bucketed
+
+    big = pd.DataFrame({"k": np.arange(20), "v": np.ones(20, np.int64)})
+    write_bucketed(_mkds(big, 2), ["k"], 4, str(tmp_path / "t"))
+    small = pd.DataFrame({"k": np.int64([3]), "v": np.int64([7])})
+    m = write_bucketed(_mkds(small, 1), ["k"], 4, str(tmp_path / "t"))
+    assert m["rows"] == 1
+    got = bucketed_aggregate(
+        str(tmp_path / "t"),
+        lambda d: d.groupby("k", sort=False)["v"].sum().reset_index(),
+    ).to_pandas()
+    assert len(got) == 1 and int(got["v"].iloc[0]) == 7
+
+
+def test_bucketed_write_empty_dataset(ray_session, tmp_path):
+    """An empty delta day commits a rows=0 layout instead of crashing
+    (review finding: schemaless empty merge outputs)."""
+    from pynomaly_ray.sources.bucketed import load_manifest, write_bucketed
+
+    empty = pd.DataFrame(
+        {
+            "k": pd.Series([], dtype=np.int64),
+            "v": pd.Series([], dtype=np.int64),
+        }
+    )
+    m = write_bucketed(_mkds(empty, 1), ["k"], 4, str(tmp_path / "t"))
+    assert m["rows"] == 0
+    assert load_manifest(str(tmp_path / "t"))["rows"] == 0
