@@ -619,9 +619,20 @@ def range_join(
         rdf = pa.concat_tables(
             pieces[n_left:], promote_options="permissive"
         ).to_pandas()
+        # range join is inner: a side whose every block was 0-row and
+        # schemaless (fully-pruned pushdown read) yields the well-defined
+        # empty result — same guard hash_join carries
+        if (not len(ldf) and by not in ldf.columns) or (
+            not len(rdf) and by not in rdf.columns
+        ):
+            return pa.table({})
         cand = ldf.merge(rdf, on=keys, how="inner", suffixes=("", "_right"))
-        lo = right_lo if right_lo in cand.columns else f"{right_lo}_right"
-        hi = right_hi if right_hi in cand.columns else f"{right_hi}_right"
+        # resolve the interval columns from the RIGHT side's pre-merge
+        # names: when the LEFT table also has a column named right_lo,
+        # pandas keeps the left one unsuffixed — probing cand.columns
+        # would silently evaluate the predicate against the left column
+        lo = f"{right_lo}_right" if right_lo in ldf.columns else right_lo
+        hi = f"{right_hi}_right" if right_hi in ldf.columns else right_hi
         pt = cand[left_on]
         out = cand[(pt >= cand[lo]) & (pt < cand[hi])].reset_index(drop=True)
         if merge_fn is not None:

@@ -7397,7 +7397,7 @@ WITH e AS (
 w AS (
   SELECT user_id, ts_us,
          MAX(ts_us) OVER (PARTITION BY user_id
-                          ORDER BY ((event_id % 4294967296) * 2654435761)
+                          ORDER BY ((event_id % 4294967296) * 2654435761::HUGEINT)
                                    % 4294967296, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS prev_max

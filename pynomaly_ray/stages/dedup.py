@@ -864,8 +864,13 @@ def editdist_le1(ta, tb) -> np.ndarray:
     if not todo.any():
         return out
     ia = np.nonzero(todo)[0]
-    ua = np.asarray(ta[ia], dtype=str)
-    ub = np.asarray(tb[ia], dtype=str)
+    # shared '\x01' sentinel appended at the OBJECT level: numpy U-dtype
+    # (and np.char.str_len) silently trims TRAILING NUL codepoints, so
+    # 'a' vs 'a\x00' would compare equal; appending one common non-NUL
+    # char preserves the edit distance exactly and makes every NUL
+    # interior, where U-dtype keeps it
+    ua = np.asarray(ta[ia] + "\x01", dtype=str)
+    ub = np.asarray(tb[ia] + "\x01", dtype=str)
     la = np.char.str_len(ua)
     lb = np.char.str_len(ub)
     wid = max(ua.dtype.itemsize // 4, ub.dtype.itemsize // 4, 1)

@@ -103,7 +103,11 @@ def pack_offsets(
     _check_chunk(chunk)
     sorted_ds = range_sort(ds, sort_col, num_partitions)
     refs = sorted_ds.to_arrow_refs()
-    bases = _block_prefix_bases(refs, "n_tok")
+    # base ordering must follow the SAME key the blocks were ranged on:
+    # ordering by min doc_id while ranging on a curriculum key would
+    # hand each block the wrong prefix base whenever the two orders
+    # disagree across >1 range partition
+    bases = _block_prefix_bases(refs, "n_tok", key_col=sort_col)
 
     sch = ds.schema()  # Ray Data Schema wrapper: .names / .types (Arrow)
     id_type = sch.types[sch.names.index("doc_id")]

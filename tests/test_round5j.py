@@ -1,0 +1,175 @@
+"""Regression tests for the post-wave-15 review fixes: range_join's
+interval-column resolution under left-side name shadowing and its
+schemaless-empty-side guard, the editdist kernel's trailing-NUL
+trimming, and pack_offsets' prefix-base ordering under a non-identity
+sort_col."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as papq
+import pytest
+import ray
+
+
+def _lev_ref(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[len(b)]
+
+
+def test_range_join_left_side_shadows_interval_names(ray_session):
+    """When the LEFT table carries columns named like the right's
+    interval bounds, pandas keeps the left ones unsuffixed — the
+    predicate must still evaluate against the RIGHT side's (suffixed)
+    bounds, not the left impostors."""
+    from pynomaly_ray.functions.exchange import range_join
+
+    # left 'lo'/'hi' are garbage that would accept EVERY candidate if
+    # the predicate read them (lo=-1e9, hi=+1e9) — a silent wrong join
+    ldf = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "t": [5, 50, 7],
+            "lo": [-10**9] * 3,
+            "hi": [10**9] * 3,
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "lo": [0, 40, 100],
+            "hi": [10, 45, 200],
+            "tag": ["a", "b", "c"],
+        }
+    )
+    out = (
+        range_join(
+            ray.data.from_pandas(ldf),
+            ray.data.from_pandas(rdf),
+            by="k",
+            left_on="t",
+            right_lo="lo",
+            right_hi="hi",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    # only (k=1, t=5) lands in [0,10); t=50 misses [40,45); k=2 t=7
+    # misses [100,200) — the shadowing bug would return all 3
+    assert len(out) == 1
+    assert out.loc[0, "k"] == 1 and out.loc[0, "t"] == 5
+    assert out.loc[0, "tag"] == "a"
+    assert out.loc[0, "lo_right"] == 0 and out.loc[0, "hi_right"] == 10
+
+
+def test_range_join_schemaless_empty_side(ray_session, tmp_path):
+    """A fully-pruned pushdown read ships 0-row blocks with no columns
+    at all; range_join (inner) must yield the well-defined empty result
+    instead of a merge KeyError."""
+    import pyarrow.dataset as pads
+
+    from pynomaly_ray.functions.exchange import range_join
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    path = os.path.join(tmp_path, "t.parquet")
+    papq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "t": pa.array([5, 6], pa.int64()),
+            }
+        ),
+        path,
+    )
+    empty = read_parquet_clean(path, filter=pads.field("k") > 100)
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2], "lo": [0, 0], "hi": [10, 10]})
+    )
+    out = range_join(
+        empty, right, by="k", left_on="t", right_lo="lo", right_hi="hi",
+        num_partitions=2,
+    )
+    assert out.count() == 0
+    # and the mirrored orientation (typed left, schemaless right)
+    left = read_parquet_clean(path)
+    out2 = range_join(
+        left, empty, by="k", left_on="t", right_lo="k", right_hi="k",
+        num_partitions=2,
+    )
+    assert out2.count() == 0
+
+
+def test_editdist_le1_trailing_nul_not_trimmed():
+    """numpy U-dtype silently trims TRAILING NUL codepoints; the kernel
+    appends a shared non-NUL sentinel so 'ab' vs 'a\\x00\\x00' stays
+    distance 2 (the trimmed comparison would report 1)."""
+    from pynomaly_ray.stages.dedup import editdist_le1
+
+    ta = ["ab", "a", "a\x00", "\x00", "x\x00", "ab\x00"]
+    tb = ["a\x00\x00", "a\x00", "a\x00", "", "x", "ab"]
+    got = list(editdist_le1(ta, tb))
+    want = [min(_lev_ref(a, b), 2) for a, b in zip(ta, tb)]
+    assert got == want, list(zip(ta, tb, got, want))
+
+    # fuzz on a NUL-heavy alphabet vs the DP
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (
+            "".join(rng.choice("a\x00b") for _ in range(rng.randint(0, 6))),
+            "".join(rng.choice("a\x00b") for _ in range(rng.randint(0, 6))),
+        )
+        for _ in range(1500)
+    ]
+    got = editdist_le1([p[0] for p in pairs], [p[1] for p in pairs])
+    for (a, b), g in zip(pairs, got):
+        assert g == min(_lev_ref(a, b), 2), (repr(a), repr(b))
+
+
+def test_pack_offsets_sort_col_order_disagrees_with_doc_id(ray_session):
+    """Block prefix bases must be ordered by the RANGE key (sort_col),
+    not by min doc_id: construct a corpus whose curriculum key order is
+    the REVERSE of doc-id order and check every placement against the
+    key-ordered cumsum."""
+    from pynomaly_ray.stages.packing import pack_offsets
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    key = (n - ids).astype(np.int64)  # strictly reversed order
+    ntok = ((ids * 37) % 90 + 1).astype(np.int64)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "n_tok": ntok, "key": key})
+    )
+    placed = (
+        pack_offsets(ds, chunk=64, num_partitions=5, sort_col="key")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(key, kind="stable")
+    start_in_key_order = np.concatenate([[0], np.cumsum(ntok[order])[:-1]])
+    start = np.empty(n, dtype=np.int64)
+    start[order] = start_in_key_order
+    ref = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "seq_first": start // 64,
+            "seq_last": (start + ntok - 1) // 64,
+            "off_in_seq": start % 64,
+        }
+    )
+    got = placed[["doc_id", "seq_first", "seq_last", "off_in_seq"]]
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), ref.astype(np.int64), check_like=True
+    )
