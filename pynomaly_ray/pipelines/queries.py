@@ -9550,3 +9550,88 @@ GROUP BY 1 ORDER BY 1
 
 
 ORACLE_QUERIES["market_share"] = (q_market_share, SQL_MARKET_SHARE)
+
+
+# ---------------------------------------------------------------------------
+# Q: zone_scan_revenue — range scan through the PERSISTED zone-mapped
+# sorted layout (sources/sorted_layout.py): orders is range-sorted on
+# o_orderdate once, then a one-year revenue-by-priority scan opens ONLY
+# the files whose (min, max) date zone overlaps the year — the
+# sort + data-skipping pattern a 100-TB time-ordered corpus lives on.
+# The residual predicate is pushed into the parquet read, so the
+# result is exactly the SQL range aggregate.
+# ---------------------------------------------------------------------------
+def q_zone_scan_revenue(sf_dir: str):
+    import shutil
+    import tempfile
+
+    from pynomaly_ray.sources.sorted_layout import (
+        write_sorted,
+        zone_plan,
+        zone_pruned_scan,
+    )
+
+    root = tempfile.mkdtemp(prefix="pnr-zone-", dir="/tmp")
+    try:
+        orders = _pq(
+            sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"]
+        )
+        lay = os.path.join(root, "orders_by_date")
+        write_sorted(orders, "o_orderdate", lay, num_partitions=8)
+
+        lo = pd.Timestamp("1996-01-01")
+        hi = pd.Timestamp("1996-12-31 23:59:59.999999")
+        # the layout must actually skip files for a 1-of-6+ years range
+        # (zone pruning is the point; a no-op plan means the sort or the
+        # zones are broken) — enforced here so the oracle run itself
+        # certifies the pruning, not just the arithmetic
+        m_files = len(zone_plan(lay, None, None))
+        s_files = len(zone_plan(lay, lo, hi))
+        if m_files >= 4 and s_files >= m_files:
+            raise AssertionError(
+                f"zone pruning ineffective: {s_files}/{m_files} files"
+            )
+        scanned = zone_pruned_scan(lay, lo, hi)
+
+        def pre(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            g = (
+                df.assign(cents=_cents(df["o_totalprice"].to_numpy()))
+                .groupby("o_orderpriority", sort=False)
+                .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+                .reset_index()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = scanned.map_batches(pre, batch_format="pyarrow")
+        out = hash_aggregate(
+            partials,
+            ["o_orderpriority"],
+            lambda df: df.groupby("o_orderpriority", sort=False)
+            .sum()
+            .reset_index(),
+        )
+        df = out.to_pandas()
+        if not len(df) or "o_orderpriority" not in df.columns:
+            return _typed_empty(["o_orderpriority", "n_orders", "sum_cents"])
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        df["sum_cents"] = df["sum_cents"].astype(np.int64)
+        return collect_sorted(df, ["o_orderpriority"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_ZONE_SCAN_REVENUE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59.999999'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+ORACLE_QUERIES["zone_scan_revenue"] = (q_zone_scan_revenue, SQL_ZONE_SCAN_REVENUE)

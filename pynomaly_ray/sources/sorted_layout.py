@@ -1,0 +1,224 @@
+"""Zone-mapped sorted parquet layout: file-level pruning made durable.
+
+The storage-side complement of ``sources/bucketed.py``: where the SMB
+layout pays one hash exchange so later JOINS never shuffle, this layout
+pays one RANGE SORT (``functions/exchange.range_sort``) so later range
+scans never READ irrelevant files.  ``write_sorted`` persists the
+globally-ordered blocks as ``part-<i>.parquet`` plus a per-file
+(min, max, rows, nulls) zone table in the manifest; ``zone_pruned_scan``
+then serves ``lo <= key <= hi`` range queries by opening ONLY the files
+whose zone overlaps the range — at a 100-TB corpus sorted by time, a
+one-day scan touches one day's files instead of the whole table, before
+parquet row-group statistics prune further inside each file.
+
+This is the Iceberg/Delta "sort + min-max zone map + data skipping"
+pattern; the reference engine (PyNomaly, in-memory single process) has
+no storage layer at all, so this is engine surface the scale target
+needs.  Same storage assumption as the bucketed layout: ``path`` must
+be readable/writable by every node (shared FS / object store mount).
+
+Crash/retry safety mirrors ``write_bucketed``: file name == global
+block index (a retried writer overwrites its own file), the
+``_sorted.json`` manifest is written LAST as the commit marker, and a
+rewrite retracts the marker before clearing old parts — an interrupted
+rewrite leaves an uncommitted layout that refuses to serve scans.
+
+Scan contract: ``zone_pruned_scan(path, lo, hi)`` returns exactly the
+rows with ``lo <= key <= hi`` (either bound may be None for one-sided
+ranges); NULL keys are never returned by a range scan (SQL predicate
+semantics), and all-null files prune away.  Files are named in global
+sort order, so consuming the un-range-filtered layout in file order is
+the total order — the sorted-read twin of ``range_sort``'s block
+contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as papq
+
+import ray
+import ray.data as rd
+
+_MANIFEST = "_sorted.json"
+
+
+def _key_kind(t: pa.DataType) -> str:
+    if pa.types.is_timestamp(t):
+        return "ts_us"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    raise TypeError(
+        f"zone-map key must be integer, timestamp or string, got {t}"
+    )
+
+
+def _ser(v, kind: str):
+    """JSON-storable zone bound; timestamps as epoch microseconds."""
+    if v is None:
+        return None
+    if kind == "ts_us":
+        return int(pd.Timestamp(v).value // 1_000)
+    if kind == "int":
+        return int(v)
+    return str(v)
+
+
+def _bound_scalar(v, kind: str) -> pa.Scalar:
+    """A caller-supplied lo/hi as the pyarrow scalar the filter needs."""
+    if kind == "ts_us":
+        return pa.scalar(pd.Timestamp(v).to_pydatetime(), pa.timestamp("us"))
+    if kind == "int":
+        return pa.scalar(int(v), pa.int64())
+    return pa.scalar(str(v), pa.string())
+
+
+def write_sorted(ds, key: str, path: str, num_partitions: int | None = None) -> dict:
+    """Range-sort ``ds`` on ``key`` and persist it as a zone-mapped
+    layout under ``path``.  Returns (and persists) the manifest."""
+    from pynomaly_ray.functions.exchange import range_sort
+
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, _MANIFEST)
+    if os.path.exists(marker):
+        os.remove(marker)
+    for f in os.listdir(path):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            os.remove(os.path.join(path, f))
+
+    sorted_ds = range_sort(ds, key, num_partitions)
+    refs = sorted_ds.to_arrow_refs()
+
+    # schema and key kind come from the ARROW blocks themselves, not the
+    # Ray Schema wrapper: a from_pandas Dataset reports pandas extension
+    # dtypes (Int64, object) the wrapper cannot render as Arrow types,
+    # while the materialized blocks always carry a real pa.Schema
+    @ray.remote
+    def _write(t: pa.Table, i: int) -> dict:
+        t = t.replace_schema_metadata(None)
+        sch_hex = t.schema.serialize().to_pybytes().hex()
+        kind = _key_kind(t.schema.field(key).type)
+        if t.num_rows == 0:
+            return {
+                "file": None, "rows": 0, "lo": None, "hi": None,
+                "nulls": 0, "kind": kind, "schema_hex": sch_hex,
+            }
+        dest = os.path.join(path, f"part-{i:05d}.parquet")
+        tmp = dest + ".tmp"
+        papq.write_table(t, tmp)
+        os.replace(tmp, dest)
+        col = t[key]
+        valid = col.drop_null()
+        return {
+            "file": os.path.basename(dest),
+            "rows": t.num_rows,
+            "lo": _ser(pc.min(valid).as_py(), kind) if len(valid) else None,
+            "hi": _ser(pc.max(valid).as_py(), kind) if len(valid) else None,
+            "nulls": int(col.null_count),
+            "kind": kind,
+            "schema_hex": sch_hex,
+        }
+
+    results = ray.get([_write.remote(r, i) for i, r in enumerate(refs)])
+    if not results:
+        raise ValueError(
+            "write_sorted needs a typed input; a fully-empty schemaless "
+            "Dataset has no key column to sort or zone-map on"
+        )
+    kind = results[0]["kind"]
+    schema_hex = results[0]["schema_hex"]
+    zones = [
+        {k: z[k] for k in ("file", "rows", "lo", "hi", "nulls")}
+        for z in results
+        if z["file"] is not None
+    ]
+    manifest = {
+        "key": key,
+        "kind": kind,
+        "rows": int(sum(z["rows"] for z in zones)),
+        "zones": zones,
+        "schema_hex": schema_hex,
+    }
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, marker)  # commit marker
+    return manifest
+
+
+def load_manifest(path: str) -> dict:
+    mp = os.path.join(path, _MANIFEST)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(
+            f"{path} has no {_MANIFEST} commit marker — the sorted layout "
+            "is unfinished or not a sorted layout; rewrite it with "
+            "write_sorted before scanning it"
+        )
+    with open(mp) as f:
+        return json.load(f)
+
+
+def zone_plan(path: str, lo=None, hi=None) -> list[str]:
+    """The files a ``lo <= key <= hi`` scan must open, in global sort
+    order.  A zone prunes when it lies entirely outside the range or
+    holds only NULL keys (range scans never return null keys)."""
+    m = load_manifest(path)
+    kind = m["kind"]
+    lo_s = _ser(lo, kind) if lo is not None else None
+    hi_s = _ser(hi, kind) if hi is not None else None
+    bounded = lo_s is not None or hi_s is not None
+    out = []
+    for z in m["zones"]:
+        if z["lo"] is None:
+            # rows exist but every key is NULL: a bounded range scan
+            # never returns them; an unbounded full scan must
+            if bounded:
+                continue
+            out.append(os.path.join(path, z["file"]))
+            continue
+        if lo_s is not None and z["hi"] < lo_s:
+            continue
+        if hi_s is not None and z["lo"] > hi_s:
+            continue
+        out.append(os.path.join(path, z["file"]))
+    return out
+
+
+def zone_pruned_scan(path: str, lo=None, hi=None, columns=None):
+    """Range scan over the layout -> ray.data.Dataset with exactly the
+    rows where ``lo <= key <= hi`` (one-sided when a bound is None;
+    NULL keys excluded).  Zones prune whole files; the residual
+    row-level predicate is pushed into the parquet read so row-group
+    statistics prune inside the surviving files too."""
+    import pyarrow.dataset as pads
+
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    m = load_manifest(path)
+    kind, key = m["kind"], m["key"]
+    files = zone_plan(path, lo, hi)
+    if not files:
+        schema = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(m["schema_hex"]))
+        )
+        empty = schema.empty_table()
+        if columns is not None:
+            empty = empty.select(list(columns))
+        return rd.from_arrow(empty)
+    expr = None
+    if lo is not None:
+        expr = pads.field(key) >= _bound_scalar(lo, kind)
+    if hi is not None:
+        e2 = pads.field(key) <= _bound_scalar(hi, kind)
+        expr = e2 if expr is None else (expr & e2)
+    if expr is None:
+        # whole-layout scan must still exclude nothing — no filter
+        return read_parquet_clean(files, columns=columns)
+    return read_parquet_clean(files, columns=columns, filter=expr)

@@ -173,3 +173,118 @@ def test_pack_offsets_sort_col_order_disagrees_with_doc_id(ray_session):
     pd.testing.assert_frame_equal(
         got.astype(np.int64), ref.astype(np.int64), check_like=True
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted zone-map layout (sources/sorted_layout.py)
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_layout_prunes_and_matches_bruteforce(ray_session, tmp_path):
+    """A mid-range scan opens strictly fewer files than the layout has,
+    and returns exactly the brute-force filtered rows."""
+    from pynomaly_ray.sources.sorted_layout import (
+        write_sorted,
+        zone_plan,
+        zone_pruned_scan,
+    )
+
+    n = 2000
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(n).astype(np.int64)  # unsorted input
+    df = pd.DataFrame({"k": ids, "v": ids * 7})
+    lay = str(tmp_path / "lay")
+    m = write_sorted(ray.data.from_pandas(df), "k", lay, num_partitions=8)
+    total = len(m["zones"])
+    assert total >= 4
+    files = zone_plan(lay, 500, 700)
+    assert 0 < len(files) < total
+    out = (
+        zone_pruned_scan(lay, 500, 700)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df[(df["k"] >= 500) & (df["k"] <= 700)]
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+    # file-name order is the global sort order
+    full = zone_pruned_scan(lay).to_pandas()
+    assert (full["k"].to_numpy() == np.sort(ids)).all()
+
+
+def test_sorted_layout_refuses_uncommitted(ray_session, tmp_path):
+    import os
+
+    from pynomaly_ray.sources.sorted_layout import (
+        write_sorted,
+        zone_pruned_scan,
+    )
+
+    lay = str(tmp_path / "lay")
+    write_sorted(
+        ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "v": [1, 2]})),
+        "k",
+        lay,
+        num_partitions=2,
+    )
+    os.remove(os.path.join(lay, "_sorted.json"))
+    with pytest.raises(FileNotFoundError, match="commit marker"):
+        zone_pruned_scan(lay, 0, 10)
+
+
+def test_sorted_layout_rewrite_clears_stale_parts(ray_session, tmp_path):
+    """Rewriting with fewer partitions must not leave phantom files
+    from the wider previous layout."""
+    from pynomaly_ray.sources.sorted_layout import write_sorted, zone_pruned_scan
+
+    lay = str(tmp_path / "lay")
+    big = pd.DataFrame({"k": np.arange(1000, dtype=np.int64)})
+    write_sorted(ray.data.from_pandas(big), "k", lay, num_partitions=8)
+    small = pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+    write_sorted(ray.data.from_pandas(small), "k", lay, num_partitions=2)
+    out = zone_pruned_scan(lay).to_pandas()
+    assert sorted(out["k"].tolist()) == list(range(10))
+
+
+def test_sorted_layout_null_keys(ray_session, tmp_path):
+    """Bounded scans exclude NULL keys (SQL predicate semantics); the
+    unbounded full scan still returns them."""
+    from pynomaly_ray.sources.sorted_layout import write_sorted, zone_pruned_scan
+
+    df = pd.DataFrame(
+        {
+            "k": pd.array([5, None, 1, None, 9], dtype="Int64"),
+            "v": np.arange(5, dtype=np.int64),
+        }
+    )
+    lay = str(tmp_path / "lay")
+    write_sorted(ray.data.from_pandas(df), "k", lay, num_partitions=2)
+    bounded = zone_pruned_scan(lay, 0, 100).to_pandas()
+    assert sorted(bounded["k"].tolist()) == [1, 5, 9]
+    full = zone_pruned_scan(lay).to_pandas()
+    assert len(full) == 5 and full["k"].isna().sum() == 2
+
+
+def test_sorted_layout_string_and_timestamp_keys(ray_session, tmp_path):
+    from pynomaly_ray.sources.sorted_layout import write_sorted, zone_pruned_scan
+
+    sdf = pd.DataFrame({"k": ["ant", "bee", "cat", "dog", "emu"], "v": range(5)})
+    lay_s = str(tmp_path / "s")
+    write_sorted(ray.data.from_pandas(sdf), "k", lay_s, num_partitions=2)
+    out = zone_pruned_scan(lay_s, "bee", "dog").to_pandas()
+    assert sorted(out["k"].tolist()) == ["bee", "cat", "dog"]
+
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-06-01", "2025-01-01", "2025-06-01"]
+    ).astype("datetime64[us]")
+    tdf = pd.DataFrame({"k": ts, "v": range(4)})
+    lay_t = str(tmp_path / "t")
+    write_sorted(ray.data.from_pandas(tdf), "k", lay_t, num_partitions=2)
+    out = zone_pruned_scan(
+        lay_t, pd.Timestamp("2024-03-01"), pd.Timestamp("2025-01-01")
+    ).to_pandas()
+    assert len(out) == 2
