@@ -9635,3 +9635,64 @@ ORDER BY o_orderpriority
 
 
 ORACLE_QUERIES["zone_scan_revenue"] = (q_zone_scan_revenue, SQL_ZONE_SCAN_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# Q: prefix_jaccard_join — EXACT word-set-Jaccard similarity join via
+# prefix filtering (AllPairs/PPJoin family): candidates form only in
+# the buckets of each doc's RAREST tokens (prefix length
+# s - ceil(t*s) + 1 under the global df order), so the hot common-token
+# buckets never exist, yet the result is provably every pair with
+# J >= 4/5 — the lossless counterpart of minhash_dedup, with exact
+# integer (n_inter, n_union) evidence.  Restricted to doc_id % 20 == 0
+# so the result (the corpus carries large planted near-dup families,
+# whose exact join output is quadratic in family size) and the SQL
+# twin's self-join stay oracle-sized; the engine path needs no such
+# restriction.
+# ---------------------------------------------------------------------------
+def q_prefix_jaccard_join(sf_dir: str, as_dataset: bool = False):
+    from pynomaly_ray.stages.dedup import prefix_jaccard_pairs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep5(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    sub = docs.map_batches(keep5, batch_format="pyarrow")
+    out = prefix_jaccard_pairs(sub, num=4, den=5, as_dataset=as_dataset)
+    if as_dataset:
+        return out
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+SQL_PREFIX_JACCARD_JOIN = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+),
+tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM d, UNNEST(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS t(tok)
+),
+sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.s + sb.s - n_inter AS BIGINT) AS n_union
+FROM common
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_inter * 5 >= (sa.s + sb.s - n_inter) * 4
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_QUERIES["prefix_jaccard_join"] = (
+    q_prefix_jaccard_join,
+    SQL_PREFIX_JACCARD_JOIN,
+)

@@ -910,3 +910,232 @@ def editdist_le1(ta, tb) -> np.ndarray:
         hit = lastB < firstA
         out[ia[j[hit]]] = 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact similarity join via prefix filtering (AllPairs / PPJoin family,
+# Bayardo et al. 2007; Xiao et al. 2008).  The LOSSLESS counterpart of
+# MinHash-LSH: every pair with word-set Jaccard >= num/den is returned,
+# with exact integer (n_inter, n_union) evidence — no probabilistic
+# recall.  The scale trick is the prefix-filtering principle: order the
+# vocabulary by ascending document frequency (rarest first); a doc with
+# s distinct tokens need only index its first p = s - ceil(t*s) + 1
+# tokens, because two sets with J >= t MUST share a token inside both
+# prefixes under any common total order.  Candidates therefore form
+# only in the buckets of each doc's RAREST tokens — the 'the' bucket
+# never exists.
+# ---------------------------------------------------------------------------
+
+
+def _wordset_pair_stats(t: pa.Table) -> pa.Table:
+    """(doc_a, doc_b, text_a, text_b) batch -> exact distinct-word-set
+    overlap: (doc_a, doc_b, n_inter, n_union).  One tokenize pass over
+    all pair texts (the WS_TOKEN_RE tokenizer — the SAME token space
+    candidate generation used, a losslessness requirement), distinct
+    counts via sorted-run boundaries (|A|, |B|, |A u B|; the
+    _PairVerifier recipe on word hashes)."""
+    from pynomaly_ray.functions.hashing import hash_strings
+    from pynomaly_ray.stages.text import WS_TOKEN_RE
+
+    n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "n_inter": pa.array([], pa.int64()),
+                "n_union": pa.array([], pa.int64()),
+            }
+        )
+    toks = (
+        pd.concat(
+            [t["text_a"].to_pandas(), t["text_b"].to_pandas()],
+            ignore_index=True,
+        )
+        .fillna("")
+        .str.findall(WS_TOKEN_RE)
+    )
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    flat_words = list(chain.from_iterable(toks))
+    wh = (
+        hash_strings(flat_words)
+        if flat_words
+        else np.empty(0, dtype=np.uint64)
+    )
+    seg = np.repeat(np.arange(2 * n, dtype=np.int64), lens)
+    d = _distinct_per_segment(wh, seg, 2 * n)
+    union = _distinct_per_segment(wh, seg % n, n)
+    inter = d[:n] + d[n:] - union
+    return pa.table(
+        {
+            "doc_a": t["doc_a"],
+            "doc_b": t["doc_b"],
+            "n_inter": pa.array(inter.astype(np.int64)),
+            "n_union": pa.array(union.astype(np.int64)),
+        }
+    )
+
+
+def prefix_jaccard_pairs(
+    docs_ds,
+    *,
+    num: int = 1,
+    den: int = 2,
+    num_partitions: int | None = None,
+    group_cap: int = 10_000,
+    as_dataset: bool = False,
+):
+    """EXACT word-set-Jaccard similarity join over (doc_id, text):
+    every unordered pair with ``J >= num/den`` (a rational threshold —
+    the prefix arithmetic and the final filter stay integer-exact on
+    both engine and SQL sides), as (doc_a, doc_b, n_inter, n_union).
+
+    Pipeline (4 keyed exchanges, text shuffled only for the final
+    verify join):
+
+    1. map: distinct (doc_id, token) rows per doc (one Arrow groupby
+       per batch; each doc lives in exactly one input row, so the rows
+       are globally distinct);
+    2. token-keyed exchange: document frequency = per-token row count;
+       vocabulary-sized output;
+    3. hash-join df onto the token rows, then a doc-keyed exchange
+       sorts each doc's tokens by (df, token) and keeps the first
+       ``s - ceil(num*s/den) + 1`` — the doc's prefix;
+    4. token-keyed exchange over prefix rows: every group emits its
+       pairs (``_emit_group_pairs``, star cap DISABLED — exactness);
+       a group wider than ``group_cap`` raises loudly instead of
+       silently exploding: prefix tokens are each doc's rarest, so a
+       wide group means a pathological corpus (thousands of
+       near-identical docs) — use minhash_lsh_duplicates there;
+    5. texts hash-joined onto the deduplicated pairs and verified
+       exactly in map tasks (:func:`_wordset_pair_stats`).
+
+    Lossless by the prefix-filtering principle; the property test
+    checks equality against a brute-force all-pairs join on randomized
+    corpora.  No counterpart in the reference (PyNomaly has no joins).
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate, hash_join
+    from pynomaly_ray.functions.hashing import nul_safe_key
+    from pynomaly_ray.stages.text import batch_token_counts
+
+    if not (isinstance(num, int) and isinstance(den, int) and 0 < num <= den):
+        raise ValueError(f"threshold must be a fraction 0 < num/den <= 1")
+
+    tok = docs_ds.map_batches(
+        lambda t: batch_token_counts(t, by_doc=True), batch_format="pyarrow"
+    )
+
+    dfs = hash_aggregate(
+        tok,
+        ["token"],
+        lambda df: df.groupby(nul_safe_key(df["token"]), sort=False)
+        .agg(token=("token", "first"), doc_freq=("doc_id", "size"))
+        .reset_index(drop=True),
+        num_partitions=num_partitions,
+    )
+    decorated = hash_join(tok, dfs, ["token"], num_partitions=num_partitions)
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "token": pd.array([], dtype="string"),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                }
+            )
+        d = df.assign(
+            _doc=nul_safe_key(df["doc_id"]), _tok=nul_safe_key(df["token"])
+        ).sort_values(["_doc", "doc_freq", "_tok"], kind="mergesort")
+        sizes = d.groupby("_doc", sort=False)["_doc"].transform("size").to_numpy(
+            dtype=np.int64
+        )
+        rank = d.groupby("_doc", sort=False).cumcount().to_numpy(dtype=np.int64)
+        p = sizes - (-((-num * sizes) // den)) + 1
+        keep = rank < p
+        out = d[keep]
+        return pd.DataFrame(
+            {"token": out["token"].to_numpy(), "doc_id": out["doc_id"].to_numpy()}
+        )
+
+    pref = hash_aggregate(
+        decorated, ["doc_id"], prefix_rows, num_partitions=num_partitions
+    )
+
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.array([], dtype="string")
+        if not len(df):
+            return pd.DataFrame({"doc_a": empty, "doc_b": empty})
+        d = (
+            df.assign(
+                _tok=nul_safe_key(df["token"]), _doc=nul_safe_key(df["doc_id"])
+            )
+            .drop_duplicates(["_tok", "_doc"])
+            .sort_values(["_tok", "_doc"], kind="mergesort")
+        )
+        sizes = d.groupby("_tok", sort=False).size().to_numpy()
+        if (sizes > group_cap).any():
+            w = int(sizes.max())
+            raise ValueError(
+                f"prefix-token group of width {w} exceeds group_cap="
+                f"{group_cap}: the corpus has a pathological block of "
+                "near-identical docs — dedup it with "
+                "minhash_lsh_duplicates first or raise group_cap"
+            )
+        d = d[np.repeat(sizes, sizes) >= 2] if len(sizes) else d
+        if not len(d):
+            return pd.DataFrame({"doc_a": empty, "doc_b": empty})
+        gsizes = d.groupby("_tok", sort=False).size().to_numpy()
+        a, b = _emit_group_pairs(
+            d["doc_id"].to_numpy(), gsizes, cap=int(gsizes.max()) + 1
+        )
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cands = hash_aggregate(
+        pref, ["token"], cand_pairs, num_partitions=num_partitions
+    )
+
+    def _rename(col_id: str, col_text: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({col_id: t["doc_id"], col_text: t["text"]})
+
+        return _f
+
+    texts_a = docs_ds.map_batches(
+        _rename("doc_a", "text_a"), batch_format="pyarrow"
+    )
+    texts_b = docs_ds.map_batches(
+        _rename("doc_b", "text_b"), batch_format="pyarrow"
+    )
+    # per-pair copies (one per shared prefix token) all share doc_a, so
+    # the in-bucket dedup inside the first join is globally exact
+    with_a = hash_join(
+        cands,
+        texts_a,
+        ["doc_a"],
+        merge_fn=lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        num_partitions=num_partitions,
+    )
+    with_b = hash_join(with_a, texts_b, ["doc_b"], num_partitions=num_partitions)
+    stats = with_b.map_batches(_wordset_pair_stats, batch_format="pyarrow")
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = pc.greater_equal(
+            pc.multiply(pc.cast(t["n_inter"], pa.int64()), den),
+            pc.multiply(pc.cast(t["n_union"], pa.int64()), num),
+        )
+        return t.filter(ok)
+
+    kept = stats.map_batches(keep, batch_format="pyarrow")
+    if as_dataset:
+        return kept
+    out = kept.to_pandas()
+    if out.empty or "doc_a" not in out.columns:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "n_inter": pd.Series([], dtype=np.int64),
+                "n_union": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

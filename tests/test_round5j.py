@@ -288,3 +288,93 @@ def test_sorted_layout_string_and_timestamp_keys(ray_session, tmp_path):
         lay_t, pd.Timestamp("2024-03-01"), pd.Timestamp("2025-01-01")
     ).to_pandas()
     assert len(out) == 2
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter exact similarity join (stages/dedup.prefix_jaccard_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(docs, num, den):
+    """All-pairs distinct-word-set Jaccard >= num/den, by Python sets."""
+    import re
+
+    sets = {i: set(re.findall(r"[^ \t\n\r\f\v]+", t or "")) for i, t in docs}
+    out = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = sets[a], sets[b]
+            if not sa and not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * den >= union * num:
+                out.append((a, b, inter, union))
+    return sorted(out)
+
+
+def test_prefix_jaccard_lossless_vs_bruteforce_fuzz(ray_session):
+    """The prefix filter must be LOSSLESS: on randomized small-alphabet
+    corpora (forcing heavy token sharing), the distributed join returns
+    exactly the brute-force all-pairs result — no missed pair, no
+    extra."""
+    import random
+
+    from pynomaly_ray.stages.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial, (num, den) in enumerate([(1, 2), (4, 5), (1, 3), (1, 1)]):
+        docs = []
+        for i in range(60):
+            k = rng.randint(0, 12)
+            words = [rng.choice(vocab) for _ in range(k)]
+            # duplicated words inside a doc exercise the distinct-set
+            # semantics
+            docs.append((i, " ".join(words)))
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+            )
+        )
+        got = prefix_jaccard_pairs(ds, num=num, den=den, num_partitions=3)
+        got_t = sorted(
+            zip(
+                got["doc_a"].astype(int),
+                got["doc_b"].astype(int),
+                got["n_inter"].astype(int),
+                got["n_union"].astype(int),
+            )
+        )
+        want = _brute_jaccard_pairs(docs, num, den)
+        assert got_t == want, (trial, num, den)
+
+
+def test_prefix_jaccard_group_cap_raises(ray_session):
+    """A pathological block of identical docs must refuse loudly, not
+    silently star-cap (exactness contract)."""
+    from pynomaly_ray.stages.dedup import prefix_jaccard_pairs
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(50, dtype=np.int64), "text": ["same text here"] * 50}
+    )
+    with pytest.raises(Exception, match="group_cap"):
+        prefix_jaccard_pairs(
+            ray.data.from_pandas(docs), num=4, den=5, group_cap=10
+        )
+
+
+def test_prefix_jaccard_empty_and_disjoint(ray_session):
+    from pynomaly_ray.stages.dedup import prefix_jaccard_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": ["alpha beta", "gamma delta", ""],
+        }
+    )
+    out = prefix_jaccard_pairs(ray.data.from_pandas(docs), num=1, den=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_a", "doc_b", "n_inter", "n_union"]
