@@ -36,12 +36,13 @@ from pynomaly_ray.functions.hashing import nul_safe_key
 _ROWS_PER_BLOCK = 65536
 
 
-def _pq(sf_dir: str, table: str, columns=None):
+def _pq(sf_dir: str, table: str, columns=None, filter=None):
     """Column-pruned parquet read with block count sized to the data:
     Ray's default splits any file into ~2x-num-CPU blocks, which for
     small tables schedules dozens of sub-100-row tasks and dominates
     wall time with scheduling overhead.  One block per ~64k rows keeps
-    per-task work meaningful at every scale."""
+    per-task work meaningful at every scale.  ``filter`` is a pyarrow
+    dataset expression pushed into the read (see read_parquet_clean)."""
     import pyarrow.parquet as papq
 
     from pynomaly_ray.sources.parquet import read_parquet_clean
@@ -49,7 +50,9 @@ def _pq(sf_dir: str, table: str, columns=None):
     path = os.path.join(sf_dir, f"{table}.parquet")
     rows = papq.read_metadata(path).num_rows
     blocks = max(1, min(64, rows // _ROWS_PER_BLOCK + 1))
-    return read_parquet_clean(path, columns=columns, override_num_blocks=blocks)
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=blocks, filter=filter
+    )
 
 
 def _cents(x):
@@ -9695,4 +9698,91 @@ ORDER BY doc_a, doc_b
 ORACLE_QUERIES["prefix_jaccard_join"] = (
     q_prefix_jaccard_join,
     SQL_PREFIX_JACCARD_JOIN,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q: zone_scan_appended — the sorted layout's APPEND path through the
+# oracle gate: a base generation (orders before 1998) plus an appended
+# delta generation (1998 onward), then a range scan that CROSSES the
+# generation boundary — zones from both generations must serve the
+# range exactly.  The crawl-accumulation shape for time-keyed corpora:
+# each increment pays one range_sort of the delta, never a rewrite.
+# ---------------------------------------------------------------------------
+def q_zone_scan_appended(sf_dir: str):
+    import shutil
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    from pynomaly_ray.sources.sorted_layout import append_sorted, write_sorted, zone_pruned_scan
+
+    root = tempfile.mkdtemp(prefix="pnr-zoneapp-", dir="/tmp")
+    try:
+        cols = ["o_orderdate", "o_orderpriority", "o_totalprice"]
+        split = pd.Timestamp("1998-01-01")
+        base = _pq(
+            sf_dir,
+            "orders",
+            cols,
+            filter=pads.field("o_orderdate") < pa.scalar(split.to_pydatetime()),
+        )
+        delta = _pq(
+            sf_dir,
+            "orders",
+            cols,
+            filter=pads.field("o_orderdate") >= pa.scalar(split.to_pydatetime()),
+        )
+        lay = os.path.join(root, "orders_by_date")
+        write_sorted(base, "o_orderdate", lay, num_partitions=6)
+        append_sorted(delta, lay, num_partitions=3)
+
+        lo = pd.Timestamp("1997-06-01")
+        hi = pd.Timestamp("1998-06-30 23:59:59.999999")
+        scanned = zone_pruned_scan(lay, lo, hi)
+
+        def pre(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            g = (
+                df.assign(cents=_cents(df["o_totalprice"].to_numpy()))
+                .groupby("o_orderpriority", sort=False)
+                .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+                .reset_index()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = scanned.map_batches(pre, batch_format="pyarrow")
+        out = hash_aggregate(
+            partials,
+            ["o_orderpriority"],
+            lambda df: df.groupby("o_orderpriority", sort=False)
+            .sum()
+            .reset_index(),
+        )
+        df = out.to_pandas()
+        if not len(df) or "o_orderpriority" not in df.columns:
+            return _typed_empty(["o_orderpriority", "n_orders", "sum_cents"])
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        df["sum_cents"] = df["sum_cents"].astype(np.int64)
+        return collect_sorted(df, ["o_orderpriority"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_ZONE_SCAN_APPENDED = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+  AND o_orderdate <= TIMESTAMP '1998-06-30 23:59:59.999999'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+ORACLE_QUERIES["zone_scan_appended"] = (
+    q_zone_scan_appended,
+    SQL_ZONE_SCAN_APPENDED,
 )

@@ -286,3 +286,62 @@ def bucketed_join_live(
     return hash_aggregate(
         ds, live_keys, join_bucket, num_partitions=p, arrow=True
     )
+
+
+def append_bucketed(ds, path: str) -> dict:
+    """Append a delta into a committed bucketed layout without touching
+    its existing files — the master-layout increment shape: the delta
+    pays one keyed exchange at the layout's OWN bucket count (same
+    ``_bucket_of`` hash, so co-location with every already-written row
+    is guaranteed) and lands as ``bucket=<i>/data-g<gen>.parquet``
+    beside the existing generation files.  ``bucketed_join`` /
+    ``bucketed_aggregate`` read every ``*.parquet`` in a bucket dir, so
+    appended rows participate with zero reader changes.
+
+    Crash/retry safety mirrors write_bucketed: file name is
+    deterministic (bucket id + generation), so a retried writer
+    overwrites its own file; the manifest is replaced LAST, and a
+    crashed append leaves orphan generation files that the NEXT
+    successful append of the same generation overwrites.  Note the one
+    asymmetry with the sorted layout: bucket readers glob the
+    directory, so an orphan from a crashed append IS visible to reads
+    — re-run the append to completion (idempotent) before serving
+    reads, or delete ``data-g<gen>`` files newer than the manifest's
+    ``gen``.  The delta's schema must match the layout's exactly.
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    m = load_manifest(path)
+    key_cols = m["key_cols"]
+    p = int(m["num_buckets"])
+    gen = int(m.get("gen", 0)) + 1
+    expected_hex = m["schema_hex"]
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        t = t.replace_schema_metadata(None)
+        if t.schema.serialize().to_pybytes().hex() != expected_hex:
+            raise ValueError(
+                "append_bucketed: delta schema differs from the layout's "
+                "— map the delta to the layout schema (same columns, "
+                "same types, same order) before appending"
+            )
+        i = int(_bucket_of(t.slice(0, 1), key_cols, p)[0])
+        dest = os.path.join(path, f"bucket={i}", f"data-g{gen:04d}.parquet")
+        tmp = dest + ".tmp"
+        papq.write_table(t, tmp)
+        os.replace(tmp, dest)
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    parts = hash_aggregate(
+        ds, key_cols, write_bucket, num_partitions=p, arrow=True
+    ).to_pandas()
+    n_rows = int(parts["rows"].sum()) if "rows" in parts.columns else 0
+    m["rows"] = int(m["rows"]) + n_rows
+    m["gen"] = gen
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+    return m

@@ -143,6 +143,7 @@ def write_sorted(ds, key: str, path: str, num_partitions: int | None = None) -> 
         "key": key,
         "kind": kind,
         "rows": int(sum(z["rows"] for z in zones)),
+        "gen": 0,
         "zones": zones,
         "schema_hex": schema_hex,
     }
@@ -151,6 +152,106 @@ def write_sorted(ds, key: str, path: str, num_partitions: int | None = None) -> 
         json.dump(manifest, f)
     os.replace(tmp, marker)  # commit marker
     return manifest
+
+
+def append_sorted(ds, path: str, num_partitions: int | None = None) -> dict:
+    """Append a delta to a committed sorted layout without touching its
+    existing files — the daily-increment shape for a time-keyed corpus.
+
+    The delta is range-sorted on the layout's key and lands as its own
+    generation of part files (``part-g<gen>-<i>.parquet``); the
+    manifest is atomically replaced LAST with the union of zones.
+    Scans stay exact because pruning consults zones, not file order
+    (overlapping generations simply mean a range may open files from
+    several generations); the strict file-name == total-order contract
+    holds only for append-free layouts — run :func:`compact_sorted`
+    to restore it and re-tighten the zones.
+
+    Crash/retry safety: a failed append leaves orphan part files of an
+    uncommitted generation — invisible to scans (only manifest-listed
+    zones are ever opened) and overwritten by the retry (deterministic
+    names within a generation).  The delta's schema must match the
+    layout's exactly; a drifted delta refuses loudly.
+    """
+    from pynomaly_ray.functions.exchange import range_sort
+
+    m = load_manifest(path)
+    key, kind_expected = m["key"], m["kind"]
+    gen = int(m.get("gen", 0)) + 1
+
+    sorted_ds = range_sort(ds, key, num_partitions)
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _write(t: pa.Table, i: int) -> dict:
+        t = t.replace_schema_metadata(None)
+        sch_hex = t.schema.serialize().to_pybytes().hex()
+        kind = _key_kind(t.schema.field(key).type)
+        if t.num_rows == 0:
+            return {
+                "file": None, "rows": 0, "lo": None, "hi": None,
+                "nulls": 0, "kind": kind, "schema_hex": sch_hex,
+            }
+        dest = os.path.join(path, f"part-g{gen:04d}-{i:05d}.parquet")
+        tmp = dest + ".tmp"
+        papq.write_table(t, tmp)
+        os.replace(tmp, dest)
+        col = t[key]
+        valid = col.drop_null()
+        return {
+            "file": os.path.basename(dest),
+            "rows": t.num_rows,
+            "lo": _ser(pc.min(valid).as_py(), kind) if len(valid) else None,
+            "hi": _ser(pc.max(valid).as_py(), kind) if len(valid) else None,
+            "nulls": int(col.null_count),
+            "kind": kind,
+            "schema_hex": sch_hex,
+        }
+
+    results = ray.get([_write.remote(r, i) for i, r in enumerate(refs)])
+    if results and results[0]["schema_hex"] != m["schema_hex"]:
+        raise ValueError(
+            "append_sorted: delta schema differs from the layout's — "
+            "map the delta to the layout schema (same columns, same "
+            "types, same order) before appending"
+        )
+    new_zones = [
+        {k: z[k] for k in ("file", "rows", "lo", "hi", "nulls")}
+        for z in results
+        if z["file"] is not None
+    ]
+    m["zones"] = m["zones"] + new_zones
+    m["rows"] = int(m["rows"]) + int(sum(z["rows"] for z in new_zones))
+    m["gen"] = gen
+    marker = os.path.join(path, _MANIFEST)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, marker)
+    return m
+
+
+def compact_sorted(path: str, num_partitions: int | None = None) -> dict:
+    """Merge an appended layout back into one globally-sorted
+    generation (tight, non-overlapping zones; file order == total
+    order again).  The committed files are materialized into the
+    object store BEFORE :func:`write_sorted` clears them, so a crash
+    mid-compaction cannot lose rows that were only on disk.  At a
+    100-TB layout prefer staging the compacted generation into a fresh
+    directory and switching readers over; this in-place form fits
+    layouts whose content fits the cluster's object store (spill
+    included)."""
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    m = load_manifest(path)
+    files = [os.path.join(path, z["file"]) for z in m["zones"]]
+    if not files:
+        return m
+    mat = read_parquet_clean(files).materialize()
+    out = write_sorted(mat, m["key"], path, num_partitions)
+    # write_sorted's rewrite only clears part-*.parquet it knows about:
+    # generation files share the part- prefix so they were cleared too
+    return out
 
 
 def load_manifest(path: str) -> dict:

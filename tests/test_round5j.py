@@ -378,3 +378,121 @@ def test_prefix_jaccard_empty_and_disjoint(ray_session):
     out = prefix_jaccard_pairs(ray.data.from_pandas(docs), num=1, den=2)
     assert len(out) == 0
     assert list(out.columns) == ["doc_a", "doc_b", "n_inter", "n_union"]
+
+
+# ---------------------------------------------------------------------------
+# layout appends (append_sorted / compact_sorted / append_bucketed)
+# ---------------------------------------------------------------------------
+
+
+def test_append_sorted_scan_and_compact(ray_session, tmp_path):
+    """Appended generations participate in pruned scans exactly;
+    compaction restores one tight globally-sorted generation."""
+    from pynomaly_ray.sources.sorted_layout import (
+        append_sorted,
+        compact_sorted,
+        write_sorted,
+        zone_pruned_scan,
+    )
+
+    lay = str(tmp_path / "lay")
+    base = pd.DataFrame({"k": np.arange(0, 100, 2, dtype=np.int64)})
+    delta = pd.DataFrame({"k": np.arange(1, 100, 2, dtype=np.int64)})
+    write_sorted(ray.data.from_pandas(base), "k", lay, num_partitions=4)
+    m = append_sorted(ray.data.from_pandas(delta), lay, num_partitions=3)
+    assert m["rows"] == 100 and m["gen"] == 1
+    out = zone_pruned_scan(lay, 10, 20).to_pandas()
+    assert sorted(out["k"].tolist()) == list(range(10, 21))
+    # second append, then compact back to one generation
+    append_sorted(
+        ray.data.from_pandas(pd.DataFrame({"k": np.array([200], dtype=np.int64)})),
+        lay,
+    )
+    m2 = compact_sorted(lay, num_partitions=4)
+    assert m2["rows"] == 101 and m2["gen"] == 0
+    full = zone_pruned_scan(lay).to_pandas()
+    k = full["k"].to_numpy()
+    want = np.sort(np.r_[np.arange(100), 200])
+    assert len(k) == len(want), (len(k), len(want))
+    assert (np.diff(k) >= 0).all(), "scan not in global order"
+    assert (k == want).all()
+
+
+def test_append_sorted_schema_drift_refuses(ray_session, tmp_path):
+    from pynomaly_ray.sources.sorted_layout import append_sorted, write_sorted
+
+    lay = str(tmp_path / "lay")
+    write_sorted(
+        ray.data.from_pandas(
+            pd.DataFrame({"k": np.array([1, 2], dtype=np.int64)})
+        ),
+        "k",
+        lay,
+    )
+    drifted = pd.DataFrame(
+        {"k": np.array([3], dtype=np.int64), "extra": np.array([1], np.int64)}
+    )
+    with pytest.raises(ValueError, match="schema differs"):
+        append_sorted(ray.data.from_pandas(drifted), lay)
+
+
+def test_append_sorted_orphans_invisible(ray_session, tmp_path):
+    """A crashed append's orphan part files (not in the manifest) are
+    never opened by scans."""
+    from pynomaly_ray.sources.sorted_layout import write_sorted, zone_pruned_scan
+
+    lay = str(tmp_path / "lay")
+    write_sorted(
+        ray.data.from_pandas(
+            pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64)})
+        ),
+        "k",
+        lay,
+        num_partitions=1,
+    )
+    # orphan with absurd rows that WOULD change the result if read
+    papq.write_table(
+        pa.table({"k": pa.array([1, 1, 1], pa.int64())}),
+        str(tmp_path / "lay" / "part-g0099-00000.parquet"),
+    )
+    out = zone_pruned_scan(lay, 0, 10).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2, 3]
+
+
+def test_append_bucketed_join_sees_delta(ray_session, tmp_path):
+    """Rows appended into the bucketed layout join with zero reader
+    changes; schema drift refuses."""
+    from pynomaly_ray.sources.bucketed import (
+        append_bucketed,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    root = tmp_path
+    left = pd.DataFrame(
+        {"k": np.array([1, 2, 3], dtype=np.int64), "v": np.array([10, 20, 30], np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": np.array([1, 2], dtype=np.int64), "w": np.array([7, 8], np.int64)}
+    )
+    write_bucketed(ray.data.from_pandas(left), ["k"], 4, str(root / "L"))
+    write_bucketed(ray.data.from_pandas(right), ["k"], 4, str(root / "R"))
+    m = append_bucketed(
+        ray.data.from_pandas(
+            pd.DataFrame({"k": np.array([3], dtype=np.int64), "w": np.array([9], np.int64)})
+        ),
+        str(root / "R"),
+    )
+    assert m["rows"] == 3 and m["gen"] == 1
+    out = (
+        bucketed_join(str(root / "L"), str(root / "R"))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["w"].tolist() == [7, 8, 9]
+
+    drifted = pd.DataFrame({"k": np.array([5], dtype=np.int64)})
+    with pytest.raises(Exception, match="schema differs"):
+        append_bucketed(ray.data.from_pandas(drifted), str(root / "R"))
