@@ -314,3 +314,68 @@ def mg_prune(tokens: np.ndarray, counts: np.ndarray, k: int):
     t = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
     kept = counts > t
     return tokens[kept], counts[kept] - t
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — the SET-OPERATION sketch (Beyer et al. 2007;
+# Dasgupta et al., "Theta sketch framework", 2016).  HLL answers one
+# distinct count; KMV's k smallest distinct hash values additionally
+# support INTERSECTION (and difference) estimates across sketches —
+# the distinct-overlap question ("how many users do these two segments
+# share?") that inclusion-exclusion over HLLs answers with compounding
+# error.  Mergeable (union = k smallest of the concatenation) and
+# constant-size, like every sketch in this family.
+# ---------------------------------------------------------------------------
+
+_KMV_FULL_THETA = float(2**64)
+
+
+def kmv_partial(values, k: int = 256) -> np.ndarray:
+    """k smallest distinct stable 64-bit hashes of ``values`` (sorted
+    ascending uint64).  Hash via :func:`hashing.hash_strings` (pandas'
+    keyed SipHash — stable across processes, NUL-safe)."""
+    from pynomaly_ray.functions.hashing import hash_strings
+
+    if len(values) == 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.unique(hash_strings(values))
+    return h[:k]
+
+
+def kmv_merge(parts, k: int = 256) -> np.ndarray:
+    """Union of KMV partials -> the union's KMV sketch."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))[:k]
+
+
+def kmv_theta(sk: np.ndarray, k: int) -> int:
+    """The sketch's inclusion threshold as an EXACT python int: every
+    distinct hash of the underlying set STRICTLY below theta is in the
+    sketch.  A non-full sketch saw its whole set (theta = 2^64 ==
+    'exact').  Exact integers here — float64 cannot represent every
+    uint64, and a threshold off by one ulp flips boundary hashes."""
+    return int(sk[k - 1]) if len(sk) >= k else 2**64
+
+
+def kmv_estimate(sk: np.ndarray, k: int) -> float:
+    """Distinct-count estimate: exact cardinality while the sketch is
+    not full; the unbiased (k-1)/U_(k) estimator once it is."""
+    if len(sk) < k:
+        return float(len(sk))
+    return float(k - 1) * _KMV_FULL_THETA / float(int(sk[k - 1]))
+
+
+def kmv_intersection(sa: np.ndarray, sb: np.ndarray, k: int) -> float:
+    """|A intersect B| estimate from two KMV sketches: count the common
+    hashes below theta = min(theta_A, theta_B) and scale by 1/theta —
+    the theta-sketch a-and-b estimator.  Exact when both sketches are
+    exact."""
+    theta = min(kmv_theta(sa, k), kmv_theta(sb, k))
+    common = np.intersect1d(sa, sb)
+    if theta >= 2**64:
+        return float(len(common))
+    # strict-below test in uint64 (exact; see kmv_theta)
+    d = int((common < np.uint64(theta)).sum())
+    return float(d) * _KMV_FULL_THETA / float(theta)

@@ -1793,3 +1793,146 @@ ORDER BY r.token
 """
 
 ORACLE_QUERIES["mg_heavy_hitters"] = (q_mg_heavy_hitters, SQL_MG_HEAVY_HITTERS)
+
+
+def q_kmv_overlap(sf_dir: str):
+    """Distinct (user, day) activity overlap between 'click' and
+    'purchase' via KMV / theta sketches — the SET-OPERATION sketch
+    completing the family (HLL counts one set; KMV also estimates the
+    INTERSECTION across sets, the segment-overlap question
+    inclusion-exclusion over HLLs answers with compounding error).
+
+    Per-block k-min partials per event type ride a constant-size
+    surface; one type-keyed exchange merges them (union = k smallest of
+    the concatenation); the driver sees <= 2k hashes and computes the
+    three estimates.  The DuckDB twin re-merges the SAME surface with a
+    window rank, rebuilds theta exactly in HUGEINT, and reproduces the
+    estimator arithmetic in DOUBLE — certifying merge, threshold, and
+    estimator math; the key hashing stays engine-side (the HLL surface
+    contract).
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate
+    from pynomaly_ray.functions.sketches import (
+        kmv_estimate,
+        kmv_intersection,
+        kmv_merge,
+        kmv_partial,
+    )
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    K = 256
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(["click", "purchase"])]
+        df = df.dropna(subset=["user_id", "ts"])
+        if not len(df):
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "h": pa.array([], pa.uint64()),
+                }
+            )
+        day = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        key = df["user_id"].to_numpy(dtype=np.int64) * 1_000_000 + day
+        ets, hs = [], []
+        for et, idx in df.groupby("event_type", sort=False).indices.items():
+            sk = kmv_partial(key[idx], K)
+            ets.append(np.full(len(sk), et, dtype=object))
+            hs.append(sk)
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(ets), pa.string()),
+                "h": pa.array(np.concatenate(hs), pa.uint64()),
+            }
+        )
+
+    surf = _surface_dir("kmv_partials")
+    ds.map_batches(partial, batch_format="pyarrow").write_parquet(surf)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            sk = kmv_merge([g["h"].to_numpy(dtype=np.uint64)], K)
+            rows.append(
+                pd.DataFrame({"event_type": et, "h": sk.astype(np.uint64)})
+            )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.array([], dtype="string"),
+                    "h": pd.Series([], dtype=np.uint64),
+                }
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    merged = hash_aggregate(
+        read_parquet_clean(surf), ["event_type"], merge
+    ).to_pandas()
+    sketches = {
+        et: np.sort(g["h"].to_numpy(dtype=np.uint64))
+        for et, g in merged.groupby("event_type", sort=False)
+    }
+    empty = np.empty(0, dtype=np.uint64)
+    sa = sketches.get("click", empty)
+    sb = sketches.get("purchase", empty)
+    return pd.DataFrame(
+        {
+            "n_click": [np.int64(np.floor(kmv_estimate(sa, K) + 0.5))],
+            "n_purchase": [np.int64(np.floor(kmv_estimate(sb, K) + 0.5))],
+            "n_overlap": [np.int64(np.floor(kmv_intersection(sa, sb, K) + 0.5))],
+        }
+    )
+
+
+SQL_KMV_OVERLAP = """
+WITH s AS (
+  SELECT DISTINCT event_type, h
+  FROM read_parquet('/tmp/pnr_oracle_surface/kmv_partials/*.parquet')
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM s
+),
+kk AS (SELECT event_type, h, rn FROM r WHERE rn <= 256),
+st AS (
+  SELECT event_type, COUNT(*) AS c,
+         MAX(CASE WHEN rn = 256 THEN h END) AS kth
+  FROM kk GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN c < 256 THEN CAST(c AS DOUBLE)
+              ELSE 255.0 * 18446744073709551616.0 / CAST(kth AS DOUBLE)
+         END AS e,
+         CASE WHEN c < 256 THEN CAST(18446744073709551616 AS HUGEINT)
+              ELSE CAST(kth AS HUGEINT) END AS theta
+  FROM st
+),
+th AS (SELECT MIN(theta) AS theta FROM est),
+d AS (
+  SELECT COUNT(*) AS n FROM kk a JOIN kk b
+  ON a.h = b.h AND a.event_type = 'click' AND b.event_type = 'purchase'
+  CROSS JOIN th WHERE CAST(a.h AS HUGEINT) < th.theta
+),
+iv AS (
+  SELECT CASE WHEN th.theta >= CAST(18446744073709551616 AS HUGEINT)
+              THEN CAST(d.n AS DOUBLE)
+              ELSE CAST(d.n AS DOUBLE) * 18446744073709551616.0
+                   / CAST(th.theta AS DOUBLE) END AS e
+  FROM d CROSS JOIN th
+)
+SELECT
+  CAST(FLOOR(COALESCE((SELECT e FROM est WHERE event_type = 'click'), 0)
+             + 0.5) AS BIGINT) AS n_click,
+  CAST(FLOOR(COALESCE((SELECT e FROM est WHERE event_type = 'purchase'), 0)
+             + 0.5) AS BIGINT) AS n_purchase,
+  CAST(FLOOR((SELECT e FROM iv) + 0.5) AS BIGINT) AS n_overlap
+"""
+
+ORACLE_QUERIES["kmv_overlap"] = (q_kmv_overlap, SQL_KMV_OVERLAP)

@@ -496,3 +496,79 @@ def test_append_bucketed_join_sees_delta(ray_session, tmp_path):
     drifted = pd.DataFrame({"k": np.array([5], dtype=np.int64)})
     with pytest.raises(Exception, match="schema differs"):
         append_bucketed(ray.data.from_pandas(drifted), str(root / "R"))
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (functions/sketches.kmv_*)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_accuracy_and_merge_invariance():
+    """Estimates within the ~1/sqrt(k-2) envelope; merge of arbitrary
+    splits equals the single-pass sketch exactly (mergeability)."""
+    from pynomaly_ray.functions.sketches import (
+        kmv_estimate,
+        kmv_intersection,
+        kmv_merge,
+        kmv_partial,
+    )
+
+    k = 256
+    rng = np.random.default_rng(5)
+    A = rng.integers(0, 10**12, 40000)
+    B = np.concatenate([A[:15000], rng.integers(10**12, 2 * 10**12, 25000)])
+    one_pass = kmv_partial(A, k)
+    split = kmv_merge([kmv_partial(A[i::9], k) for i in range(9)], k)
+    assert (one_pass == split).all()
+
+    sa, sb = kmv_partial(A, k), kmv_partial(B, k)
+    tol = 4.0 / np.sqrt(k - 2)  # ~4 sigma
+    na, nb = len(np.unique(A)), len(np.unique(B))
+    ni = len(np.intersect1d(A, B))
+    assert abs(kmv_estimate(sa, k) - na) <= tol * na
+    assert abs(kmv_estimate(sb, k) - nb) <= tol * nb
+    assert abs(kmv_intersection(sa, sb, k) - ni) <= 2 * tol * max(na, nb)
+
+
+def test_kmv_exact_paths_and_nul_keys():
+    """Below k the sketch IS the set (exact estimates, exact
+    intersection); NUL-bearing string keys stay distinct."""
+    from pynomaly_ray.functions.sketches import (
+        kmv_estimate,
+        kmv_intersection,
+        kmv_partial,
+    )
+
+    s1 = kmv_partial(np.arange(30), 256)
+    s2 = kmv_partial(np.arange(20, 50), 256)
+    assert kmv_estimate(s1, 256) == 30.0
+    assert kmv_intersection(s1, s2, 256) == 10.0
+
+    sk = kmv_partial(["a", "a\x00b", "a\x00c", "a"], 256)
+    assert len(sk) == 3  # NUL-distinct, duplicate collapsed
+
+
+def test_kmv_overlap_query_runs(ray_session):
+    from pynomaly_ray.pipelines.engine_queries import q_kmv_overlap
+
+    out = q_kmv_overlap("/root/testdata/sf0.001")
+    assert list(out.columns) == ["n_click", "n_purchase", "n_overlap"]
+    # sf0.001 cardinalities sit below k=256, so the sketch is in its
+    # exact regime: all three numbers must equal the pandas truth
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+    )
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    day = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // (
+        86_400_000_000
+    )
+    key = ev["user_id"].to_numpy(dtype=np.int64) * 1_000_000 + day
+    sets = {
+        et: set(key[(ev["event_type"] == et).to_numpy()].tolist())
+        for et in ("click", "purchase")
+    }
+    assert len(sets["click"]) < 256 and len(sets["purchase"]) < 256
+    assert out.loc[0, "n_click"] == len(sets["click"])
+    assert out.loc[0, "n_purchase"] == len(sets["purchase"])
+    assert out.loc[0, "n_overlap"] == len(sets["click"] & sets["purchase"])
