@@ -9786,3 +9786,88 @@ ORACLE_QUERIES["zone_scan_appended"] = (
     q_zone_scan_appended,
     SQL_ZONE_SCAN_APPENDED,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: daily_trend — per-event-type linear trend of daily volume, the
+# regr_slope/regr_intercept family as EXACT integer sufficient
+# statistics: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is reported as
+# its integer (numerator, denominator) pair, so the engine never emits
+# a float and the reduction order cannot perturb the result.  Map-side
+# (type, day) pre-aggregation bounds exchange rows at types x days per
+# block; one type-keyed exchange folds exact day counts and the four
+# sums.  Both num and den are invariant under x -> x - c, so the
+# reducer shifts days by the per-type minimum before squaring —
+# overflow headroom at 100-TB row counts — while the SQL twin uses raw
+# epoch days; the integers still match exactly.
+# ---------------------------------------------------------------------------
+def q_daily_trend(sf_dir: str):
+    ev = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=["event_type", "ts"])
+        day = df["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        ) // 86_400_000_000
+        g = (
+            pd.DataFrame({"event_type": df["event_type"].to_numpy(), "day": day})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .reset_index(name="y")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            d = g.groupby("day", sort=False)["y"].sum()
+            x = d.index.to_numpy(dtype=np.int64)
+            x = x - x.min()  # shift-invariant; overflow headroom
+            y = d.to_numpy(dtype=np.int64)
+            n = np.int64(len(x))
+            sx, sy = x.sum(), y.sum()
+            sxy, sxx = (x * y).sum(), (x * x).sum()
+            rows.append(
+                {
+                    "event_type": et,
+                    "n_days": n,
+                    "slope_num": n * sxy - sx * sy,
+                    "slope_den": n * sxx - sx * sx,
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_days", "slope_num", "slope_den"]
+        )
+
+    out = hash_aggregate(
+        ev.map_batches(pre, batch_format="pyarrow"), ["event_type"], fold
+    )
+    df = out.to_pandas()
+    if not len(df) or "event_type" not in df.columns:
+        return _typed_empty(["event_type", "n_days", "slope_num", "slope_den"])
+    for c in ("n_days", "slope_num", "slope_den"):
+        df[c] = df[c].astype(np.int64)
+    return collect_sorted(df, ["event_type"])
+
+
+SQL_DAILY_TREND = """
+WITH c AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(*) * SUM(day * y) - SUM(day) * SUM(y) AS BIGINT)
+           AS slope_num,
+       CAST(COUNT(*) * SUM(day * day) - SUM(day) * SUM(day) AS BIGINT)
+           AS slope_den
+FROM c GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+ORACLE_QUERIES["daily_trend"] = (q_daily_trend, SQL_DAILY_TREND)

@@ -572,3 +572,36 @@ def test_kmv_overlap_query_runs(ray_session):
     assert out.loc[0, "n_click"] == len(sets["click"])
     assert out.loc[0, "n_purchase"] == len(sets["purchase"])
     assert out.loc[0, "n_overlap"] == len(sets["click"] & sets["purchase"])
+
+
+def test_daily_trend_matches_lstsq(ray_session, tmp_path):
+    """Integer (num, den) pair equals the least-squares slope on a
+    handcrafted series, independent of row order and partitioning."""
+    from pynomaly_ray.pipelines.queries import q_daily_trend
+
+    days = np.array([0, 1, 2, 3, 10], dtype=np.int64)
+    counts = np.array([3, 5, 4, 8, 1], dtype=np.int64)
+    rows = []
+    eid = 0
+    for d, c in zip(days, counts):
+        for _ in range(c):
+            rows.append((eid, np.datetime64("2024-01-01", "us") + d * 86_400_000_000, 7, "click", 1.0, "{}"))
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).sample(frac=1.0, random_state=0)  # shuffled row order
+    papq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_daily_trend(str(tmp_path))
+    assert out["event_type"].tolist() == ["click"]
+    n = len(days)
+    num = n * (days * counts).sum() - days.sum() * counts.sum()
+    den = n * (days * days).sum() - days.sum() ** 2
+    assert out.loc[0, "n_days"] == n
+    assert out.loc[0, "slope_num"] == num
+    assert out.loc[0, "slope_den"] == den
+    # sanity: the float slope they encode equals numpy lstsq
+    slope = np.polyfit(days.astype(float), counts.astype(float), 1)[0]
+    assert abs(num / den - slope) < 1e-9
