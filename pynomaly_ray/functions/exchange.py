@@ -912,3 +912,92 @@ def global_kth_smallest(
     if k > total:
         raise ValueError(f"k={k} exceeds the row count {total}")
     return int(hdf[col].to_numpy()[np.searchsorted(counts.cumsum(), k)])
+
+
+def interval_overlap_join(
+    ds_left,
+    ds_right,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    granule: int,
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    num_partitions: int | None = None,
+):
+    """KEYLESS interval-overlap join: every (left, right) pair of
+    half-open int64 intervals with ``[llo, lhi) ∩ [rlo, rhi) != ∅`` —
+    the temporal/spatial join :func:`range_join` cannot express when no
+    equi key co-locates candidates.  This is the granule-replication
+    recipe range_join's docstring prescribes, implemented: each
+    interval is replicated to every ``granule``-sized bin it covers,
+    both sides exchange on the bin id, and each bucket joins its
+    co-binned intervals with the overlap predicate.  A pair whose
+    overlap spans several shared bins would be emitted once per bin, so
+    each pair is ATTRIBUTED to exactly one: the bin containing
+    ``max(llo, rlo)`` (the overlap's left edge — covered by both
+    intervals whenever the overlap is non-empty).  Exactly-once by
+    construction, no post-hoc dedup exchange.
+
+    Contract: bound columns are int64 (cast timestamps to epoch
+    microseconds first), column names distinct across the two sides,
+    rows with ``lo >= hi`` or null bounds are dropped.  Replication
+    factor is ceil(length/granule)+1 per interval — pick ``granule``
+    near the typical interval length so most intervals land in 1-2
+    bins; a bucket's work is quadratic in its bin's population, so
+    pass ``merge_fn`` to collapse fat join output inside the task.
+    """
+    left_cols = (left_lo, left_hi)
+    right_cols = (right_lo, right_hi)
+
+    def explode(lo: str, hi: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            lov = df[lo].to_numpy()
+            hiv = df[hi].to_numpy()
+            ok = ~(pd.isna(lov) | pd.isna(hiv))
+            df = df[ok]
+            lov = lov[ok].astype(np.int64)
+            hiv = hiv[ok].astype(np.int64)
+            keep = lov < hiv
+            df, lov, hiv = df[keep], lov[keep], hiv[keep]
+            if not len(df):
+                out = df.copy()
+                out["_g"] = pd.Series([], dtype=np.int64)
+                return out
+            g0 = lov // granule
+            g1 = (hiv - 1) // granule
+            reps = (g1 - g0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(df)), reps)
+            # bin offsets within each row's range: global arange minus
+            # each row's segment start
+            seg_start = np.repeat(np.cumsum(reps) - reps, reps)
+            off = np.arange(reps.sum(), dtype=np.int64) - seg_start
+            out = df.iloc[idx].copy()
+            out["_g"] = g0[idx] + off
+            return out
+
+        return f
+
+    el = ds_left.map_batches(explode(*left_cols), batch_format="pandas")
+    er = ds_right.map_batches(explode(*right_cols), batch_format="pandas")
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.drop(columns=["_g"], errors="ignore")
+            return merge_fn(out) if merge_fn is not None else out
+        llo = df[left_lo].to_numpy(dtype=np.int64)
+        lhi = df[left_hi].to_numpy(dtype=np.int64)
+        rlo = df[right_lo].to_numpy(dtype=np.int64)
+        rhi = df[right_hi].to_numpy(dtype=np.int64)
+        overlap = (llo < rhi) & (rlo < lhi)
+        attributed = np.maximum(llo, rlo) // granule == df["_g"].to_numpy(
+            dtype=np.int64
+        )
+        out = df[overlap & attributed].drop(columns=["_g"]).reset_index(
+            drop=True
+        )
+        return merge_fn(out) if merge_fn is not None else out
+
+    return hash_join(
+        el, er, ["_g"], merge_fn=filt, num_partitions=num_partitions
+    )

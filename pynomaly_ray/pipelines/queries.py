@@ -9871,3 +9871,197 @@ ORDER BY event_type
 
 
 ORACLE_QUERIES["daily_trend"] = (q_daily_trend, SQL_DAILY_TREND)
+
+
+# ---------------------------------------------------------------------------
+# Q: snapshot_diff — keyed table diff between two snapshots (the
+# data-quality audit a pipeline runs on its own output: what rows did
+# today's run add, remove, or change?).  Snapshot B is derived from
+# orders by a deterministic perturbation (drop keys % 97 == 0, bump
+# totalprice for keys % 31 == 0) so both engine and SQL construct
+# identical inputs.  One orderkey-keyed exchange co-locates each key's
+# A and B rows; the reducer compares vectorized and emits one row per
+# differing key with a change class — the 100-TB shape where neither
+# snapshot fits anywhere whole and the diff itself is the small output.
+# ---------------------------------------------------------------------------
+def q_snapshot_diff(sf_dir: str):
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = _cents(t["o_totalprice"].to_numpy())
+            if side == "b":
+                keep = k % 97 != 0  # dropped rows
+                k, cents = k[keep], cents[keep]
+                bump = k % 31 == 0  # changed rows
+                cents = cents + bump.astype(np.int64) * 500
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(k),
+                    "cents": pa.array(cents),
+                    "side": pa.array(np.full(len(k), side, dtype=object), pa.string()),
+                }
+            )
+
+        return f
+
+    a = orders.map_batches(tag("a"), batch_format="pyarrow")
+    b = orders.map_batches(tag("b"), batch_format="pyarrow")
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "change": pd.array([], dtype="string"),
+                    "cents_a": pd.Series([], dtype=np.int64),
+                    "cents_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        p = df.pivot_table(
+            index="o_orderkey",
+            columns="side",
+            values="cents",
+            aggfunc="first",
+        ).reset_index()
+        ca = p["a"] if "a" in p.columns else pd.Series(np.nan, index=p.index)
+        cb = p["b"] if "b" in p.columns else pd.Series(np.nan, index=p.index)
+        removed = cb.isna() & ca.notna()
+        added = ca.isna() & cb.notna()
+        changed = ca.notna() & cb.notna() & (ca != cb)
+        keep = removed | added | changed
+        change = np.where(removed, "removed", np.where(added, "added", "changed"))
+        out = pd.DataFrame(
+            {
+                "o_orderkey": p["o_orderkey"].to_numpy(dtype=np.int64)[
+                    keep.to_numpy()
+                ],
+                "change": change[keep.to_numpy()],
+                "cents_a": ca.fillna(-1).astype(np.int64).to_numpy()[
+                    keep.to_numpy()
+                ],
+                "cents_b": cb.fillna(-1).astype(np.int64).to_numpy()[
+                    keep.to_numpy()
+                ],
+            }
+        )
+        return out
+
+    out = hash_aggregate(a.union(b), ["o_orderkey"], diff)
+    df = out.to_pandas()
+    if not len(df) or "o_orderkey" not in df.columns:
+        return _typed_empty(["o_orderkey", "change", "cents_a", "cents_b"])
+    df["o_orderkey"] = df["o_orderkey"].astype(np.int64)
+    df["cents_a"] = df["cents_a"].astype(np.int64)
+    df["cents_b"] = df["cents_b"].astype(np.int64)
+    df["change"] = df["change"].astype(object)
+    return collect_sorted(df, ["o_orderkey"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         cents + CASE WHEN o_orderkey % 31 = 0 THEN 500 ELSE 0 END AS cents
+  FROM a WHERE o_orderkey % 97 <> 0
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.o_orderkey IS NULL THEN 'added'
+            ELSE 'changed' END AS change,
+       CAST(COALESCE(a.cents, -1) AS BIGINT) AS cents_a,
+       CAST(COALESCE(b.cents, -1) AS BIGINT) AS cents_b
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.cents <> b.cents
+ORDER BY o_orderkey
+"""
+
+
+ORACLE_QUERIES["snapshot_diff"] = (q_snapshot_diff, SQL_SNAPSHOT_DIFF)
+
+
+# ---------------------------------------------------------------------------
+# Q: window_clash — KEYLESS interval-overlap join via the granule
+# replication exchange (functions/exchange.interval_overlap_join):
+# two derived campaign-window sets (orders with orderkey % 199 == 0
+# open a 14-day window, % 211 == 0 a 10-day window) joined on the
+# overlap predicate with NO equi key — each interval rides to its
+# 7-day bins, pairs meet in the bin of the overlap's left edge exactly
+# once.  The temporal-join shape (maintenance vs traffic windows,
+# campaign clash) a 100-TB event store needs without a cross join.
+# ---------------------------------------------------------------------------
+def q_window_clash(sf_dir: str):
+    from pynomaly_ray.functions.exchange import interval_overlap_join
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    _DAY = 86_400_000_000
+
+    def windows(mod: int, days: int, kcol: str, locol: str, hicol: str):
+        def f(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = (
+                t["o_orderdate"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            keep = k % mod == 0
+            return pa.table(
+                {
+                    kcol: pa.array(k[keep]),
+                    locol: pa.array(ts[keep]),
+                    hicol: pa.array(ts[keep] + days * _DAY),
+                }
+            )
+
+        return f
+
+    a = orders.map_batches(
+        windows(199, 14, "key_a", "lo_a", "hi_a"), batch_format="pyarrow"
+    )
+    b = orders.map_batches(
+        windows(211, 10, "key_b", "lo_b", "hi_b"), batch_format="pyarrow"
+    )
+    out = interval_overlap_join(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", granule=7 * _DAY
+    )
+    df = out.to_pandas()
+    if not len(df) or "key_a" not in df.columns:
+        return _typed_empty(["key_a", "key_b", "overlap_us"])
+    ov = np.minimum(df["hi_a"], df["hi_b"]) - np.maximum(df["lo_a"], df["lo_b"])
+    res = pd.DataFrame(
+        {
+            "key_a": df["key_a"].astype(np.int64),
+            "key_b": df["key_b"].astype(np.int64),
+            "overlap_us": ov.astype(np.int64),
+        }
+    )
+    return collect_sorted(res, ["key_a", "key_b"])
+
+
+SQL_WINDOW_CLASH = """
+WITH a AS (
+  SELECT o_orderkey AS key_a,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS lo_a,
+         CAST(epoch_us(o_orderdate) AS BIGINT) + 14 * 86400000000 AS hi_a
+  FROM orders WHERE o_orderkey % 199 = 0
+),
+b AS (
+  SELECT o_orderkey AS key_b,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS lo_b,
+         CAST(epoch_us(o_orderdate) AS BIGINT) + 10 * 86400000000 AS hi_b
+  FROM orders WHERE o_orderkey % 211 = 0
+)
+SELECT key_a, key_b,
+       CAST(LEAST(hi_a, hi_b) - GREATEST(lo_a, lo_b) AS BIGINT) AS overlap_us
+FROM a JOIN b ON lo_a < hi_b AND lo_b < hi_a
+ORDER BY key_a, key_b
+"""
+
+
+ORACLE_QUERIES["window_clash"] = (q_window_clash, SQL_WINDOW_CLASH)

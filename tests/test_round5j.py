@@ -605,3 +605,113 @@ def test_daily_trend_matches_lstsq(ray_session, tmp_path):
     # sanity: the float slope they encode equals numpy lstsq
     slope = np.polyfit(days.astype(float), counts.astype(float), 1)[0]
     assert abs(num / den - slope) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join + snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_join_matches_bruteforce_fuzz(ray_session):
+    """Granule replication must emit every overlapping pair EXACTLY
+    once, for granules smaller, comparable, and larger than the
+    interval lengths — including intervals spanning many bins and
+    negative coordinates."""
+    from pynomaly_ray.functions.exchange import interval_overlap_join
+
+    rng = np.random.default_rng(11)
+    nl, nr = 80, 70
+    llo = rng.integers(-500, 500, nl)
+    lhi = llo + rng.integers(1, 120, nl)
+    rlo = rng.integers(-500, 500, nr)
+    rhi = rlo + rng.integers(1, 80, nr)
+    a = pd.DataFrame(
+        {"ka": np.arange(nl, dtype=np.int64), "lo_a": llo, "hi_a": lhi}
+    )
+    b = pd.DataFrame(
+        {"kb": np.arange(nr, dtype=np.int64), "lo_b": rlo, "hi_b": rhi}
+    )
+    want = sorted(
+        (int(i), int(j))
+        for i in range(nl)
+        for j in range(nr)
+        if llo[i] < rhi[j] and rlo[j] < lhi[i]
+    )
+    for granule in (13, 64, 1000):
+        out = interval_overlap_join(
+            ray.data.from_pandas(a),
+            ray.data.from_pandas(b),
+            "lo_a",
+            "hi_a",
+            "lo_b",
+            "hi_b",
+            granule=granule,
+            num_partitions=4,
+        ).to_pandas()
+        got = sorted(zip(out["ka"].astype(int), out["kb"].astype(int)))
+        assert got == want, f"granule={granule}"
+
+
+def test_interval_overlap_join_drops_empty_and_null(ray_session):
+    from pynomaly_ray.functions.exchange import interval_overlap_join
+
+    a = pd.DataFrame(
+        {
+            "ka": np.array([1, 2, 3], dtype=np.int64),
+            "lo_a": pd.array([0, 5, None], dtype="Int64"),
+            "hi_a": pd.array([0, 10, 20], dtype="Int64"),  # row 1 empty
+        }
+    )
+    b = pd.DataFrame(
+        {
+            "kb": np.array([9], dtype=np.int64),
+            "lo_b": np.array([0], dtype=np.int64),
+            "hi_b": np.array([100], dtype=np.int64),
+        }
+    )
+    out = interval_overlap_join(
+        ray.data.from_pandas(a),
+        ray.data.from_pandas(b),
+        "lo_a",
+        "hi_a",
+        "lo_b",
+        "hi_b",
+        granule=10,
+    ).to_pandas()
+    assert out["ka"].tolist() == [2]
+
+
+def test_snapshot_diff_reducer_three_classes(ray_session, tmp_path):
+    """The diff reducer classifies added/removed/changed correctly on a
+    handcrafted pair of snapshots (the gate data never exercises
+    'added' because its perturbation only drops and bumps)."""
+    import pyarrow as pa
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+    from pynomaly_ray.pipelines.queries import q_snapshot_diff
+
+    # drive the full query over a tiny orders table whose keys hit
+    # every perturbation class
+    keys = np.array([1, 31, 97, 97 * 2, 31 * 97, 5], dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "o_orderkey": keys,
+            "o_custkey": np.ones(len(keys), dtype=np.int64),
+            "o_orderstatus": ["O"] * len(keys),
+            "o_totalprice": np.full(len(keys), 10.0),
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * len(keys)).astype(
+                "datetime64[us]"
+            ),
+            "o_orderpriority": ["1-URGENT"] * len(keys),
+        }
+    )
+    papq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = q_snapshot_diff(str(tmp_path))
+    got = dict(zip(out["o_orderkey"], out["change"]))
+    # 31 -> changed (+500), 97 & 194 & 3007 -> removed, 1 & 5 unchanged
+    assert got == {31: "changed", 97: "removed", 194: "removed", 3007: "removed"}
+    ch = out[out["o_orderkey"] == 31].iloc[0]
+    assert ch["cents_b"] - ch["cents_a"] == 500
