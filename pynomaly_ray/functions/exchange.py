@@ -710,6 +710,16 @@ def range_sort(
         splitter boundaries — same trap _hash_key_column closes)."""
         import pyarrow.compute as _pc
 
+        if key not in t.schema.names:
+            # a fully-pruned read can emit a 0-row block with NO schema
+            # (Ray skips map fns on empty blocks); it carries no keys,
+            # so sample/route it as empty rather than KeyError
+            if t.num_rows == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+            raise KeyError(
+                f"range_sort: key column {key!r} missing from a "
+                f"{t.num_rows}-row block (schema {t.schema.names})"
+            )
         arr = t[key]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()

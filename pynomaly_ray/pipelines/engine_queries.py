@@ -1936,3 +1936,13 @@ SELECT
 """
 
 ORACLE_QUERIES["kmv_overlap"] = (q_kmv_overlap, SQL_KMV_OVERLAP)
+
+
+# Wave-17 entries register themselves into ORACLE_QUERIES /
+# ENGINE_QUERIES on import.  Imported HERE (not from queries.py) so
+# that importing engine_queries in either order with queries.py never
+# hits a partially-initialized module: by this line both registries
+# exist, and queries.py is always fully loaded first (top import).
+from pynomaly_ray.pipelines import queries_wave17  # noqa: E402,F401
+
+ENGINE_QUERIES["pca_project"] = queries_wave17.q_pca_project

@@ -1,0 +1,172 @@
+"""Wave-17 tests: distributed PCA exactness, triangle-count structure,
+and the range_sort schemaless-empty-block hardening."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pca_project_matches_driver_pca(ray_session):
+    """Distributed PCA == single-machine numpy PCA, exactly: the
+    engine's sufficient statistics are integer-exact (e6 sums / e12
+    Gram), so the covariance — and hence eigh, sign canonicalization,
+    and every projected coordinate — is bit-deterministic regardless
+    of block layout."""
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.pipelines.queries_wave17 import q_pca_project
+
+    got = q_pca_project(SF)
+    tbl = papq.read_table(
+        SF + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    x = np.stack(tbl["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    vid = tbl["vec_id"].to_numpy()
+
+    # reference: the same exact-integer statistics path, driver-side
+    e6 = np.floor(x * 1_000_000.0 + 0.5)
+    n = e6.shape[0]
+    s = e6.sum(axis=0)
+    g = e6.T @ e6
+    mu = s / n / 1e6
+    cov = g / 1e12 / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comp = vecs[:, ::-1][:, :2]
+    for j in range(2):
+        k = int(np.argmax(np.abs(comp[:, j])))
+        if comp[k, j] < 0:
+            comp[:, j] = -comp[:, j]
+    proj = (x - mu) @ comp
+    pe6 = np.floor(proj * 1_000_000.0 + 0.5).astype(np.int64)
+    want = (
+        pd.DataFrame({"vec_id": vid, "pc1_e6": pe6[:, 0], "pc2_e6": pe6[:, 1]})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["vec_id", "pc1_e6", "pc2_e6"]].astype(np.int64), want
+    )
+    # the top component explains at least as much variance as the 2nd
+    assert got["pc1_e6"].var() >= got["pc2_e6"].var()
+
+
+def test_pca_project_batch_invariance(ray_session, tmp_path, monkeypatch):
+    """Same vectors split across many tiny files -> identical output
+    (the integer sufficient statistics make the reduction associative)."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.pipelines import queries_wave17
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    src = papq.read_table(SF + "/embeddings.parquet")
+    d = tmp_path / "emb"
+    os.makedirs(d)
+    step = max(1, src.num_rows // 7)
+    for i in range(0, src.num_rows, step):
+        papq.write_table(
+            src.slice(i, step), str(d / f"part-{i:05d}.parquet")
+        )
+
+    a = queries_wave17.q_pca_project(SF).reset_index(drop=True)
+
+    def sharded_pq(sf_dir, table, columns=None, filter=None):
+        assert table == "embeddings"
+        return read_parquet_clean(
+            str(d), columns=columns, override_num_blocks=7
+        )
+
+    monkeypatch.setattr(queries_wave17, "_pq", sharded_pq)
+    b = queries_wave17.q_pca_project("ignored").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_triangle_count_on_known_graph(ray_session, tmp_path):
+    """Hand-checkable graph: K4 plus a pendant vertex has exactly 4
+    triangles, each counted at its minimum vertex."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import hash_aggregate, hash_join
+
+    # build edges directly (skip the knuth32 derivation) and run the
+    # same wedge->close pipeline the query uses
+    edges_df = pd.DataFrame(
+        {
+            "u": [0, 0, 0, 1, 1, 2, 3],
+            "v": [1, 2, 3, 2, 3, 3, 4],
+        }
+    )
+    edges = rd.from_pandas(edges_df).materialize()
+
+    def rename_w(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["u"], "w": t["v"]})
+
+    def wedge_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["v"] < df["w"]]
+        return pd.DataFrame(
+            {
+                "apex": df["u"].to_numpy(np.int64),
+                "v": df["v"].to_numpy(np.int64),
+                "w": df["w"].to_numpy(np.int64),
+            }
+        )
+
+    wedges = hash_join(
+        edges,
+        edges.map_batches(rename_w, batch_format="pyarrow"),
+        ["u"],
+        merge_fn=wedge_merge,
+    )
+
+    def close_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["u"], "w": t["v"]})
+
+    tri = hash_join(
+        wedges,
+        edges.map_batches(close_edges, batch_format="pyarrow"),
+        ["v", "w"],
+    ).to_pandas()
+    per_apex = tri.groupby("apex").size()
+    # K4 on {0,1,2,3}: triangles 012,013,023 at apex 0; 123 at apex 1
+    assert per_apex.to_dict() == {0: 3, 1: 1}
+
+
+def test_range_sort_tolerates_schemaless_empty_block(ray_session):
+    """A fully-pruned read can emit a 0-row block with NO schema; the
+    sampler and router must treat it as empty, not KeyError (the
+    round-5 full-suite flake)."""
+    import ray
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import range_sort
+
+    typed = pa.table({"k": pa.array([5, 3, 9, 1], pa.int64())})
+    bare = pa.table({})
+    ds = rd.from_arrow_refs([ray.put(typed), ray.put(bare), ray.put(typed)])
+    out = range_sort(ds, "k", num_partitions=3).to_pandas()
+    assert out["k"].tolist() == [1, 1, 3, 3, 5, 5, 9, 9]
+
+
+def test_range_sort_missing_key_on_nonempty_block_raises(ray_session):
+    import ray
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import range_sort
+
+    typed = pa.table({"k": pa.array([5, 3], pa.int64())})
+    wrong = pa.table({"other": pa.array([1], pa.int64())})
+    ds = rd.from_arrow_refs([ray.put(typed), ray.put(wrong)])
+    with pytest.raises(Exception, match="missing|does not exist|k"):
+        range_sort(ds, "k", num_partitions=2).materialize()
