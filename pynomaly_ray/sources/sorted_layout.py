@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -322,4 +323,166 @@ def zone_pruned_scan(path: str, lo=None, hi=None, columns=None):
     if expr is None:
         # whole-layout scan must still exclude nothing — no filter
         return read_parquet_clean(files, columns=columns)
+    return read_parquet_clean(files, columns=columns, filter=expr)
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecars: point-lookup file skipping beyond zone ranges.
+#
+# Zone maps prune RANGE scans; a point lookup for a key that falls
+# INSIDE some file's [lo, hi] but is absent from it still opens that
+# file.  A per-file Bloom filter (one-sided error: false positives
+# only) lets the planner skip such files entirely — at a 100-TB corpus
+# the common "is this id anywhere?" probe then touches zero files for
+# absent keys instead of one per overlapping zone.  The sidecar is a
+# separate, optional, atomically-committed artifact: a layout without
+# one (or whose sidecar is stale after an append) degrades to
+# zone-only planning for the files the sidecar does not cover —
+# never wrong, only less pruned.
+# ---------------------------------------------------------------------------
+_BLOOMS = "_blooms.json"
+
+
+def _probe_values(col, kind: str) -> np.ndarray:
+    """Key column/iterable -> the canonical hash surface (int64 for
+    int/timestamp kinds, object for strings) so build-time and
+    probe-time hashes agree regardless of the caller's dtype."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = col.drop_null()
+        if kind == "ts_us":
+            return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        if kind == "int":
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return col.to_numpy(zero_copy_only=False)
+    vals = [v for v in col if v is not None]
+    if kind == "ts_us":
+        return np.array(
+            [int(pd.Timestamp(v).value // 1_000) for v in vals], np.int64
+        )
+    if kind == "int":
+        return np.array([int(v) for v in vals], np.int64)
+    return np.array([str(v) for v in vals], dtype=object)
+
+
+def add_blooms(path: str, bits_per_key: int = 10, k: int = 4) -> dict:
+    """Build per-file Bloom sidecars over the layout key.  One Ray task
+    per file reads ONLY the key column; filters are sized to the file
+    (``bits_per_key`` per present key, ~1% false-positive rate at 10/4)
+    so sidecar size tracks data size at a fixed ratio.  Committed
+    atomically; records the manifest generation so appends invalidate
+    coverage (uncovered files stay must-read, never skipped)."""
+    m = load_manifest(path)
+    key, kind = m["key"], m["kind"]
+
+    @ray.remote
+    def _bloom_of(fp: str) -> dict:
+        from pynomaly_ray.functions.sketches import bloom_partial
+
+        col = papq.read_table(fp, columns=[key])[key]
+        vals = _probe_values(col, kind)
+        m_bits = max(1 << 10, (len(vals) * bits_per_key + 63) & ~63)
+        bits = bloom_partial(vals, m_bits=m_bits, k=k)
+        return {
+            "m_bits": int(m_bits),
+            "bits_hex": bits.tobytes().hex(),
+        }
+
+    files = [z["file"] for z in m["zones"]]
+    built = ray.get(
+        [_bloom_of.remote(os.path.join(path, f)) for f in files]
+    )
+    sidecar = {
+        "gen": int(m.get("gen", 0)),
+        "k": int(k),
+        "files": dict(zip(files, built)),
+    }
+    dest = os.path.join(path, _BLOOMS)
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sidecar, f)
+    os.replace(tmp, dest)
+    return sidecar
+
+
+def _load_blooms(path: str, manifest: dict) -> dict:
+    """Sidecar file->bloom dict, EMPTY when absent or written for an
+    older generation (appended files would be missing anyway; a stale
+    same-named rewrite must not serve old bits)."""
+    bp = os.path.join(path, _BLOOMS)
+    if not os.path.exists(bp):
+        return {}
+    with open(bp) as f:
+        sc = json.load(f)
+    if int(sc.get("gen", -1)) != int(manifest.get("gen", 0)):
+        return {}
+    return sc
+
+
+def point_plan(path: str, keys) -> list[str]:
+    """The files a ``key IN (...)`` lookup must open: a file is a
+    candidate when some probe key lies inside its zone range AND (no
+    bloom coverage for the file, or the bloom reports maybe-present
+    for that key)."""
+    from pynomaly_ray.functions.sketches import bloom_contains
+
+    m = load_manifest(path)
+    kind = m["kind"]
+    sc = _load_blooms(path, m)
+    covered = sc.get("files", {})
+    kk = int(sc.get("k", 4))
+    probes = _probe_values(keys, kind)
+    if len(probes) == 0:
+        return []
+    # probes are already in the zone-bound serialization (epoch-us
+    # int64 for timestamps, int64 for ints, str objects) — re-running
+    # _ser would re-interpret a us value as ns
+    ser = probes if kind != "str" else probes.astype(object)
+    out = []
+    for z in m["zones"]:
+        if z["lo"] is None:
+            continue  # all-null file: equality probes never match NULL
+        in_zone = (ser >= z["lo"]) & (ser <= z["hi"])
+        if not in_zone.any():
+            continue
+        b = covered.get(z["file"])
+        if b is not None:
+            bits = np.frombuffer(
+                bytes.fromhex(b["bits_hex"]), dtype=np.uint64
+            )
+            if not bloom_contains(bits, probes[in_zone], k=kk).any():
+                continue
+        out.append(os.path.join(path, z["file"]))
+    return out
+
+
+def point_lookup(path: str, keys, columns=None):
+    """``key IN (...)`` scan -> ray.data.Dataset with exactly the
+    matching rows, reading only :func:`point_plan`'s files; the
+    residual IN-filter is pushed into the parquet read so row groups
+    prune inside survivors (and bloom false positives drop out)."""
+    import pyarrow.dataset as pads
+
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    m = load_manifest(path)
+    kind, key = m["kind"], m["key"]
+    files = point_plan(path, keys)
+    if not files:
+        schema = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(m["schema_hex"]))
+        )
+        empty = schema.empty_table()
+        if columns is not None:
+            empty = empty.select(list(columns))
+        return rd.from_arrow(empty)
+    probes = _probe_values(keys, kind)
+    if kind == "ts_us":
+        vset = pa.array(probes, pa.int64()).cast(pa.timestamp("us"))
+    elif kind == "int":
+        vset = pa.array(probes, pa.int64())
+    else:
+        vset = pa.array(probes, pa.string())
+    expr = pads.field(key).isin(vset)
     return read_parquet_clean(files, columns=columns, filter=expr)

@@ -204,3 +204,152 @@ def test_pagerank_invariants(ray_session):
     assert out["rank_e12"].sum() <= _PR_SCALE + len(out)
     # ranks differentiate (not all equal to the teleport base)
     assert out["rank_e12"].nunique() > 1
+
+
+def _driver_kcore(edges_df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Exact reference peeling on the driver for parity checks."""
+    e = edges_df[["u", "v"]].drop_duplicates().to_numpy(np.int64)
+    while len(e):
+        nodes, cnt = np.unique(e.ravel(), return_counts=True)
+        low = set(nodes[cnt < k].tolist())
+        if not low:
+            break
+        keep = np.array(
+            [u not in low and v not in low for u, v in e], dtype=bool
+        )
+        e = e[keep]
+    if not len(e):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=np.int64),
+             "core_deg": pd.Series(dtype=np.int64)}
+        )
+    nodes, cnt = np.unique(e.ravel(), return_counts=True)
+    return pd.DataFrame(
+        {"node": nodes.astype(np.int64), "core_deg": cnt.astype(np.int64)}
+    )
+
+
+def test_kcore_matches_driver_peeling(ray_session):
+    """Distributed peel == exact driver peel on the sf0.001 derived
+    graph at several k, including a k that dissolves the graph."""
+    import ray
+
+    from pynomaly_ray.functions.exchange import hash_aggregate
+    from pynomaly_ray.pipelines.queries_wave19 import (
+        derived_edges,
+        kcore_edges,
+    )
+
+    edges = derived_edges(SF)
+    edf = pa.concat_tables(
+        ray.get(edges.to_arrow_refs()), promote_options="permissive"
+    ).to_pandas()
+    for k in (3, 16, 23, 40):
+        core = kcore_edges(edges, k)
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            uu = t["u"].to_numpy(zero_copy_only=False)
+            vv = t["v"].to_numpy(zero_copy_only=False)
+            nodes, cnt = np.unique(
+                np.concatenate([uu, vv]), return_counts=True
+            )
+            return pa.table(
+                {
+                    "node": pa.array(nodes),
+                    "core_deg": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        if core.count() == 0:
+            got = pd.DataFrame(
+                {"node": pd.Series(dtype=np.int64),
+                 "core_deg": pd.Series(dtype=np.int64)}
+            )
+        else:
+            got = (
+                hash_aggregate(
+                    core.map_batches(deg_partial, batch_format="pyarrow"),
+                    ["node"],
+                    lambda df: df.groupby("node", sort=False)["core_deg"]
+                    .sum()
+                    .reset_index(),
+                )
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+        want = _driver_kcore(edf, k).sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype(np.int64), want.astype(np.int64), check_dtype=False
+        ), f"k={k}"
+
+
+def test_point_lookup_blooms_prune_and_serve(ray_session, tmp_path):
+    """Sparse-keyed layout: blooms prune every in-range-absent probe to
+    zero files; present probes return exactly their rows; a stale
+    sidecar (after append) degrades to zone-only, never wrong."""
+    import ray.data as rd
+
+    from pynomaly_ray.sources.sorted_layout import (
+        add_blooms,
+        append_sorted,
+        point_lookup,
+        point_plan,
+        write_sorted,
+    )
+
+    lay = str(tmp_path / "lay")
+    df = pd.DataFrame({"key2": np.arange(0, 4000, 2), "val": np.arange(2000)})
+    write_sorted(rd.from_pandas(df), "key2", lay, num_partitions=6)
+    add_blooms(lay)
+
+    odds = [3, 777, 1999, 3333]
+    assert point_plan(lay, odds) == []
+    hit = point_lookup(lay, [10, 3000, 777]).to_pandas()
+    assert sorted(hit["key2"].tolist()) == [10, 3000]
+    assert hit.loc[hit["key2"] == 10, "val"].item() == 5
+
+    # append invalidates the sidecar generation: lookups still exact,
+    # planner returns to zone-only (conservative, reads files again)
+    append_sorted(
+        rd.from_pandas(pd.DataFrame({"key2": [4001], "val": [9999]})), lay
+    )
+    assert point_plan(lay, odds) != []  # zone-only now (no false skips)
+    after = point_lookup(lay, [10, 4001, 777]).to_pandas()
+    assert sorted(after["key2"].tolist()) == [10, 4001]
+
+    # re-blooming the appended layout restores full pruning
+    add_blooms(lay)
+    assert point_plan(lay, odds) == []
+
+
+def test_point_lookup_string_and_timestamp_keys(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pynomaly_ray.sources.sorted_layout import (
+        add_blooms,
+        point_lookup,
+        point_plan,
+        write_sorted,
+    )
+
+    lay_s = str(tmp_path / "s")
+    sdf = pd.DataFrame(
+        {"k": [f"doc-{i:04d}" for i in range(0, 1000, 2)], "v": range(500)}
+    )
+    write_sorted(rd.from_pandas(sdf), "k", lay_s, num_partitions=4)
+    add_blooms(lay_s)
+    assert point_plan(lay_s, ["doc-0005", "doc-0777"]) == []
+    got = point_lookup(lay_s, ["doc-0004", "doc-0999"]).to_pandas()
+    assert got["k"].tolist() == ["doc-0004"]
+
+    lay_t = str(tmp_path / "t")
+    ts = pd.date_range("2024-01-01", periods=500, freq="2h")
+    tdf = pd.DataFrame({"k": ts, "v": range(500)})
+    write_sorted(rd.from_pandas(tdf), "k", lay_t, num_partitions=4)
+    add_blooms(lay_t)
+    absent = [pd.Timestamp("2024-01-01 01:00")]
+    present = [pd.Timestamp("2024-01-01 02:00")]
+    assert point_plan(lay_t, absent) == []
+    got = point_lookup(lay_t, present + absent).to_pandas()
+    assert len(got) == 1 and got["v"].item() == 1
