@@ -1946,6 +1946,7 @@ ORACLE_QUERIES["kmv_overlap"] = (q_kmv_overlap, SQL_KMV_OVERLAP)
 from pynomaly_ray.pipelines import queries_wave17  # noqa: E402,F401
 from pynomaly_ray.pipelines import queries_wave18  # noqa: E402,F401
 from pynomaly_ray.pipelines import queries_wave19  # noqa: E402,F401
+from pynomaly_ray.pipelines import queries_wave20  # noqa: E402,F401
 
 ENGINE_QUERIES["pca_project"] = queries_wave17.q_pca_project
 ENGINE_QUERIES["kcore_nodes"] = queries_wave19.q_kcore_nodes

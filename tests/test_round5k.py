@@ -353,3 +353,60 @@ def test_point_lookup_string_and_timestamp_keys(ray_session, tmp_path):
     assert point_plan(lay_t, absent) == []
     got = point_lookup(lay_t, present + absent).to_pandas()
     assert len(got) == 1 and got["v"].item() == 1
+
+
+def test_ewma_recurrence_hand_checked(ray_session, monkeypatch):
+    """Single user, known values: y1=100; y2=(15*200+85*100)//100=115;
+    y3=(15*50+85*115)//100=105 — and the step-vectorized bucket reducer
+    reproduces the scalar recurrence on interleaved multi-user input."""
+    import ray.data as rd
+
+    from pynomaly_ray.pipelines import queries_wave20
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 2, 1, 2, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-01-02",
+                 "2024-01-03", "2024-01-03"]
+            ),
+            "event_id": [10, 11, 12, 13, 14],
+            "value": [1.0, 7.0, 2.0, 9.0, 0.5],
+        }
+    )
+
+    def fake_pq(sf_dir, table, columns=None, filter=None):
+        assert table == "events"
+        return rd.from_pandas(df[columns] if columns else df)
+
+    monkeypatch.setattr(queries_wave20, "_pq", fake_pq)
+    out = queries_wave20.q_ewma_user_values("ignored")
+    got = dict(zip(out["user_id"], out["ewma_cents"]))
+    # user 1: 100 -> (15*200+85*100)//100=115 -> (15*50+85*115)//100=105
+    # user 2: 700 -> (15*900+85*700)//100=730
+    assert got == {1: 105, 2: 730}
+    assert dict(zip(out["user_id"], out["n_events"])) == {1: 3, 2: 2}
+
+
+def test_longest_streak_hand_checked(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from pynomaly_ray.pipelines import queries_wave20
+
+    days = (
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-07"]  # u1: 3
+        + ["2024-02-01", "2024-02-03", "2024-02-04"]              # u2: 2
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 4 + [2] * 3,
+            "ts": pd.to_datetime(days) + pd.Timedelta(hours=5),
+        }
+    )
+
+    def fake_pq(sf_dir, table, columns=None, filter=None):
+        return rd.from_pandas(df[columns] if columns else df)
+
+    monkeypatch.setattr(queries_wave20, "_pq", fake_pq)
+    out = queries_wave20.q_longest_streak("ignored")
+    assert dict(zip(out["user_id"], out["longest_streak"])) == {1: 3, 2: 2}
