@@ -104,6 +104,14 @@ def write_sorted(ds, key: str, path: str, num_partitions: int | None = None) -> 
     @ray.remote
     def _write(t: pa.Table, i: int) -> dict:
         t = t.replace_schema_metadata(None)
+        # a 0-row block can arrive with NO schema at all (fully-pruned
+        # upstream read); it carries no layout information — mark it
+        # skippable rather than crash on the missing key field
+        if t.num_rows == 0 and key not in t.schema.names:
+            return {
+                "file": None, "rows": 0, "lo": None, "hi": None,
+                "nulls": 0, "kind": None, "schema_hex": None,
+            }
         sch_hex = t.schema.serialize().to_pybytes().hex()
         kind = _key_kind(t.schema.field(key).type)
         if t.num_rows == 0:
@@ -133,8 +141,14 @@ def write_sorted(ds, key: str, path: str, num_partitions: int | None = None) -> 
             "write_sorted needs a typed input; a fully-empty schemaless "
             "Dataset has no key column to sort or zone-map on"
         )
-    kind = results[0]["kind"]
-    schema_hex = results[0]["schema_hex"]
+    typed = [z for z in results if z["kind"] is not None]
+    if not typed:
+        raise ValueError(
+            "write_sorted needs a typed input; every block was empty "
+            "and schemaless, so there is no key column to sort on"
+        )
+    kind = typed[0]["kind"]
+    schema_hex = typed[0]["schema_hex"]
     zones = [
         {k: z[k] for k in ("file", "rows", "lo", "hi", "nulls")}
         for z in results
@@ -186,6 +200,14 @@ def append_sorted(ds, path: str, num_partitions: int | None = None) -> dict:
     @ray.remote
     def _write(t: pa.Table, i: int) -> dict:
         t = t.replace_schema_metadata(None)
+        # a 0-row block can arrive with NO schema at all (fully-pruned
+        # upstream read); it carries no layout information — mark it
+        # skippable rather than crash on the missing key field
+        if t.num_rows == 0 and key not in t.schema.names:
+            return {
+                "file": None, "rows": 0, "lo": None, "hi": None,
+                "nulls": 0, "kind": None, "schema_hex": None,
+            }
         sch_hex = t.schema.serialize().to_pybytes().hex()
         kind = _key_kind(t.schema.field(key).type)
         if t.num_rows == 0:
@@ -210,6 +232,7 @@ def append_sorted(ds, path: str, num_partitions: int | None = None) -> dict:
         }
 
     results = ray.get([_write.remote(r, i) for i, r in enumerate(refs)])
+    results = [z for z in results if z["kind"] is not None]
     if results and results[0]["schema_hex"] != m["schema_hex"]:
         raise ValueError(
             "append_sorted: delta schema differs from the layout's — "
