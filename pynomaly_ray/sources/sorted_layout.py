@@ -316,12 +316,22 @@ def zone_plan(path: str, lo=None, hi=None) -> list[str]:
     return out
 
 
-def zone_pruned_scan(path: str, lo=None, hi=None, columns=None):
+def zone_pruned_scan(path: str, lo=None, hi=None, columns=None, ordered=False):
     """Range scan over the layout -> ray.data.Dataset with exactly the
     rows where ``lo <= key <= hi`` (one-sided when a bound is None;
     NULL keys excluded).  Zones prune whole files; the residual
     row-level predicate is pushed into the parquet read so row-group
-    statistics prune inside the surviving files too."""
+    statistics prune inside the surviving files too.
+
+    Ordering: the layout's FILES are in global sort order, but the
+    default scan is a streaming Ray Data read whose executor may
+    deliver blocks out of completion order under load
+    (``preserve_order`` is off by default) — fine for the common
+    aggregate/filter consumers.  Pass ``ordered=True`` when the
+    consumer needs the block stream itself in key order (merge
+    consumers, ordered exports): each file is then read by one plain
+    Ray task and the blocks are assembled in file order, which the
+    streaming executor never re-schedules."""
     import pyarrow.dataset as pads
 
     from pynomaly_ray.sources.parquet import read_parquet_clean
@@ -337,11 +347,38 @@ def zone_pruned_scan(path: str, lo=None, hi=None, columns=None):
         if columns is not None:
             empty = empty.select(list(columns))
         return rd.from_arrow(empty)
+    lo_b = _bound_scalar(lo, kind) if lo is not None else None
+    hi_b = _bound_scalar(hi, kind) if hi is not None else None
+    if ordered:
+        cols_with_key = None
+        if columns is not None:
+            cols_with_key = list(dict.fromkeys(list(columns) + [key]))
+
+        @ray.remote
+        def _read_one(fp: str) -> pa.Table:
+            t = papq.read_table(fp, columns=cols_with_key)
+            mask = None
+            if lo_b is not None:
+                mask = pc.greater_equal(t[key], lo_b)
+            if hi_b is not None:
+                m2 = pc.less_equal(t[key], hi_b)
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            if mask is not None:
+                t = t.filter(pc.fill_null(mask, False))
+            elif t[key].null_count:
+                # unbounded ordered scans keep null keys (full-table
+                # contract), matching the unordered path's no-filter read
+                pass
+            if columns is not None:
+                t = t.select(list(columns))
+            return t
+
+        return rd.from_arrow_refs([_read_one.remote(f) for f in files])
     expr = None
     if lo is not None:
-        expr = pads.field(key) >= _bound_scalar(lo, kind)
+        expr = pads.field(key) >= lo_b
     if hi is not None:
-        e2 = pads.field(key) <= _bound_scalar(hi, kind)
+        e2 = pads.field(key) <= hi_b
         expr = e2 if expr is None else (expr & e2)
     if expr is None:
         # whole-layout scan must still exclude nothing — no filter

@@ -211,8 +211,10 @@ def test_sorted_layout_prunes_and_matches_bruteforce(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, ref)
-    # file-name order is the global sort order
-    full = zone_pruned_scan(lay).to_pandas()
+    # file-name order is the global sort order; ordered=True pins the
+    # block stream to it (the default streaming read may deliver blocks
+    # out of completion order under load)
+    full = zone_pruned_scan(lay, ordered=True).to_pandas()
     assert (full["k"].to_numpy() == np.sort(ids)).all()
 
 
@@ -410,7 +412,7 @@ def test_append_sorted_scan_and_compact(ray_session, tmp_path):
     )
     m2 = compact_sorted(lay, num_partitions=4)
     assert m2["rows"] == 101 and m2["gen"] == 0
-    full = zone_pruned_scan(lay).to_pandas()
+    full = zone_pruned_scan(lay, ordered=True).to_pandas()
     k = full["k"].to_numpy()
     want = np.sort(np.r_[np.arange(100), 200])
     assert len(k) == len(want), (len(k), len(want))

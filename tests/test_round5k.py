@@ -410,3 +410,30 @@ def test_longest_streak_hand_checked(ray_session, monkeypatch):
     monkeypatch.setattr(queries_wave20, "_pq", fake_pq)
     out = queries_wave20.q_longest_streak("ignored")
     assert dict(zip(out["user_id"], out["longest_streak"])) == {1: 3, 2: 2}
+
+
+def test_zone_scan_ordered_matches_unordered_rows(ray_session, tmp_path):
+    """ordered=True returns the same rows as the streaming scan, with
+    the block stream pinned to file (= key) order; bounded ranges and
+    column pruning behave identically on both paths."""
+    import ray.data as rd
+
+    from pynomaly_ray.sources.sorted_layout import (
+        write_sorted,
+        zone_pruned_scan,
+    )
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(3000).astype(np.int64)
+    df = pd.DataFrame({"k": ids, "v": ids * 3})
+    lay = str(tmp_path / "lay")
+    write_sorted(rd.from_pandas(df), "k", lay, num_partitions=6)
+
+    a = zone_pruned_scan(lay, 100, 900).to_pandas()
+    b = zone_pruned_scan(lay, 100, 900, ordered=True).to_pandas()
+    assert sorted(a["k"]) == sorted(b["k"]) == list(range(100, 901))
+    assert (np.diff(b["k"].to_numpy()) > 0).all()  # ordered end-to-end
+
+    c = zone_pruned_scan(lay, columns=["v"], ordered=True).to_pandas()
+    assert list(c.columns) == ["v"]
+    assert (c["v"].to_numpy() == np.sort(ids) * 3).all()
