@@ -437,3 +437,29 @@ def test_zone_scan_ordered_matches_unordered_rows(ray_session, tmp_path):
     c = zone_pruned_scan(lay, columns=["v"], ordered=True).to_pandas()
     assert list(c.columns) == ["v"]
     assert (c["v"].to_numpy() == np.sort(ids) * 3).all()
+
+
+def test_bfs_hops_path_graph(ray_session, monkeypatch):
+    """Path graph 0-1-...-9 plus the isolated edge (100,101): seeds are
+    nodes % 50 == 0 -> {0, 100, 150?}; hop caps at 4, so nodes 5..9
+    stay unreached; 101 is reached from seed 100 in one hop."""
+    import ray.data as rd
+
+    from pynomaly_ray.pipelines import queries_wave22
+
+    edges = pd.DataFrame(
+        {
+            "u": list(range(9)) + [100, 150],
+            "v": list(range(1, 10)) + [101, 151],
+        }
+    ).astype(np.int64)
+
+    monkeypatch.setattr(
+        queries_wave22,
+        "derived_edges",
+        lambda sf: rd.from_pandas(edges).materialize(),
+    )
+    out = queries_wave22.q_bfs_hops("ignored")
+    got = dict(zip(out["node"], out["hop"]))
+    want = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 100: 0, 101: 1, 150: 0, 151: 1}
+    assert got == want
