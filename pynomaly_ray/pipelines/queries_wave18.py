@@ -48,10 +48,11 @@ _PR_ITERS = 3
 _PR_SCALE = 1_000_000_000_000  # e12 rank fixed-point
 
 
-def q_pagerank(sf_dir: str):
+def pagerank_edges(sf_dir: str):
+    """The DIRECTED derived graph (hu -> hv, distinct) PageRank runs
+    on — shared with the checkpointed driver in state/iteration.py so
+    both walk the identical edge set."""
     import pyarrow.parquet as papq
-
-    import ray.data as rd
 
     from pynomaly_ray.functions.hashing import knuth32
 
@@ -71,11 +72,17 @@ def q_pagerank(sf_dir: str):
         df = pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    edges = hash_aggregate(
+    return hash_aggregate(
         orders.map_batches(edges_of, batch_format="pyarrow"),
         ["u", "v"],
         lambda df: df.drop_duplicates(["u", "v"]),
     ).materialize()
+
+
+def q_pagerank(sf_dir: str):
+    import ray.data as rd
+
+    edges = pagerank_edges(sf_dir)
 
     # out-degree per source, attached to every edge ONCE (reused each
     # iteration; at scale this is the expensive exchange, paid once)

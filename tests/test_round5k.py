@@ -478,3 +478,72 @@ def test_salted_join_spreads_hot_keys(ray_session):
     counts = np.bincount(s1, minlength=16)
     assert (counts > 0).all()
     assert counts.max() < 3 * counts.mean()
+
+
+def test_checkpointed_pagerank_resume_bit_identical(ray_session, tmp_path):
+    """Run 3 checkpointed rounds; delete the round-3 artifacts to
+    simulate pre-emption after round 2; resume — the final ranks must
+    be bit-identical to the uninterrupted run, and rounds 0-2 must not
+    recompute (their files keep their mtimes)."""
+    import os
+
+    from pynomaly_ray.state.iteration import (
+        committed_rounds,
+        pagerank_rounds_checkpointed,
+    )
+
+    sd_full = str(tmp_path / "full")
+    full = (
+        pagerank_rounds_checkpointed(SF, sd_full, iters=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert committed_rounds(sd_full) == [0, 1, 2, 3]
+
+    # simulate the crash: rerun into a COPY whose round 3 never landed
+    sd_crash = str(tmp_path / "crash")
+    import shutil
+
+    shutil.copytree(sd_full, sd_crash)
+    os.remove(os.path.join(sd_crash, ".commit-00003"))
+    shutil.rmtree(os.path.join(sd_crash, "round-00003"))
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(sd_crash, f))
+        for f in os.listdir(sd_crash)
+        if f.startswith("round-")
+    }
+    resumed = (
+        pagerank_rounds_checkpointed(SF, sd_crash, iters=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, resumed)
+    for f, t0 in mtimes_before.items():
+        assert os.path.getmtime(os.path.join(sd_crash, f)) == t0, f
+
+    # and it matches the un-checkpointed oracle-checked query
+    from pynomaly_ray.pipelines.queries_wave18 import q_pagerank
+
+    want = q_pagerank(SF).rename(columns={"rank_e12": "r"})
+    got = full.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["node", "r"]].astype(np.int64),
+        want[["node", "r"]].astype(np.int64),
+    )
+
+
+def test_save_round_refuses_uncommitted_load(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pynomaly_ray.state.iteration import load_round, save_round
+
+    sd = str(tmp_path / "sd")
+    import os
+
+    os.makedirs(sd)
+    save_round(sd, 0, rd.from_pandas(pd.DataFrame({"node": [1], "r": [2]})))
+    with pytest.raises(FileNotFoundError, match="commit marker"):
+        load_round(sd, 1)
+    assert load_round(sd, 0).to_pandas()["r"].tolist() == [2]
