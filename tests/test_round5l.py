@@ -163,3 +163,26 @@ def test_gopher_quality_matches_pandas_recompute(ray_session):
     )
     # non-trivial on this corpus: some docs pass, some fail
     assert 0 < got["n_pass"].sum() < got["n_docs"].sum()
+
+
+def test_sssp_block_layout_invariance(ray_session, monkeypatch):
+    """Forcing a tiny bucket target multiplies the exchange fan-out for
+    every per-round join/aggregate; the (min,+) reduction must be
+    layout-invariant (same distances regardless of partitioning)."""
+    from pynomaly_ray.pipelines.queries_wave26 import q_sssp_distances
+
+    base = q_sssp_distances(SF).reset_index(drop=True)
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "2048")
+    forced = q_sssp_distances(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+
+
+def test_hopping_window_block_layout_invariance(ray_session, monkeypatch):
+    from pynomaly_ray.pipelines.queries_wave26 import (
+        q_hopping_window_counts,
+    )
+
+    base = q_hopping_window_counts(SF).reset_index(drop=True)
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "2048")
+    forced = q_hopping_window_counts(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
