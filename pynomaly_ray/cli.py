@@ -625,6 +625,55 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Persist a table as one of the engine's clustered layouts —
+    the offline `OPTIMIZE` surface: pay one exchange now so later
+    scans prune (sorted: 1-D range, zorder: 2-D rectangle) or later
+    joins/aggregates never shuffle (bucketed)."""
+    _ensure_ray(args.num_cpus)
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    keys = args.keys.split(",")
+    cols = args.columns.split(",") if args.columns else None
+    ds = read_parquet_clean(args.input, columns=cols)
+    if args.mode == "sorted":
+        if len(keys) != 1:
+            print(json.dumps({"error": "sorted layout takes one key"}))
+            return 2
+        from pynomaly_ray.sources.sorted_layout import write_sorted
+
+        m = write_sorted(ds, keys[0], args.out, args.partitions)
+        files = len(m["zones"])
+    elif args.mode == "zorder":
+        from pynomaly_ray.sources.zorder_layout import write_zorder
+
+        try:
+            m = write_zorder(
+                ds, keys, args.out, args.partitions, bits=args.bits
+            )
+        except (TypeError, ValueError) as e:
+            print(json.dumps({"error": str(e)}))
+            return 2
+        files = len(m["zones"])
+    else:
+        from pynomaly_ray.sources.bucketed import write_bucketed
+
+        m = write_bucketed(ds, keys, args.partitions or 16, args.out)
+        files = int(m.get("num_buckets", args.partitions or 16))
+    print(
+        json.dumps(
+            {
+                "mode": args.mode,
+                "keys": keys,
+                "rows": int(m.get("rows", 0)),
+                "files": files,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pynomaly_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -834,6 +883,27 @@ def main(argv=None) -> int:
     )
     qr.add_argument("--num-cpus", type=int, default=None)
     qr.set_defaults(fn=cmd_query)
+
+    ly = sub.add_parser(
+        "layout",
+        help="persist a table as a clustered layout (sorted / zorder / "
+        "bucketed) for pruned scans or shuffle-free joins",
+    )
+    ly.add_argument("--input", required=True, help="parquet file/dir")
+    ly.add_argument("--out", required=True)
+    ly.add_argument(
+        "--mode", choices=["sorted", "zorder", "bucketed"], required=True
+    )
+    ly.add_argument(
+        "--keys",
+        required=True,
+        help="comma-separated cluster keys (sorted: 1, zorder: 2)",
+    )
+    ly.add_argument("--partitions", type=int, default=None)
+    ly.add_argument("--bits", type=int, default=8, help="zorder rank bits/key")
+    ly.add_argument("--columns", default=None, help="prune to these columns")
+    ly.add_argument("--num-cpus", type=int, default=None)
+    ly.set_defaults(fn=cmd_layout)
 
     args = p.parse_args(argv)
     return args.fn(args)

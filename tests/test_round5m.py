@@ -182,3 +182,44 @@ def test_zorder_rejects_bad_inputs(ray_session, tmp_path):
             str(tmp_path / "zy"),
             1,
         )
+
+
+def test_cli_layout_zorder_and_sorted(ray_session, tmp_path, capsys):
+    import json
+
+    from pynomaly_ray.cli import main
+    from pynomaly_ray.sources.zorder_layout import zorder_plan, zorder_scan
+
+    zout = str(tmp_path / "cli_z")
+    rc = main(
+        [
+            "layout", "--input", SF + "/orders.parquet", "--out", zout,
+            "--mode", "zorder", "--keys", "o_custkey,o_orderdate",
+            "--partitions", "8",
+        ]
+    )
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["files"] == 8 and rec["rows"] > 0
+    # the CLI-written layout serves pruned scans
+    assert len(zorder_plan(zout, (0, 50), (None, None))) < 8
+    assert zorder_scan(zout).to_pandas().shape[0] == rec["rows"]
+
+    sout = str(tmp_path / "cli_s")
+    rc = main(
+        [
+            "layout", "--input", SF + "/orders.parquet", "--out", sout,
+            "--mode", "sorted", "--keys", "o_orderdate",
+            "--partitions", "4",
+        ]
+    )
+    assert rc == 0
+    # bad input: two keys to sorted mode
+    rc = main(
+        [
+            "layout", "--input", SF + "/orders.parquet",
+            "--out", str(tmp_path / "cli_bad"), "--mode", "sorted",
+            "--keys", "a,b",
+        ]
+    )
+    assert rc == 2
