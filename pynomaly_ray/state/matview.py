@@ -1,0 +1,227 @@
+"""Incrementally-maintained materialized aggregate views.
+
+At corpus scale, a keyed aggregate a user consults repeatedly (docs per
+source, revenue per segment, tokens per language) must not be
+recomputed by rescanning 100 TB every time a crawl increment lands.
+This module persists the aggregate STATE as parquet and folds each
+delta batch into it with one small exchange over (existing state ∪
+delta partials) — the classic incremental view maintenance identity
+for distributive aggregates:
+
+    state'  =  merge_by_key(state, partial_agg(delta))
+
+Only mergeable aggregate functions are accepted (``sum``, ``count``,
+``min``, ``max``); an average is maintained as (sum, count) and divided
+at read time — the same decomposition the engine's map-side partials
+use everywhere else.
+
+Exactly-once contract (the part ad-hoc scripts always get wrong):
+refreshes are keyed by ``run_id``.  Each refresh writes the merged
+state as a NEW generation directory (``gen-<n>/``), then atomically
+swaps the ``_matview.json`` manifest — which records every applied
+run id — as the commit marker.  A re-delivered delta (retry after a
+crash between state write and commit) is detected by its run id and
+skipped, so increments are never double-counted; a crash mid-write
+leaves the prior committed generation untouched and serving.  Old
+generations are pruned only AFTER the new commit lands.
+
+Same storage assumption as the layouts: ``path`` must be shared
+(object store / shared FS).  State size is O(#distinct keys), not
+O(corpus) — the view stays driver-free and the refresh exchange is
+bounded by key cardinality, not data volume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as papq
+
+import ray
+import ray.data as rd
+
+_MANIFEST = "_matview.json"
+_MERGEABLE = {"sum", "count", "min", "max"}
+
+
+def _validate_spec(agg_spec: dict) -> None:
+    for out_col, (src, fn) in agg_spec.items():
+        if fn not in _MERGEABLE:
+            raise ValueError(
+                f"aggregate {fn!r} for {out_col!r} is not mergeable; "
+                f"supported: {sorted(_MERGEABLE)} (maintain avg as "
+                "sum+count and divide at read time)"
+            )
+        if fn != "count" and src is None:
+            raise ValueError(f"{out_col!r}: {fn} needs a source column")
+
+
+def _partial(agg_spec: dict, keys: list[str]):
+    """Map-side partial aggregation of one batch.  COUNT becomes a SUM
+    of ones here so every refresh merge is a plain fold."""
+
+    def f(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        named = {}
+        for out_col, (src, fn) in agg_spec.items():
+            if fn == "count":
+                df[out_col] = 1
+                named[out_col] = (out_col, "sum")
+            else:
+                named[out_col] = (src, fn)
+        g = df.groupby(keys, sort=False).agg(**named).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return f
+
+
+def _merge_fn(agg_spec: dict, keys: list[str]):
+    """Reduce-side fold: same shape for create, refresh, and re-merge
+    (COUNT partials are already sums)."""
+    how = {
+        out: ("sum" if fn == "count" else fn)
+        for out, (_src, fn) in agg_spec.items()
+    }
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, sort=False).agg(how).reset_index()
+
+    return f
+
+
+def _aggregate(ds, agg_spec: dict, keys: list[str]):
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    partials = ds.map_batches(
+        _partial(agg_spec, keys), batch_format="pyarrow"
+    )
+    return hash_aggregate(partials, keys, _merge_fn(agg_spec, keys))
+
+
+def _write_generation(path: str, gen: int, state_ds) -> int:
+    gen_dir = os.path.join(path, f"gen-{gen:06d}")
+    shutil.rmtree(gen_dir, ignore_errors=True)  # retried writer owns it
+    os.makedirs(gen_dir, exist_ok=True)
+    rows = 0
+    for i, ref in enumerate(state_ds.to_arrow_refs()):
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        t = t.replace_schema_metadata(None)
+        dest = os.path.join(gen_dir, f"part-{i:05d}.parquet")
+        tmp = dest + ".tmp"
+        papq.write_table(t, tmp)
+        os.replace(tmp, dest)
+        rows += t.num_rows
+    return rows
+
+
+def _commit(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def load_manifest(path: str) -> dict:
+    mp = os.path.join(path, _MANIFEST)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(
+            f"{path} has no {_MANIFEST} commit marker — the view is "
+            "unfinished or not a matview; re-create it with create_matview"
+        )
+    with open(mp) as f:
+        return json.load(f)
+
+
+def create_matview(
+    path: str, ds, keys, agg_spec: dict, run_id: str = "base"
+) -> dict:
+    """Aggregate ``ds`` and persist the state as generation 0.
+
+    ``agg_spec``: {out_col: (src_col | None, 'sum'|'count'|'min'|'max')}.
+    """
+    keys = list(keys)
+    _validate_spec(agg_spec)
+    os.makedirs(path, exist_ok=True)
+    mp = os.path.join(path, _MANIFEST)
+    if os.path.exists(mp):
+        os.remove(mp)  # retract before rewrite
+    state = _aggregate(ds, agg_spec, keys)
+    rows = _write_generation(path, 0, state)
+    manifest = {
+        "keys": keys,
+        "agg_spec": {k: list(v) for k, v in agg_spec.items()},
+        "gen": 0,
+        "rows": rows,
+        "applied_run_ids": [run_id],
+    }
+    _commit(path, manifest)
+    return manifest
+
+
+def refresh_matview(path: str, delta_ds, run_id: str) -> dict:
+    """Fold one delta batch into the view, exactly once per ``run_id``.
+
+    A re-delivered run id is a committed no-op (crash-retry safe); the
+    merged state lands as a new generation and the manifest swap is the
+    commit point.  Old generations are pruned only after the commit."""
+    m = load_manifest(path)
+    if run_id in m["applied_run_ids"]:
+        return m  # already folded in — retry must not double-count
+    keys = m["keys"]
+    agg_spec = {k: tuple(v) for k, v in m["agg_spec"].items()}
+    old_gen = m["gen"]
+    base = read_matview(path)
+    delta = _aggregate(delta_ds, agg_spec, keys)
+    # merge existing state with the delta partials: COUNT columns are
+    # already sums in the stored state, so the same fold applies
+    merge_spec = {
+        out: (out, "sum" if fn == "count" else fn)
+        for out, (_src, fn) in agg_spec.items()
+    }
+    merged = _merge_matviews(base, delta, keys, merge_spec)
+    new_gen = old_gen + 1
+    rows = _write_generation(path, new_gen, merged)
+    manifest = dict(
+        m,
+        gen=new_gen,
+        rows=rows,
+        applied_run_ids=m["applied_run_ids"] + [run_id],
+    )
+    _commit(path, manifest)
+    shutil.rmtree(
+        os.path.join(path, f"gen-{old_gen:06d}"), ignore_errors=True
+    )
+    return manifest
+
+
+def _merge_matviews(base_ds, delta_ds, keys, merge_spec):
+    from pynomaly_ray.functions.exchange import hash_aggregate
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(keys, sort=False)
+            .agg(**merge_spec)
+            .reset_index()
+        )
+
+    return hash_aggregate(base_ds.union(delta_ds), keys, fold)
+
+
+def read_matview(path: str):
+    """The committed state as a Dataset (O(#keys) rows)."""
+    m = load_manifest(path)
+    gen_dir = os.path.join(path, f"gen-{m['gen']:06d}")
+    files = sorted(
+        os.path.join(gen_dir, f)
+        for f in os.listdir(gen_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        return rd.from_arrow(pa.table({k: pa.array([]) for k in m["keys"]}))
+    return rd.read_parquet(files)

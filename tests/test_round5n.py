@@ -1,0 +1,147 @@
+"""Wave-28 tests: materialized-view maintenance — incremental identity,
+exactly-once refresh, crash contract, and spec validation."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _mkds(df, parts=4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parts)
+
+
+def _frames(rng, n, keys=("a", "b", "c")):
+    return pd.DataFrame(
+        {
+            "k": rng.choice(list(keys), n),
+            "v": rng.integers(-100, 100, n),
+        }
+    )
+
+
+SPEC = {
+    "n": (None, "count"),
+    "s": ("v", "sum"),
+    "mn": ("v", "min"),
+    "mx": ("v", "max"),
+}
+
+
+def _expected(df):
+    return (
+        df.groupby("k")
+        .agg(n=("v", "size"), s=("v", "sum"), mn=("v", "min"), mx=("v", "max"))
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+
+def _state(path):
+    from pynomaly_ray.state.matview import read_matview
+
+    return (
+        read_matview(path)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)[["k", "n", "s", "mn", "mx"]]
+        .astype({"n": np.int64, "s": np.int64, "mn": np.int64, "mx": np.int64})
+    )
+
+
+def test_matview_incremental_equals_full_recompute(ray_session, tmp_path):
+    from pynomaly_ray.state.matview import create_matview, refresh_matview
+
+    rng = np.random.default_rng(1)
+    base = _frames(rng, 5000)
+    d1 = _frames(rng, 3000)
+    d2 = _frames(rng, 2000, keys=("c", "d", "e"))  # new keys appear
+    path = str(tmp_path / "mv")
+    create_matview(path, _mkds(base), ["k"], SPEC)
+    refresh_matview(path, _mkds(d1), "r1")
+    refresh_matview(path, _mkds(d2), "r2")
+    want = _expected(pd.concat([base, d1, d2], ignore_index=True))
+    got = _state(path)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_matview_retry_is_exactly_once(ray_session, tmp_path):
+    from pynomaly_ray.state.matview import create_matview, refresh_matview
+
+    rng = np.random.default_rng(2)
+    base, d1 = _frames(rng, 1000), _frames(rng, 500)
+    path = str(tmp_path / "mv")
+    create_matview(path, _mkds(base), ["k"], SPEC)
+    m1 = refresh_matview(path, _mkds(d1), "r1")
+    before = _state(path)
+    # re-delivered increment (crash between sink and ack upstream)
+    m2 = refresh_matview(path, _mkds(d1), "r1")
+    assert m2["gen"] == m1["gen"]
+    assert m2["applied_run_ids"] == m1["applied_run_ids"]
+    pd.testing.assert_frame_equal(_state(path), before)
+
+
+def test_matview_uncommitted_refuses_and_old_gen_survives_crash(
+    ray_session, tmp_path
+):
+    from pynomaly_ray.state.matview import (
+        _MANIFEST,
+        create_matview,
+        load_manifest,
+        read_matview,
+        refresh_matview,
+    )
+
+    rng = np.random.default_rng(3)
+    base = _frames(rng, 1000)
+    path = str(tmp_path / "mv")
+    create_matview(path, _mkds(base), ["k"], SPEC)
+    # a crash BEFORE the manifest swap leaves gen-0 serving: simulate a
+    # half-written next generation
+    os.makedirs(os.path.join(path, "gen-000001"), exist_ok=True)
+    assert load_manifest(path)["gen"] == 0
+    assert len(read_matview(path).to_pandas()) == base["k"].nunique()
+    # the retried refresh overwrites the orphan generation and commits
+    refresh_matview(path, _mkds(_frames(rng, 200)), "r1")
+    assert load_manifest(path)["gen"] == 1
+    # no marker at all -> refuse
+    os.remove(os.path.join(path, _MANIFEST))
+    with pytest.raises(FileNotFoundError, match="commit marker"):
+        read_matview(path)
+
+
+def test_matview_rejects_non_mergeable_aggregates(ray_session, tmp_path):
+    from pynomaly_ray.state.matview import create_matview
+
+    df = pd.DataFrame({"k": ["a"], "v": [1]})
+    with pytest.raises(ValueError, match="not mergeable"):
+        create_matview(
+            str(tmp_path / "mv"),
+            _mkds(df, parts=1),
+            ["k"],
+            {"m": ("v", "median")},
+        )
+
+
+def test_matview_min_max_move_correctly(ray_session, tmp_path):
+    from pynomaly_ray.state.matview import create_matview, refresh_matview
+
+    path = str(tmp_path / "mv")
+    base = pd.DataFrame({"k": ["a", "a"], "v": [5, 7]})
+    create_matview(path, _mkds(base, parts=1), ["k"], SPEC)
+    # a delta that extends BOTH extremes of an existing key
+    refresh_matview(
+        path, _mkds(pd.DataFrame({"k": ["a"], "v": [-50]}), parts=1), "r1"
+    )
+    refresh_matview(
+        path, _mkds(pd.DataFrame({"k": ["a"], "v": [99]}), parts=1), "r2"
+    )
+    got = _state(path)
+    assert got.loc[0, "mn"] == -50 and got.loc[0, "mx"] == 99
+    assert got.loc[0, "n"] == 4 and got.loc[0, "s"] == 61
