@@ -165,6 +165,64 @@ def _sample_splitters(ds, keys, kinds, bits: int) -> list[np.ndarray]:
     return splitters
 
 
+def _cluster_and_write(
+    ds, keys, kinds, sp1, sp2, path, num_partitions, name_tmpl
+) -> list[dict]:
+    """Z-code ``ds`` with the given splitters, range-sort on the code,
+    and persist the globally-z-ordered blocks; returns zone dicts."""
+    from pynomaly_ray.functions.exchange import range_sort
+
+    def add_z(t: pa.Table) -> pa.Table:
+        v1 = _as_i64(t[keys[0]], kinds[0])
+        v2 = _as_i64(t[keys[1]], kinds[1])
+        b1 = np.searchsorted(sp1, v1, side="right")
+        b2 = np.searchsorted(sp2, v2, side="right")
+        z = _morton2(b1, b2)
+        # null keys sort to the end of z-space so they cluster in the
+        # last files and never pollute bounding boxes mid-layout
+        nulls = np.zeros(t.num_rows, dtype=bool)
+        for k in keys:
+            if t[k].null_count:
+                nulls |= pc.is_null(t[k]).to_numpy(zero_copy_only=False)
+        z[nulls] = np.iinfo(np.int64).max
+        return t.append_column(_Z_COL, pa.array(z))
+
+    zded = ds.map_batches(add_z, batch_format="pyarrow")
+    sorted_ds = range_sort(zded, _Z_COL, num_partitions)
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _write(t: pa.Table, i: int) -> dict:
+        t = t.replace_schema_metadata(None)
+        if t.num_rows == 0 or _Z_COL not in t.schema.names:
+            return {"file": None, "rows": 0, "boxes": None, "nulls": 0,
+                    "schema_hex": None}
+        t = t.drop_columns([_Z_COL])
+        sch_hex = t.schema.serialize().to_pybytes().hex()
+        dest = os.path.join(path, name_tmpl.format(i=i) + ".parquet")
+        tmp = dest + ".tmp"
+        papq.write_table(t, tmp)
+        os.replace(tmp, dest)
+        boxes, nulls = [], 0
+        for k, kind in zip(keys, kinds):
+            col = t[k]
+            valid = col.drop_null()
+            nulls += int(col.null_count)
+            boxes.append(
+                {
+                    "lo": _ser(pc.min(valid).as_py(), kind)
+                    if len(valid) else None,
+                    "hi": _ser(pc.max(valid).as_py(), kind)
+                    if len(valid) else None,
+                }
+            )
+        return {"file": os.path.basename(dest), "rows": t.num_rows,
+                "boxes": boxes, "nulls": nulls, "schema_hex": sch_hex}
+
+    results = ray.get([_write.remote(r, i) for i, r in enumerate(refs)])
+    return [z for z in results if z["file"] is not None]
+
+
 def write_zorder(
     ds,
     keys,
@@ -204,56 +262,9 @@ def write_zorder(
     kinds = [_key_kind(sch.field(k).type) for k in keys]
     splitters = _sample_splitters(ds, keys, kinds, bits)
     sp1, sp2 = splitters
-
-    def add_z(t: pa.Table) -> pa.Table:
-        v1 = _as_i64(t[keys[0]], kinds[0])
-        v2 = _as_i64(t[keys[1]], kinds[1])
-        b1 = np.searchsorted(sp1, v1, side="right")
-        b2 = np.searchsorted(sp2, v2, side="right")
-        z = _morton2(b1, b2)
-        # null keys sort to the end of z-space so they cluster in the
-        # last files and never pollute bounding boxes mid-layout
-        nulls = np.zeros(t.num_rows, dtype=bool)
-        for k in keys:
-            if t[k].null_count:
-                nulls |= pc.is_null(t[k]).to_numpy(zero_copy_only=False)
-        z[nulls] = np.iinfo(np.int64).max
-        return t.append_column(_Z_COL, pa.array(z))
-
-    zded = ds.map_batches(add_z, batch_format="pyarrow")
-    sorted_ds = range_sort(zded, _Z_COL, num_partitions)
-    refs = sorted_ds.to_arrow_refs()
-
-    @ray.remote
-    def _write(t: pa.Table, i: int) -> dict:
-        t = t.replace_schema_metadata(None)
-        if t.num_rows == 0 or _Z_COL not in t.schema.names:
-            return {"file": None, "rows": 0, "boxes": None, "nulls": 0,
-                    "schema_hex": None}
-        t = t.drop_columns([_Z_COL])
-        sch_hex = t.schema.serialize().to_pybytes().hex()
-        dest = os.path.join(path, f"part-{i:05d}.parquet")
-        tmp = dest + ".tmp"
-        papq.write_table(t, tmp)
-        os.replace(tmp, dest)
-        boxes, nulls = [], 0
-        for k, kind in zip(keys, kinds):
-            col = t[k]
-            valid = col.drop_null()
-            nulls += int(col.null_count)
-            boxes.append(
-                {
-                    "lo": _ser(pc.min(valid).as_py(), kind)
-                    if len(valid) else None,
-                    "hi": _ser(pc.max(valid).as_py(), kind)
-                    if len(valid) else None,
-                }
-            )
-        return {"file": os.path.basename(dest), "rows": t.num_rows,
-                "boxes": boxes, "nulls": nulls, "schema_hex": sch_hex}
-
-    results = ray.get([_write.remote(r, i) for i, r in enumerate(refs)])
-    zones = [z for z in results if z["file"] is not None]
+    zones = _cluster_and_write(
+        ds, keys, kinds, sp1, sp2, path, num_partitions, "part-{i:05d}"
+    )
     if not zones:
         raise ValueError(
             "write_zorder needs at least one non-empty typed block"
@@ -263,6 +274,10 @@ def write_zorder(
         "kinds": kinds,
         "bits": bits,
         "rows": int(sum(z["rows"] for z in zones)),
+        "gen": 0,
+        # splitters persist so appends z-code deltas with the SAME
+        # rank mapping — new files cluster consistently with old ones
+        "splitters": [sp1.tolist(), sp2.tolist()],
         "zones": [
             {k: z[k] for k in ("file", "rows", "boxes", "nulls")}
             for z in zones
@@ -286,6 +301,45 @@ def load_manifest(path: str) -> dict:
         )
     with open(mp) as f:
         return json.load(f)
+
+
+def append_zorder(ds, path: str, num_partitions: int | None = None) -> dict:
+    """Append a delta to a committed z-order layout without touching its
+    existing files — the crawl-increment shape for a 2-D-clustered
+    corpus.
+
+    The delta is z-coded with the layout's PERSISTED splitters (so new
+    rows cluster consistently with old ones), range-sorted on the code,
+    and lands as its own generation of part files
+    (``part-g<gen>-<i>.parquet``); the manifest is atomically replaced
+    LAST with the union of zones.  Scans stay exact because pruning
+    consults per-file bounding boxes, not file order — overlapping
+    generations just mean a rectangle may open files from more than one
+    generation until a rewrite re-clusters."""
+    m = load_manifest(path)
+    keys, kinds = m["keys"], m["kinds"]
+    sp1 = np.asarray(m["splitters"][0], dtype=np.int64)
+    sp2 = np.asarray(m["splitters"][1], dtype=np.int64)
+    gen = int(m.get("gen", 0)) + 1
+    zones = _cluster_and_write(
+        ds, keys, kinds, sp1, sp2, path, num_partitions,
+        f"part-g{gen:03d}-{{i:05d}}",
+    )
+    manifest = dict(
+        m,
+        gen=gen,
+        rows=m["rows"] + int(sum(z["rows"] for z in zones)),
+        zones=m["zones"]
+        + [
+            {k: z[k] for k in ("file", "rows", "boxes", "nulls")}
+            for z in zones
+        ],
+    )
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+    return manifest
 
 
 def _overlaps(box, lo, hi) -> bool:

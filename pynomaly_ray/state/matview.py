@@ -200,6 +200,80 @@ def refresh_matview(path: str, delta_ds, run_id: str) -> dict:
     return manifest
 
 
+def retract_matview(path: str, delta_ds, run_id: str) -> dict:
+    """Remove previously-folded rows from the view (CDC deletes),
+    exactly once per ``run_id``.
+
+    Only sign-invertible aggregates support retraction — ``sum`` and
+    ``count`` negate cleanly; ``min``/``max`` would need the dropped
+    rows' full groups, so a spec containing them is rejected up front.
+    Keys whose count reaches zero vanish from the view (SQL GROUP BY
+    semantics: no surviving rows, no group); a count driven NEGATIVE
+    means the caller retracted rows never folded in — that's corruption,
+    and the refresh aborts BEFORE the commit point, leaving the prior
+    generation serving."""
+    m = load_manifest(path)
+    if run_id in m["applied_run_ids"]:
+        return m
+    agg_spec = {k: tuple(v) for k, v in m["agg_spec"].items()}
+    bad = [k for k, (_s, fn) in agg_spec.items() if fn in ("min", "max")]
+    if bad:
+        raise ValueError(
+            f"retraction needs sign-invertible aggregates; {bad} are "
+            "min/max (rebuild the view or re-create without them)"
+        )
+    count_cols = [k for k, (_s, fn) in agg_spec.items() if fn == "count"]
+    if not count_cols:
+        raise ValueError(
+            "retraction needs at least one count aggregate in the spec "
+            "to know when a key's last row is gone"
+        )
+    keys = m["keys"]
+    old_gen = m["gen"]
+    base = read_matview(path)
+    delta = _aggregate(delta_ds, agg_spec, keys)
+
+    def negate(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        for out in agg_spec:
+            df[out] = -df[out]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    merged = _merge_matviews(
+        base,
+        delta.map_batches(negate, batch_format="pyarrow"),
+        keys,
+        {out: (out, "sum") for out in agg_spec},
+    )
+
+    def drop_empty(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cnt = df[count_cols[0]]
+        if (cnt < 0).any():
+            raise ValueError(
+                "retraction drove a count negative — the delta contains "
+                "rows never folded into this view"
+            )
+        return pa.Table.from_pandas(
+            df[cnt > 0], preserve_index=False
+        )
+
+    merged = merged.map_batches(drop_empty, batch_format="pyarrow")
+    new_gen = old_gen + 1
+    rows = _write_generation(path, new_gen, merged)
+    manifest = dict(
+        m,
+        gen=new_gen,
+        rows=rows,
+        applied_run_ids=m["applied_run_ids"] + [run_id],
+    )
+    _commit(path, manifest)
+    shutil.rmtree(
+        os.path.join(path, f"gen-{old_gen:06d}"), ignore_errors=True
+    )
+    return manifest
+
+
 def _merge_matviews(base_ds, delta_ds, keys, merge_spec):
     from pynomaly_ray.functions.exchange import hash_aggregate
 

@@ -223,3 +223,102 @@ def test_cli_layout_zorder_and_sorted(ray_session, tmp_path, capsys):
         ]
     )
     assert rc == 2
+
+
+def test_zorder_append_exact_and_pruned(ray_session, tmp_path):
+    from pynomaly_ray.sources.zorder_layout import (
+        append_zorder,
+        load_manifest,
+        write_zorder,
+        zorder_plan,
+        zorder_scan,
+    )
+
+    rng = np.random.default_rng(13)
+    base = pd.DataFrame(
+        {
+            "a": rng.integers(0, 10_000, 30_000),
+            "b": rng.integers(0, 10_000, 30_000),
+            "v": 0,
+        }
+    )
+    delta = pd.DataFrame(
+        {
+            "a": rng.integers(0, 10_000, 10_000),
+            "b": rng.integers(0, 10_000, 10_000),
+            "v": 1,
+        }
+    )
+    path = str(tmp_path / "za")
+    write_zorder(_mkds(base), ["a", "b"], path, num_partitions=8)
+    m = append_zorder(_mkds(delta, parts=4), path, num_partitions=4)
+    assert m["rows"] == 40_000 and m["gen"] == 1
+    total = len(load_manifest(path)["zones"])
+    assert total == 12
+    # rectangle scans stay exact across generations
+    r1, r2 = (2000, 3000), (2000, 3000)
+    got = zorder_scan(path, r1, r2).to_pandas()
+    both = pd.concat([base, delta], ignore_index=True)
+    want = both[
+        (both.a >= r1[0]) & (both.a <= r1[1])
+        & (both.b >= r2[0]) & (both.b <= r2[1])
+    ]
+    assert len(got) == len(want)
+    assert got["v"].sum() == want["v"].sum()  # rows from BOTH generations
+    # pruning still effective (delta was z-coded with the same splitters)
+    assert len(zorder_plan(path, r1, r2)) < total
+
+
+def test_matview_retraction(ray_session, tmp_path):
+    from pynomaly_ray.state.matview import (
+        create_matview,
+        read_matview,
+        refresh_matview,
+        retract_matview,
+    )
+
+    spec = {"n": (None, "count"), "s": ("v", "sum")}
+    path = str(tmp_path / "mvr")
+    base = pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 10]})
+    d1 = pd.DataFrame({"k": ["b", "c"], "v": [5, 7]})
+    create_matview(path, _mkds(base, parts=1), ["k"], spec)
+    refresh_matview(path, _mkds(d1, parts=1), "r1")
+    # retract d1: state must equal the base-only aggregate, and key c
+    # (whose last row is gone) must vanish from the view
+    m = retract_matview(path, _mkds(d1, parts=1), "x1")
+    got = (
+        read_matview(path).to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(got["k"]) == ["a", "b"]
+    assert list(got["n"].astype(int)) == [2, 1]
+    assert list(got["s"].astype(int)) == [3, 10]
+    # exactly-once: re-delivered retraction is a no-op
+    m2 = retract_matview(path, _mkds(d1, parts=1), "x1")
+    assert m2["gen"] == m["gen"]
+    # over-retraction (rows never folded in) aborts before commit
+    with pytest.raises(Exception, match="negative"):
+        retract_matview(
+            path,
+            _mkds(pd.DataFrame({"k": ["zz"], "v": [1]}), parts=1),
+            "x2",
+        )
+    # the failed retraction left the committed state serving
+    again = (
+        read_matview(path).to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_matview_retraction_rejects_min_max(ray_session, tmp_path):
+    from pynomaly_ray.state.matview import create_matview, retract_matview
+
+    path = str(tmp_path / "mvx")
+    df = pd.DataFrame({"k": ["a"], "v": [1]})
+    create_matview(
+        path,
+        _mkds(df, parts=1),
+        ["k"],
+        {"n": (None, "count"), "mn": ("v", "min")},
+    )
+    with pytest.raises(ValueError, match="sign-invertible"):
+        retract_matview(path, _mkds(df, parts=1), "x1")
