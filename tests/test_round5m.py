@@ -322,3 +322,30 @@ def test_matview_retraction_rejects_min_max(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="sign-invertible"):
         retract_matview(path, _mkds(df, parts=1), "x1")
+
+
+def test_zorder_degenerate_rectangles(ray_session, zl):
+    from pynomaly_ray.sources.zorder_layout import zorder_plan, zorder_scan
+
+    df, path, _m = zl
+    # single-point rectangle
+    a0, b0 = int(df.iloc[0]["a"]), int(df.iloc[0]["b"])
+    got = zorder_scan(path, (a0, a0), (b0, b0)).to_pandas()
+    want = df[(df.a == a0) & (df.b == b0)]
+    assert len(got) == len(want) >= 1
+    # rectangle fully outside the domain: the plan is empty and the
+    # scan returns a TYPED empty dataset (schema survives zero files)
+    assert zorder_plan(path, (1_000_000, 2_000_000), (None, None)) == []
+    empty = zorder_scan(path, (1_000_000, 2_000_000), (None, None))
+    edf = empty.to_pandas()
+    assert len(edf) == 0
+    assert set(["a", "b", "payload"]) <= set(empty.schema().names)
+    # empty plan with column projection keeps the projected schema
+    ep = zorder_scan(
+        path, (1_000_000, 2_000_000), (None, None), columns=["payload"]
+    )
+    assert ep.schema().names == ["payload"] and len(ep.to_pandas()) == 0
+    # in-domain rectangle with no matching rows still returns exact zero
+    got2 = zorder_scan(path, (0, 0), (9_999, 9_999)).to_pandas()
+    want2 = df[(df.a == 0) & (df.b == 9_999)]
+    assert len(got2) == len(want2)
