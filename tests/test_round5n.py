@@ -145,3 +145,55 @@ def test_matview_min_max_move_correctly(ray_session, tmp_path):
     got = _state(path)
     assert got.loc[0, "mn"] == -50 and got.loc[0, "mx"] == 99
     assert got.loc[0, "n"] == 4 and got.loc[0, "s"] == 61
+
+
+def test_vocab_build_and_oov_match_pandas(ray_session):
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.pipelines.queries_wave30 import (
+        _OOV_K,
+        q_oov_rates,
+        q_vocab_build,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = q_vocab_build(SF)
+    d = papq.read_table(SF + "/documents.parquet", columns=["source", "text"])
+    toks = d["text"].to_pandas().fillna("").str.findall(r"[^ \t\n\r\f\v]+")
+    flat = toks.explode().dropna()
+    counts = flat.value_counts()
+    want = (
+        counts.rename_axis("token")
+        .reset_index(name="cnt")
+        .sort_values(["cnt", "token"], ascending=[False, True])
+        .head(1000)
+        .reset_index(drop=True)
+    )
+    assert (got["token"].to_numpy() == want["token"].to_numpy()).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    # ids are dense 1..n ranks
+    assert (got["token_id"].to_numpy() == np.arange(1, len(got) + 1)).all()
+
+    oov = q_oov_rates(SF)
+    vocab = set(want.head(_OOV_K)["token"])
+    src = pd.Series(
+        np.repeat(
+            d["source"].to_pandas().to_numpy(),
+            toks.str.len().to_numpy(dtype=np.int64),
+        )
+    )
+    is_oov = (~flat.isin(vocab)).to_numpy(np.int64)
+    wantd = (
+        pd.DataFrame({"source": src.to_numpy(), "oov": is_oov})
+        .groupby("source")
+        .agg(n_tokens=("oov", "size"), n_oov=("oov", "sum"))
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    oov = oov.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        oov, wantd.astype(oov.dtypes.to_dict())
+    )
+    assert (oov["n_oov"] <= oov["n_tokens"]).all()
+    assert oov["n_oov"].sum() > 0  # the cutoff actually bites
