@@ -197,3 +197,22 @@ def test_vocab_build_and_oov_match_pandas(ray_session):
     )
     assert (oov["n_oov"] <= oov["n_tokens"]).all()
     assert oov["n_oov"].sum() > 0  # the cutoff actually bites
+
+
+def test_token_diversity_batch_and_layout_invariant(
+    ray_session, monkeypatch
+):
+    """Σcnt² must square GLOBAL per-(source,token) counts — a fold that
+    squared per-batch partials would understate collision mass, so the
+    result must be invariant to batch and bucket layout."""
+    from pynomaly_ray.pipelines.queries_wave31 import q_token_diversity
+
+    SF = "/root/testdata/sf0.001"
+    base = q_token_diversity(SF).reset_index(drop=True)
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "2048")
+    forced = q_token_diversity(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    # collision mass >= n_tokens (every type contributes cnt² >= cnt),
+    # with equality iff every token is unique
+    assert (base["collision_mass"] >= base["n_tokens"]).all()
+    assert (base["n_types"] <= base["n_tokens"]).all()
