@@ -674,6 +674,82 @@ def cmd_layout(args) -> int:
     return 0
 
 
+def cmd_matview(args) -> int:
+    """Operate an incrementally-maintained aggregate view
+    (state/matview.py): create from a table, fold increments in
+    (exactly once per --run-id), retract CDC deletes, or dump the
+    current state."""
+    import os
+
+    _ensure_ray(args.num_cpus)
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+    from pynomaly_ray.state.matview import (
+        create_matview,
+        load_manifest,
+        read_matview,
+        refresh_matview,
+        retract_matview,
+    )
+
+    if args.action == "read":
+        m = load_manifest(args.view)
+        df = read_matview(args.view).to_pandas()
+        if args.out:
+            import pyarrow as pa
+            import pyarrow.parquet as papq
+
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            papq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False), args.out
+            )
+        print(
+            json.dumps(
+                {
+                    "action": "read",
+                    "rows": int(len(df)),
+                    "gen": m["gen"],
+                    "applied_run_ids": m["applied_run_ids"],
+                }
+            )
+        )
+        return 0
+
+    ds = read_parquet_clean(args.input)
+    if args.action == "create":
+        spec = {}
+        for part in args.agg.split(","):
+            out_col, expr = part.split("=", 1)
+            fn, _, src = expr.partition(":")
+            spec[out_col] = (src or None, fn)
+        try:
+            m = create_matview(
+                args.view, ds, args.keys.split(","), spec,
+                run_id=args.run_id,
+            )
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 2
+    elif args.action == "refresh":
+        m = refresh_matview(args.view, ds, args.run_id)
+    else:  # retract
+        try:
+            m = retract_matview(args.view, ds, args.run_id)
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 2
+    print(
+        json.dumps(
+            {
+                "action": args.action,
+                "gen": m["gen"],
+                "rows": m["rows"],
+                "applied_run_ids": m["applied_run_ids"],
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pynomaly_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -904,6 +980,32 @@ def main(argv=None) -> int:
     ly.add_argument("--columns", default=None, help="prune to these columns")
     ly.add_argument("--num-cpus", type=int, default=None)
     ly.set_defaults(fn=cmd_layout)
+
+    mv = sub.add_parser(
+        "matview",
+        help="create / refresh / retract / read an exactly-once "
+        "incrementally-maintained aggregate view",
+    )
+    mv.add_argument(
+        "action", choices=["create", "refresh", "retract", "read"]
+    )
+    mv.add_argument("--view", required=True, help="view state dir")
+    mv.add_argument(
+        "--input", default=None, help="parquet table (not needed for read)"
+    )
+    mv.add_argument(
+        "--keys", default=None, help="create only: comma-separated group keys"
+    )
+    mv.add_argument(
+        "--agg",
+        default=None,
+        help="create only: out=fn[:src] pairs, comma-separated "
+        "(e.g. n=count,s=sum:v,mn=min:v)",
+    )
+    mv.add_argument("--run-id", default="base")
+    mv.add_argument("--out", default=None, help="read only: dump parquet here")
+    mv.add_argument("--num-cpus", type=int, default=None)
+    mv.set_defaults(fn=cmd_matview)
 
     args = p.parse_args(argv)
     return args.fn(args)

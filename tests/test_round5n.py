@@ -216,3 +216,76 @@ def test_token_diversity_batch_and_layout_invariant(
     # with equality iff every token is unique
     assert (base["collision_mass"] >= base["n_tokens"]).all()
     assert (base["n_types"] <= base["n_tokens"]).all()
+
+
+def test_cli_matview_lifecycle(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.cli import main
+
+    SF = "/root/testdata/sf0.001"
+    view = str(tmp_path / "mv")
+
+    def run(argv):
+        rc = main(argv)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    rc, rec = run(
+        [
+            "matview", "create", "--view", view,
+            "--input", SF + "/documents.parquet",
+            "--keys", "source",
+            "--agg", "n_docs=count,sum_chars=sum:n_chars",
+        ]
+    )
+    assert rc == 0 and rec["gen"] == 0
+    rc, rec = run(
+        [
+            "matview", "refresh", "--view", view,
+            "--input", SF + "/documents.parquet", "--run-id", "r1",
+        ]
+    )
+    assert rc == 0 and rec["gen"] == 1
+    # retract the same increment -> state equals the base aggregate
+    rc, rec = run(
+        [
+            "matview", "retract", "--view", view,
+            "--input", SF + "/documents.parquet", "--run-id", "x1",
+        ]
+    )
+    assert rc == 0 and rec["gen"] == 2
+    dump = str(tmp_path / "state.parquet")
+    rc, rec = run(["matview", "read", "--view", view, "--out", dump])
+    assert rc == 0 and rec["applied_run_ids"] == ["base", "r1", "x1"]
+    got = (
+        papq.read_table(dump)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    d = papq.read_table(
+        SF + "/documents.parquet", columns=["source", "n_chars"]
+    ).to_pandas()
+    want = (
+        d.groupby("source")
+        .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert (got["n_docs"].to_numpy(np.int64) == want["n_docs"].to_numpy()).all()
+    assert (
+        got["sum_chars"].to_numpy(np.int64) == want["sum_chars"].to_numpy()
+    ).all()
+    # bad spec surfaces as rc=2, not a traceback
+    rc, rec = run(
+        [
+            "matview", "create", "--view", str(tmp_path / "mv2"),
+            "--input", SF + "/documents.parquet",
+            "--keys", "source", "--agg", "m=median:n_chars",
+        ]
+    )
+    assert rc == 2 and "error" in rec
