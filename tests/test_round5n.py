@@ -289,3 +289,50 @@ def test_cli_matview_lifecycle(ray_session, tmp_path, capsys):
         ]
     )
     assert rc == 2 and "error" in rec
+
+
+def test_matview_hll_distinct_maintenance(ray_session, tmp_path):
+    """An hll view column maintains approximate COUNT(DISTINCT) across
+    increments: after three refreshes the estimate must track the exact
+    distinct count of the union (registers max-merge, so re-ingesting
+    the SAME values must not move the estimate at all)."""
+    from pynomaly_ray.state.matview import (
+        create_matview,
+        hll_estimates,
+        read_matview,
+        refresh_matview,
+        retract_matview,
+    )
+
+    rng = np.random.default_rng(17)
+
+    def chunk(lo, hi, n):
+        return pd.DataFrame(
+            {
+                "k": rng.choice(["x", "y"], n),
+                "u": rng.integers(lo, hi, n).astype(str),
+            }
+        )
+
+    base = chunk(0, 5000, 8000)
+    d1 = chunk(2500, 7500, 8000)
+    d2 = chunk(5000, 10000, 8000)
+    spec = {"n": (None, "count"), "du": ("u", "hll")}
+    path = str(tmp_path / "mvh")
+    create_matview(path, _mkds(base), ["k"], spec)
+    refresh_matview(path, _mkds(d1), "r1")
+    refresh_matview(path, _mkds(d2), "r2")
+    got = read_matview(path).to_pandas().sort_values("k").reset_index(drop=True)
+    est = hll_estimates(got, "du")
+    allrows = pd.concat([base, d1, d2], ignore_index=True)
+    exact = allrows.groupby("k")["u"].nunique().sort_index().to_numpy()
+    assert np.all(np.abs(est - exact) / exact < 0.05)
+    # idempotence: re-ingesting already-seen values cannot move registers
+    refresh_matview(path, _mkds(d2), "r3")
+    got2 = (
+        read_matview(path).to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert (hll_estimates(got2, "du") == est).all()
+    # hll is not sign-invertible: retraction refuses up front
+    with pytest.raises(ValueError, match="sign-invertible"):
+        retract_matview(path, _mkds(d2), "x1")
