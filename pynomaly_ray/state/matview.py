@@ -11,9 +11,10 @@ for distributive aggregates:
     state'  =  merge_by_key(state, partial_agg(delta))
 
 Only mergeable aggregate functions are accepted (``sum``, ``count``,
-``min``, ``max``, and ``hll`` — approximate COUNT(DISTINCT) as
+``min``, ``max``, ``hll`` — approximate COUNT(DISTINCT) as
 max-mergeable HyperLogLog register blobs, estimated at read time via
-:func:`hll_estimates`); an average is maintained as (sum, count) and
+:func:`hll_estimates` — and ``kll``: mergeable KLL quantile sketches,
+queried at read time via :func:`kll_quantiles`); an average is maintained as (sum, count) and
 divided at read time — the same decomposition the engine's map-side
 partials use everywhere else.
 
@@ -48,8 +49,9 @@ import ray
 import ray.data as rd
 
 _MANIFEST = "_matview.json"
-_MERGEABLE = {"sum", "count", "min", "max", "hll"}
+_MERGEABLE = {"sum", "count", "min", "max", "hll", "kll"}
 _HLL_P = 12  # 4096 registers (~0.8% rel. error), 4 KiB per (key, column)
+_KLL_K = 256  # KLL buffer width: O(1/k) rank error, O(k log n) state
 
 
 def _validate_spec(agg_spec: dict) -> None:
@@ -74,15 +76,46 @@ def _hll_agg(series: pd.Series) -> bytes:
     return hll_merge(parts, p=_HLL_P).tobytes()
 
 
+def _kll_to_bytes(sk) -> bytes:
+    """(values, levels) -> one blob: int64 count, then int8 levels,
+    then float64 values — a fixed self-describing layout so the state
+    survives parquet round trips as a plain binary column."""
+    vals, lvls = sk.to_arrays()
+    n = np.array([len(vals)], dtype=np.int64)
+    return n.tobytes() + lvls.astype(np.int8).tobytes() + vals.tobytes()
+
+
+def _kll_from_bytes(b: bytes):
+    from pynomaly_ray.functions.sketches import KLLSketch
+
+    n = int(np.frombuffer(b[:8], dtype=np.int64)[0])
+    lvls = np.frombuffer(b[8 : 8 + n], dtype=np.int8)
+    vals = np.frombuffer(b[8 + n :], dtype=np.float64)
+    return KLLSketch.from_arrays(vals, lvls, k=_KLL_K)
+
+
+def _kll_agg(series: pd.Series) -> bytes:
+    """Fold KLL blobs: concatenate-then-compact merge (deterministic
+    compaction, rank error stays in the O(1/k) envelope)."""
+    it = iter(series)
+    sk = _kll_from_bytes(next(it))
+    for b in it:
+        sk.merge(_kll_from_bytes(b))
+    return _kll_to_bytes(sk)
+
+
 def _fold_how(agg_spec: dict) -> dict:
     """groupby-agg spec for folding PARTIALS (count is already a sum;
-    hll registers fold by element-wise max)."""
+    hll registers fold by element-wise max; kll sketches by
+    concatenate-then-compact merge)."""
     out = {}
     for col, (_src, fn) in agg_spec.items():
         if fn == "count":
             out[col] = "sum"
         elif fn == "hll":
             out[col] = _hll_agg
+        elif fn == "kll":
+            out[col] = _kll_agg
         else:
             out[col] = fn
     return out
@@ -94,7 +127,7 @@ def _partial(agg_spec: dict, keys: list[str]):
     per-(key)-group register blob."""
 
     def f(t: pa.Table) -> pa.Table:
-        from pynomaly_ray.functions.sketches import hll_partial
+        from pynomaly_ray.functions.sketches import KLLSketch, hll_partial
 
         df = t.to_pandas()
         named = {}
@@ -108,6 +141,15 @@ def _partial(agg_spec: dict, keys: list[str]):
                     lambda s: hll_partial(
                         s.to_numpy(), p=_HLL_P
                     ).tobytes(),
+                )
+            elif fn == "kll":
+                named[out_col] = (
+                    src,
+                    lambda s: _kll_to_bytes(
+                        KLLSketch(k=_KLL_K).add(
+                            s.to_numpy(dtype=np.float64)
+                        )
+                    ),
                 )
             else:
                 named[out_col] = (src, fn)
@@ -250,12 +292,12 @@ def retract_matview(path: str, delta_ds, run_id: str) -> dict:
         return m
     agg_spec = {k: tuple(v) for k, v in m["agg_spec"].items()}
     bad = [
-        k for k, (_s, fn) in agg_spec.items() if fn in ("min", "max", "hll")
+        k for k, (_s, fn) in agg_spec.items() if fn in ("min", "max", "hll", "kll")
     ]
     if bad:
         raise ValueError(
             f"retraction needs sign-invertible aggregates; {bad} are "
-            "min/max/hll (rebuild the view or re-create without them)"
+            "min/max/hll/kll (rebuild the view or re-create without them)"
         )
     count_cols = [k for k, (_s, fn) in agg_spec.items() if fn == "count"]
     if not count_cols:
@@ -343,4 +385,12 @@ def hll_estimates(df: pd.DataFrame, col: str) -> np.ndarray:
             hll_estimate(np.frombuffer(b, dtype=np.uint8))
             for b in df[col]
         ]
+    )
+
+
+def kll_quantiles(df: pd.DataFrame, col: str, q: float) -> np.ndarray:
+    """Read-time approximate quantiles for a ``kll`` view column
+    (sketch blobs -> per-key quantile values; rank error O(1/k))."""
+    return np.array(
+        [_kll_from_bytes(b).quantile(q) for b in df[col]]
     )

@@ -336,3 +336,46 @@ def test_matview_hll_distinct_maintenance(ray_session, tmp_path):
     # hll is not sign-invertible: retraction refuses up front
     with pytest.raises(ValueError, match="sign-invertible"):
         retract_matview(path, _mkds(d2), "x1")
+
+
+def test_matview_kll_quantile_maintenance(ray_session, tmp_path):
+    """A kll view column maintains per-key quantiles across increments:
+    after two refreshes the p50/p90 must be within KLL rank error of
+    the exact quantiles of the union."""
+    from pynomaly_ray.state.matview import (
+        create_matview,
+        kll_quantiles,
+        read_matview,
+        refresh_matview,
+        retract_matview,
+    )
+
+    rng = np.random.default_rng(23)
+
+    def chunk(scale, n):
+        return pd.DataFrame(
+            {
+                "k": rng.choice(["x", "y"], n),
+                "v": rng.normal(scale, 10.0, n),
+            }
+        )
+
+    base, d1, d2 = chunk(0, 6000), chunk(50, 6000), chunk(100, 6000)
+    spec = {"n": (None, "count"), "qv": ("v", "kll")}
+    path = str(tmp_path / "mvk")
+    create_matview(path, _mkds(base), ["k"], spec)
+    refresh_matview(path, _mkds(d1), "r1")
+    refresh_matview(path, _mkds(d2), "r2")
+    got = read_matview(path).to_pandas().sort_values("k").reset_index(drop=True)
+    allrows = pd.concat([base, d1, d2], ignore_index=True)
+    for q in (0.5, 0.9):
+        est = kll_quantiles(got, "qv", q)
+        for i, key in enumerate(got["k"]):
+            vals = np.sort(allrows.loc[allrows.k == key, "v"].to_numpy())
+            # rank error bound: the estimate's true rank must be within
+            # a few percent of q*n (KLL O(1/k) envelope, k=256)
+            rank = np.searchsorted(vals, est[i]) / len(vals)
+            assert abs(rank - q) < 0.05, (key, q, rank)
+    # kll is not sign-invertible either
+    with pytest.raises(ValueError, match="sign-invertible"):
+        retract_matview(path, _mkds(d1), "x1")
