@@ -379,3 +379,22 @@ def test_matview_kll_quantile_maintenance(ray_session, tmp_path):
     # kll is not sign-invertible either
     with pytest.raises(ValueError, match="sign-invertible"):
         retract_matview(path, _mkds(d1), "x1")
+
+
+def test_curated_source_stats_layout_invariant(ray_session, monkeypatch):
+    """The composed curation chain (filter -> keep-first dedup ->
+    aggregate) must be invariant to exchange fan-out: the keep-first
+    winner is decided on exact text inside whatever bucket its hash
+    lands in."""
+    from pynomaly_ray.pipelines.queries_wave35 import q_curated_source_stats
+
+    SF = "/root/testdata/sf0.001"
+    base = q_curated_source_stats(SF).reset_index(drop=True)
+    monkeypatch.setenv("PNR_BUCKET_TARGET_BYTES", "2048")
+    forced = q_curated_source_stats(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    # the filter and the dedup both bite on this corpus
+    import pyarrow.parquet as papq
+
+    total = papq.read_metadata(SF + "/documents.parquet").num_rows
+    assert 0 < base["n_docs"].sum() < total
