@@ -1023,3 +1023,166 @@ def interval_overlap_join(
     return hash_join(
         el, er, ["_g"], merge_fn=filt, num_partitions=num_partitions
     )
+
+
+# ---------------------------------------------------------------------------
+# Automatic skew-hardened join: detect hot keys, salt only them.
+#
+# hash_join's docstring tells the caller to handle skew by hand (raise
+# fan-out / pre-aggregate / salt).  skew_join automates the playbook the
+# `salted_hot_join` query certifies: a cheap key-only detection pass
+# lower-bounds each key's frequency from per-block top-k partials, and
+# the join then salts ONLY the keys above threshold — hot left rows
+# spread across `num_salts` sub-buckets, the matching right rows are
+# replicated once per salt, cold keys pay nothing (salt 0, exactly one
+# right copy).  One exchange, inner-join semantics, results identical
+# to hash_join by construction regardless of what detection finds.
+# ---------------------------------------------------------------------------
+def detect_hot_keys(
+    ds, key: str, threshold: int, per_block_topk: int = 64
+) -> pa.Array:
+    """Keys of ``ds[key]`` whose global row count provably reaches
+    ``threshold``, as a pyarrow Array (the broadcast surface).
+
+    Per-block top-``per_block_topk`` value counts flow to the driver —
+    bounded at blocks x top-k rows no matter the corpus — and are
+    summed there, so each reported count is a LOWER bound of the true
+    count (a key missing a block's top-k loses that block's share).  A
+    genuinely hot key dominates most blocks it appears in, so the
+    bound is tight exactly where it matters; borderline keys may go
+    undetected, which affects routing only, never correctness.  NULL
+    keys are never reported (an all-NULL hot key would take the
+    unsalted route — still correct, just unprotected)."""
+    import pyarrow.compute as _pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = _pc.value_counts(col)
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        valid = np.nonzero(
+            ~_pc.is_null(vals).to_numpy(zero_copy_only=False)
+        )[0]
+        if len(valid) > per_block_topk:
+            order = np.argpartition(-cnts[valid], per_block_topk - 1)
+            valid = valid[order[:per_block_topk]]
+        sel = pa.array(valid, pa.int64())
+        return pa.table(
+            {
+                key: vals.take(sel),
+                "_cnt": pa.array(cnts[valid], pa.int64()),
+            }
+        )
+
+    parts = ray.get(
+        list(
+            ds.select_columns([key])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    typed = [t for t in parts if key in t.schema.names]
+    if not typed:
+        return pa.array([], pa.null())
+    allt = pa.concat_tables(typed, promote_options="permissive")
+    if allt.num_rows == 0:
+        return allt[key].combine_chunks()
+    g = allt.group_by(key).aggregate([("_cnt", "sum")])
+    hot = g.filter(
+        _pc.greater_equal(g["_cnt_sum"], pa.scalar(int(threshold)))
+    )
+    return hot[key].combine_chunks()
+
+
+def skew_join(
+    ds_left,
+    ds_right,
+    on: str,
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    num_partitions: int | None = None,
+    num_salts: int = 16,
+    hot_threshold: int = 1_000_000,
+    hot_keys=None,
+    salt_from: str | None = None,
+):
+    """Skew-aware INNER hash join: hash_join semantics, hot keys salted
+    automatically so no reducer ever holds one key's full row set.
+
+    Detection runs :func:`detect_hot_keys` over the LEFT (fact) side's
+    key column only (project your Dataset or pass a parquet read so the
+    extra pass stays key-only and cheap); pass ``hot_keys`` to skip it
+    (e.g. reuse one detection across several joins).  With no hot keys
+    this IS hash_join.  Otherwise both sides gain a ``_salt`` column —
+    left hot rows cycle deterministically through ``num_salts`` values
+    (block-local position, or ``salt_of(row[salt_from])`` when a stable
+    per-row column is available), right hot rows are replicated once
+    per salt, cold rows ride salt 0 unreplicated — and ONE exchange on
+    (key, salt) joins them.  ``_salt`` never reaches ``merge_fn`` or
+    the output.  Inner only: null-extending a salted right row would
+    produce num_salts copies of a left miss.  Null-key rows follow
+    hash_join's pd.merge semantics (NA matches NA, unlike SQL); both
+    sides' nulls ride salt 0.
+    """
+    import pyarrow.compute as _pc
+
+    from pynomaly_ray.functions.hashing import salt_of
+
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(ds_left, on, hot_threshold)
+    if len(hot_keys) == 0:
+        return hash_join(
+            ds_left,
+            ds_right,
+            [on],
+            merge_fn=merge_fn,
+            num_partitions=num_partitions,
+        )
+    hot_ref = ray.put(hot_keys)
+    n_salts = int(num_salts)
+
+    def left_salt(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        mask = _pc.fill_null(
+            _pc.is_in(t[on], value_set=hot), False
+        ).to_numpy(zero_copy_only=False)
+        if salt_from is not None:
+            salts = salt_of(
+                t[salt_from].to_numpy(zero_copy_only=False), n_salts
+            )
+        else:
+            # block-local position: deterministic under task retry
+            # (a retried map task re-sees the identical block)
+            salts = np.arange(len(mask), dtype=np.int64) % n_salts
+        return t.append_column(
+            "_salt", pa.array(np.where(mask, salts, 0), pa.int64())
+        )
+
+    def right_replicate(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        mask = _pc.fill_null(
+            _pc.is_in(t[on], value_set=hot), False
+        ).to_numpy(zero_copy_only=False)
+        reps = np.where(mask, n_salts, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(mask), dtype=np.int64), reps)
+        # salt within each source row's replication run: 0..reps-1
+        salts = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column("_salt", pa.array(salts, pa.int64()))
+
+    if merge_fn is not None:
+        inner_merge = lambda df: merge_fn(  # noqa: E731
+            df.drop(columns=["_salt"])
+        )
+    else:
+        inner_merge = lambda df: df.drop(columns=["_salt"])  # noqa: E731
+    return hash_join(
+        ds_left.map_batches(left_salt, batch_format="pyarrow"),
+        ds_right.map_batches(right_replicate, batch_format="pyarrow"),
+        [on, "_salt"],
+        merge_fn=inner_merge,
+        num_partitions=num_partitions,
+    )

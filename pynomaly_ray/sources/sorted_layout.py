@@ -386,6 +386,156 @@ def zone_pruned_scan(path: str, lo=None, hi=None, columns=None, ordered=False):
     return read_parquet_clean(files, columns=columns, filter=expr)
 
 
+def merge_join_plan(left_path: str, right_path: str) -> list[dict]:
+    """The task list a :func:`sorted_merge_join` runs: one entry per
+    LEFT file, listing the right files whose zone ranges overlap that
+    left file's [lo, hi].  Exposed separately so callers (and tests)
+    can assert how much the co-sorted alignment pruned — for two
+    layouts sorted on the same key distribution the plan is near-1:1,
+    never the all-pairs cross product a naive per-file join would do.
+
+    All-null left zones are skipped (inner join: NULL never matches);
+    right zones that are all-null never appear in any entry's list.
+    """
+    lm, rm = load_manifest(left_path), load_manifest(right_path)
+    if lm["kind"] != rm["kind"]:
+        raise TypeError(
+            f"sorted_merge_join key kinds differ: {lm['kind']} vs "
+            f"{rm['kind']} — the layouts are not joinable by range"
+        )
+    rzones = [z for z in rm["zones"] if z["lo"] is not None]
+    plan = []
+    for z in lm["zones"]:
+        if z["lo"] is None:
+            continue
+        rfiles = [
+            os.path.join(right_path, r["file"])
+            for r in rzones
+            if not (r["hi"] < z["lo"] or r["lo"] > z["hi"])
+        ]
+        plan.append(
+            {
+                "lfile": os.path.join(left_path, z["file"]),
+                "lo": z["lo"],
+                "hi": z["hi"],
+                "rfiles": rfiles,
+            }
+        )
+    return plan
+
+
+def _deser_scalar(v, kind: str) -> pa.Scalar:
+    """A zone-serialized bound (epoch-us int / int / str) back to the
+    pyarrow scalar a filter needs — NOT :func:`_bound_scalar`, which
+    expects caller-supplied values (a raw int would be read as ns)."""
+    if kind == "ts_us":
+        return pa.array([int(v)], pa.int64()).cast(pa.timestamp("us"))[0]
+    if kind == "int":
+        return pa.scalar(int(v), pa.int64())
+    return pa.scalar(str(v), pa.string())
+
+
+def sorted_merge_join(
+    left_path: str,
+    right_path: str,
+    merge_fn=None,
+    columns_left=None,
+    columns_right=None,
+):
+    """Storage-partitioned sort-merge join (inner) of two committed
+    sorted layouts on their layout keys -> ray.data.Dataset.
+
+    The Iceberg/Delta "storage-partitioned join": both tables already
+    paid their one range_sort at write time, so the join moves ZERO
+    rows — one Ray task per LEFT file reads only the right files whose
+    zone ranges overlap its own zone (:func:`merge_join_plan`),
+    filters the right rows to that window, and merges locally.  Each
+    left row lives in exactly one file, so every matching pair is
+    produced exactly once even when equal keys straddle file
+    boundaries on either side (all straddling right files overlap the
+    left zone and are read by that task).  At a 100-TB corpus this is
+    the repeated-join shape for a key both tables stay sorted on
+    (time, customer id): no shuffle, no driver data, and task count
+    tracks the left layout's file count.
+
+    Key column names may differ between the layouts (pd.merge
+    left_on/right_on semantics; both key columns survive in the
+    output).  NULL keys never match (SQL inner-join semantics).
+    ``merge_fn`` collapses the join output inside each task (same
+    contract as exchange.hash_join / bucketed_join).  ``columns_*``
+    project the reads (the key is always included).
+    """
+    lm, rm = load_manifest(left_path), load_manifest(right_path)
+    kind = lm["kind"]
+    lk, rk = lm["key"], rm["key"]
+    plan = merge_join_plan(left_path, right_path)
+    lcols = (
+        None
+        if columns_left is None
+        else list(dict.fromkeys(list(columns_left) + [lk]))
+    )
+    rcols = (
+        None
+        if columns_right is None
+        else list(dict.fromkeys(list(columns_right) + [rk]))
+    )
+
+    def _join_task(t: pa.Table) -> pa.Table:
+        outs = []
+        for row in t.to_pylist():
+            lt = papq.read_table(row["lfile"], columns=lcols)
+            lt = lt.filter(pc.is_valid(lt[lk]))
+            lo = _deser_scalar(row["lo"], kind)
+            hi = _deser_scalar(row["hi"], kind)
+            parts = []
+            for rf in row["rfiles"]:
+                rt = papq.read_table(rf, columns=rcols)
+                mask = pc.and_(
+                    pc.greater_equal(rt[rk], lo), pc.less_equal(rt[rk], hi)
+                )
+                parts.append(rt.filter(pc.fill_null(mask, False)))
+            if parts:
+                rt = pa.concat_tables(parts)
+            else:
+                rt = pa.ipc.read_schema(
+                    pa.BufferReader(bytes.fromhex(rm["schema_hex"]))
+                ).empty_table()
+                if rcols is not None:
+                    rt = rt.select(rcols)
+            m = lt.to_pandas().merge(
+                rt.to_pandas(), left_on=lk, right_on=rk, how="inner"
+            )
+            if merge_fn is not None:
+                m = merge_fn(m)
+            outs.append(
+                pa.Table.from_pandas(
+                    m, preserve_index=False
+                ).replace_schema_metadata(None)
+            )
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    if not plan:
+        # every left zone all-null (or empty layout): typed empty join
+        lt = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(lm["schema_hex"]))
+        ).empty_table()
+        rt = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(rm["schema_hex"]))
+        ).empty_table()
+        if lcols is not None:
+            lt = lt.select(lcols)
+        if rcols is not None:
+            rt = rt.select(rcols)
+        m = lt.to_pandas().merge(rt.to_pandas(), left_on=lk, right_on=rk)
+        if merge_fn is not None:
+            m = merge_fn(m)
+        return rd.from_arrow(
+            pa.Table.from_pandas(m, preserve_index=False)
+        )
+    tasks = rd.from_items(plan)
+    return tasks.map_batches(_join_task, batch_format="pyarrow", batch_size=1)
+
+
 # ---------------------------------------------------------------------------
 # Bloom sidecars: point-lookup file skipping beyond zone ranges.
 #
