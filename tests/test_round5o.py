@@ -272,3 +272,50 @@ def test_skew_join_null_keys_follow_hash_join(ray_session):
         sorted(got["k"].fillna(-1).astype(np.int64).tolist())
         == sorted(exp["k"].fillna(-1).astype(np.int64).tolist())
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization (wave 37)
+# ---------------------------------------------------------------------------
+def test_quantize_codes_contract():
+    from pynomaly_ray.pipelines.queries_wave37 import quantize_codes
+
+    rng = np.random.default_rng(13)
+    e6 = rng.integers(-2_000_000, 2_000_000, size=(200, 8)).astype(np.int64)
+    mn, mx = e6.min(axis=0), e6.max(axis=0)
+    q = quantize_codes(e6, mn, mx)
+    # codes live in [0, 255]
+    assert q.min() >= 0 and q.max() <= 255
+    # monotone within each dimension: larger value -> >= code
+    for d in range(8):
+        order = np.argsort(e6[:, d], kind="stable")
+        assert (np.diff(q[order, d]) >= 0).all()
+    # dequantization error bounded by one grid cell: code c covers
+    # v in [mn + c*span/255, mn + (c+1)*span/255), span = mx - mn + 1
+    span = (mx - mn + 1).astype(np.float64)
+    deq = mn + (q + 0.5) * span / 255.0
+    assert (np.abs(deq - e6) <= span / 510.0 + 1).all()
+    # degenerate dimension codes to 0
+    e6c = e6.copy()
+    e6c[:, 3] = 42
+    qc = quantize_codes(e6c, e6c.min(axis=0), e6c.max(axis=0))
+    assert (qc[:, 3] == 0).all()
+
+
+def test_quantize_matches_duckdb_floor_division():
+    """The engine's numpy // and DuckDB's // agree on the non-negative
+    numerator the quantizer produces."""
+    import duckdb
+
+    from pynomaly_ray.pipelines.queries_wave37 import quantize_codes
+
+    e6 = np.array([[-5, 0, 7, 1_000_000]], np.int64).T.reshape(4, 1)
+    mn = np.array([-5], np.int64)
+    mx = np.array([1_000_000], np.int64)
+    q = quantize_codes(e6, mn, mx).ravel()
+    con = duckdb.connect()
+    sql = con.execute(
+        "SELECT ((v - (-5)) * 255) // (1000000 - (-5) + 1) "
+        "FROM (VALUES (-5), (0), (7), (1000000)) t(v)"
+    ).fetchall()
+    assert q.tolist() == [r[0] for r in sql]
