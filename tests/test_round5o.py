@@ -319,3 +319,39 @@ def test_quantize_matches_duckdb_floor_division():
         "FROM (VALUES (-5), (0), (7), (1000000)) t(v)"
     ).fetchall()
     assert q.tolist() == [r[0] for r in sql]
+
+
+def test_knn_sq8_matches_bruteforce_on_crafted_corpus(ray_session, tmp_path):
+    """knn_sq8 on a crafted embeddings.parquet equals an independent
+    numpy recompute of bounds -> codes -> integer dots -> top-k."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.pipelines.queries_wave38 import _N_QUERIES, _TOP_K, q_knn_sq8
+
+    rng = np.random.default_rng(21)
+    n, d = 60, 64
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [v for v in vecs.tolist()], pa.list_(pa.float32())
+            ),
+        }
+    )
+    papq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = q_knn_sq8(str(tmp_path))
+
+    # independent recompute
+    e6 = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    mn, mx = e6.min(axis=0), e6.max(axis=0)
+    codes = (e6 - mn) * 255 // (mx - mn + 1)
+    dots = codes @ codes[:_N_QUERIES].T
+    rows = []
+    for j in range(_N_QUERIES):
+        sel = np.lexsort((np.arange(n), -dots[:, j]))[:_TOP_K]
+        for c in sel:
+            rows.append((j, int(c), int(dots[c, j])))
+    exp = pd.DataFrame(rows, columns=["query_id", "cand_id", "dot"])
+    pd.testing.assert_frame_equal(got, exp)
