@@ -696,3 +696,193 @@ def point_lookup(path: str, keys, columns=None):
         vset = pa.array(probes, pa.string())
     expr = pads.field(key).isin(vset)
     return read_parquet_clean(files, columns=columns, filter=expr)
+
+
+# ---------------------------------------------------------------------------
+# Storage-partitioned ASOF join: the temporal join over two layouts
+# that both stay sorted on time.  merge_join_plan aligns EQUAL keys;
+# an asof probe additionally needs, for each left file, the right
+# rows just OUTSIDE its zone (the latest right key before the zone
+# starts / the earliest after it ends) — the "predecessor-file trick".
+# ---------------------------------------------------------------------------
+def asof_join_plan(
+    left_path: str, right_path: str, direction: str = "backward"
+) -> list[dict]:
+    """The task list a :func:`sorted_asof_join` runs: one entry per
+    LEFT file, listing the right files that can contain any left row's
+    asof match.
+
+    For a left zone [lo, hi] a backward probe at t in [lo, hi] matches
+    the greatest right key <= t.  That key is >= v, where v is the
+    greatest right key below lo — so the candidate set is the zones
+    overlapping [lo, hi] plus every zone whose hi EQUALS
+    v = max(z.hi among zones with z.hi < lo); zones with z.hi < v hold
+    only keys < v and can never win.  The rule stays exact on appended
+    (overlapping-generation) layouts, where "the predecessor file" is
+    not unique.  ``forward`` mirrors it with w = min(z.lo above hi);
+    ``nearest`` takes both.  All-null zones never participate (asof
+    never matches NULL on either side).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
+    lm, rm = load_manifest(left_path), load_manifest(right_path)
+    if lm["kind"] != rm["kind"]:
+        raise TypeError(
+            f"sorted_asof_join key kinds differ: {lm['kind']} vs "
+            f"{rm['kind']} — the layouts are not asof-joinable"
+        )
+    rzones = [z for z in rm["zones"] if z["lo"] is not None]
+    plan = []
+    for z in lm["zones"]:
+        if z["lo"] is None:
+            continue
+        lo, hi = z["lo"], z["hi"]
+        cand = [r for r in rzones if not (r["hi"] < lo or r["lo"] > hi)]
+        if direction in ("backward", "nearest"):
+            below = [r for r in rzones if r["hi"] < lo]
+            if below:
+                v = max(r["hi"] for r in below)
+                cand += [r for r in below if r["hi"] == v]
+        if direction in ("forward", "nearest"):
+            above = [r for r in rzones if r["lo"] > hi]
+            if above:
+                w = min(r["lo"] for r in above)
+                cand += [r for r in above if r["lo"] == w]
+        seen: set[str] = set()
+        rfiles = []
+        for r in cand:
+            if r["file"] not in seen:
+                seen.add(r["file"])
+                rfiles.append(os.path.join(right_path, r["file"]))
+        plan.append({"lfile": os.path.join(left_path, z["file"]), "rfiles": rfiles})
+    return plan
+
+
+def sorted_asof_join(
+    left_path: str,
+    right_path: str,
+    direction: str = "backward",
+    merge_fn=None,
+    columns_left=None,
+    columns_right=None,
+):
+    """Storage-partitioned ASOF join (inner) of two committed sorted
+    layouts on their layout keys -> ray.data.Dataset.
+
+    For each left row, the latest right row with key <= the left key
+    (``backward``, exact matches allowed — DuckDB ``ASOF JOIN``
+    semantics); ``forward`` matches the earliest right key >= it,
+    ``nearest`` the closest in either direction (pandas merge_asof tie
+    rules).  This is the global (un-keyed) asof — the per-entity
+    variant stays :func:`pynomaly_ray.functions.exchange.asof_join`,
+    which must exchange on the entity key; HERE both tables already
+    paid their one range_sort at write time, so the probe moves ZERO
+    rows: one Ray task per left file reads only the right files
+    :func:`asof_join_plan` proves can hold a match (overlap plus the
+    boundary predecessor/successor files).  At a 100-TB time-sorted
+    corpus this is the repeated "latest reference state at event time"
+    join — no shuffle, no driver data, task count == left file count.
+
+    Rows with no match in ``direction`` are dropped (inner), detected
+    via a row sentinel so dtypes survive and left==right key names
+    work; right names colliding with a left name are suffixed
+    ``_right``.  NULL keys never match on either side.  Tie caution
+    (same as exchange.asof_join): among several right rows at the SAME
+    key value the winner is engine-defined — project tie-invariant
+    right columns when results must be comparable.  ``merge_fn``
+    collapses each task's join output; ``columns_*`` project the reads
+    (keys always included).
+    """
+    lm, rm = load_manifest(left_path), load_manifest(right_path)
+    lk, rk = lm["key"], rm["key"]
+    plan = asof_join_plan(left_path, right_path, direction)
+    lcols = (
+        None
+        if columns_left is None
+        else list(dict.fromkeys(list(columns_left) + [lk]))
+    )
+    rcols = (
+        None
+        if columns_right is None
+        else list(dict.fromkeys(list(columns_right) + [rk]))
+    )
+
+    def _right_empty() -> pa.Table:
+        rt = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(rm["schema_hex"]))
+        ).empty_table()
+        return rt.select(rcols) if rcols is not None else rt
+
+    def _merge_one(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lt = lt.filter(pc.is_valid(lt[lk]))
+        rt = rt.filter(pc.is_valid(rt[rk]))
+        lnames = lt.schema.names
+        rnames = rt.schema.names
+        out_names = lnames + [
+            c if c not in lnames else f"{c}_right" for c in rnames
+        ]
+        fields = [lt.schema.field(c) for c in lnames] + [
+            pa.field(n, rt.schema.field(o).type)
+            for n, o in zip(out_names[len(lnames):], rnames)
+        ]
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            out = pa.schema(fields).empty_table()
+        else:
+            ldf = lt.to_pandas().sort_values(lk, kind="mergesort")
+            rdf = rt.to_pandas().sort_values(rk, kind="mergesort")
+            probe = pd.DataFrame(
+                {
+                    "__asof_key__": rdf[rk].to_numpy(),
+                    "__asof_row__": np.arange(len(rdf), dtype=np.int64),
+                }
+            )
+            merged = pd.merge_asof(
+                ldf,
+                probe,
+                left_on=lk,
+                right_on="__asof_key__",
+                direction=direction,
+            )
+            hit = merged["__asof_row__"].notna().to_numpy()
+            idx = merged.loc[hit, "__asof_row__"].to_numpy(np.int64)
+            lhit = ldf.iloc[np.flatnonzero(hit)].reset_index(drop=True)
+            rhit = rdf.iloc[idx].reset_index(drop=True)
+            rhit.columns = out_names[len(lnames):]
+            out = pa.Table.from_pandas(
+                pd.concat([lhit, rhit], axis=1), preserve_index=False
+            ).replace_schema_metadata(None)
+            # pandas round-trip can widen empty partitions; cast back
+            out = out.cast(pa.schema(fields)) if out.schema != pa.schema(
+                fields
+            ) else out
+        if merge_fn is not None:
+            m = merge_fn(out.to_pandas())
+            out = pa.Table.from_pandas(
+                m, preserve_index=False
+            ).replace_schema_metadata(None)
+        return out
+
+    def _join_task(t: pa.Table) -> pa.Table:
+        outs = []
+        for row in t.to_pylist():
+            lt = papq.read_table(row["lfile"], columns=lcols)
+            parts = [
+                papq.read_table(rf, columns=rcols) for rf in row["rfiles"]
+            ]
+            rt = (
+                pa.concat_tables(parts, promote_options="permissive")
+                if parts
+                else _right_empty()
+            )
+            outs.append(_merge_one(lt, rt))
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    if not plan:
+        lt = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(lm["schema_hex"]))
+        ).empty_table()
+        if lcols is not None:
+            lt = lt.select(lcols)
+        return rd.from_arrow(_merge_one(lt, _right_empty()))
+    tasks = rd.from_items(plan)
+    return tasks.map_batches(_join_task, batch_format="pyarrow", batch_size=1)

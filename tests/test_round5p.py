@@ -1,0 +1,214 @@
+"""Wave-39 tests: storage-partitioned ASOF join over sorted layouts."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _mkds(df, parts=4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parts)
+
+
+def _layouts(tmp_path, left, right, lparts=6, rparts=5):
+    from pynomaly_ray.sources.sorted_layout import write_sorted
+
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_sorted(_mkds(left), "t", lp, num_partitions=lparts)
+    write_sorted(_mkds(right), "rt", rp, num_partitions=rparts)
+    return lp, rp
+
+
+def _expected(left, right, direction):
+    ls = left.sort_values("t", kind="mergesort")
+    rs = right[right["rt"].notna()].sort_values("rt", kind="mergesort")
+    exp = pd.merge_asof(
+        ls[ls["t"].notna()],
+        rs[["rt"]],
+        left_on="t",
+        right_on="rt",
+        direction=direction,
+    )
+    return (
+        exp[exp["rt"].notna()]
+        .sort_values("ev")
+        .reset_index(drop=True)[["t", "ev", "rt"]]
+        .astype({"rt": "int64"})
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_sorted_asof_join_matches_pandas(ray_session, tmp_path, direction):
+    from pynomaly_ray.sources.sorted_layout import sorted_asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"t": rng.integers(0, 10_000, 3000), "ev": np.arange(3000)}
+    )
+    right = pd.DataFrame(
+        {"rt": rng.integers(-500, 9_500, 700), "px": rng.normal(size=700)}
+    )
+    # equal right keys straddling file boundaries on purpose
+    right.loc[:60, "rt"] = 2_500
+    lp, rp = _layouts(tmp_path, left, right)
+
+    got = (
+        sorted_asof_join(lp, rp, direction=direction)
+        .to_pandas()
+        .sort_values("ev")
+        .reset_index(drop=True)
+    )
+    # tie-invariant columns only: which px wins among equal rt is
+    # engine-defined (documented caution), the matched rt is not
+    pd.testing.assert_frame_equal(
+        got[["t", "ev", "rt"]].astype({"rt": "int64"}),
+        _expected(left, right, direction),
+    )
+
+
+def test_sorted_asof_plan_is_bounded(ray_session, tmp_path):
+    """The predecessor-file trick: no task reads the whole right
+    history — only overlap plus the boundary file(s)."""
+    from pynomaly_ray.sources.sorted_layout import asof_join_plan
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {"t": rng.integers(0, 100_000, 5000), "ev": np.arange(5000)}
+    )
+    right = pd.DataFrame(
+        {"rt": rng.integers(0, 100_000, 5000), "px": np.zeros(5000)}
+    )
+    lp, rp = _layouts(tmp_path, left, right, lparts=10, rparts=10)
+    plan = asof_join_plan(lp, rp, "backward")
+    assert len(plan) == 10
+    total = sum(len(p["rfiles"]) for p in plan)
+    # uniform co-sorted keys: ~1 overlap + <=1 predecessor per task,
+    # 3x slack for boundary straddles; all-pairs would be 100
+    assert total <= 3 * len(plan)
+    # the last task must NOT read every right file
+    assert len(plan[-1]["rfiles"]) < 10
+
+
+def test_sorted_asof_null_keys_never_match(ray_session, tmp_path):
+    from pynomaly_ray.sources.sorted_layout import sorted_asof_join
+
+    left = pd.DataFrame(
+        {"t": pd.array([1, None, 5, 9], dtype="Int64"), "ev": range(4)}
+    )
+    right = pd.DataFrame(
+        {"rt": pd.array([None, 2, 4], dtype="Int64"), "px": [0.0, 1.0, 2.0]}
+    )
+    lp, rp = _layouts(tmp_path, left, right, lparts=2, rparts=2)
+    got = (
+        sorted_asof_join(lp, rp)
+        .to_pandas()
+        .sort_values("ev")
+        .reset_index(drop=True)
+    )
+    # ev=0 (t=1): no rt<=1 exists (NULL never matches); ev=1: NULL left
+    # key dropped; ev=2 matches rt=4? no -> rt<=5 is 4; ev=3 -> 4
+    assert list(got["ev"]) == [2, 3]
+    assert list(got["rt"]) == [4, 4]
+
+
+def test_sorted_asof_no_match_is_typed_empty(ray_session, tmp_path):
+    from pynomaly_ray.sources.sorted_layout import sorted_asof_join
+
+    left = pd.DataFrame({"t": [1, 2, 3], "ev": [0, 1, 2]})
+    right = pd.DataFrame({"rt": [100, 200], "px": [1.0, 2.0]})
+    lp, rp = _layouts(tmp_path, left, right, lparts=2, rparts=1)
+    got = sorted_asof_join(lp, rp, direction="backward")
+    assert got.count() == 0
+    # blocks stay TYPED even with zero rows (Dataset.to_pandas drops
+    # columns on an all-empty dataset, so assert at the block level)
+    assert set(got.schema().names) == {"t", "ev", "rt", "px"}
+
+
+def test_sorted_asof_across_appended_generation(ray_session, tmp_path):
+    """Appended layouts have overlapping zones; the plan's 'all files
+    whose hi equals the below-max' rule must stay exact."""
+    from pynomaly_ray.sources.sorted_layout import (
+        append_sorted,
+        sorted_asof_join,
+        write_sorted,
+    )
+
+    rng = np.random.default_rng(29)
+    left = pd.DataFrame(
+        {"t": rng.integers(0, 5_000, 2000), "ev": np.arange(2000)}
+    )
+    r1 = pd.DataFrame(
+        {"rt": rng.integers(0, 5_000, 400), "px": rng.normal(size=400)}
+    )
+    r2 = pd.DataFrame(
+        {"rt": rng.integers(0, 5_000, 400), "px": rng.normal(size=400)}
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_sorted(_mkds(left), "t", lp, num_partitions=4)
+    write_sorted(_mkds(r1), "rt", rp, num_partitions=3)
+    append_sorted(_mkds(r2), rp, num_partitions=3)
+
+    got = (
+        sorted_asof_join(lp, rp)
+        .to_pandas()
+        .sort_values("ev")
+        .reset_index(drop=True)
+    )
+    right = pd.concat([r1, r2], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["t", "ev", "rt"]].astype({"rt": "int64"}),
+        _expected(left, right, "backward"),
+    )
+
+
+def test_sorted_asof_merge_fn_and_projection(ray_session, tmp_path):
+    from pynomaly_ray.sources.sorted_layout import sorted_asof_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "t": rng.integers(0, 1_000, 800),
+            "ev": np.arange(800),
+            "junk": rng.normal(size=800),
+        }
+    )
+    right = pd.DataFrame(
+        {"rt": rng.integers(0, 1_000, 200), "px": rng.normal(size=200)}
+    )
+    lp, rp = _layouts(tmp_path, left, right, lparts=3, rparts=3)
+
+    def per_task(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [len(df)], "lag_sum": [(df.t - df.rt).sum()]})
+
+    got = sorted_asof_join(
+        lp,
+        rp,
+        merge_fn=per_task,
+        columns_left=["ev"],
+        columns_right=[],
+    ).to_pandas()
+    exp = _expected(left, right, "backward")
+    assert got["n"].sum() == len(exp)
+    assert got["lag_sum"].sum() == (exp.t - exp.rt).sum()
+
+
+def test_sorted_asof_refuses_bad_inputs(ray_session, tmp_path):
+    from pynomaly_ray.sources.sorted_layout import (
+        asof_join_plan,
+        write_sorted,
+    )
+
+    left = pd.DataFrame({"t": [1, 2], "ev": [0, 1]})
+    rights = pd.DataFrame({"rt": ["a", "b"], "px": [0.0, 1.0]})
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_sorted(_mkds(left, 1), "t", lp)
+    write_sorted(_mkds(rights, 1), "rt", rp)
+    with pytest.raises(TypeError, match="key kinds differ"):
+        asof_join_plan(lp, rp)
+    with pytest.raises(ValueError, match="unknown asof direction"):
+        asof_join_plan(lp, lp, "sideways")
