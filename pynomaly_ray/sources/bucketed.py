@@ -74,8 +74,14 @@ def write_bucketed(ds, key_cols: Sequence[str], num_buckets: int, path: str) -> 
         os.makedirs(os.path.join(path, f"bucket={i}"), exist_ok=True)
 
     def write_bucket(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
         if t.num_rows == 0:
-            return pa.table({"rows": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "rows": pa.array([], pa.int64()),
+                    "schema_hex": pa.array([], pa.string()),
+                }
+            )
         # every row in this task shares one bucket (that's what the
         # exchange routed on), so the first row names the file
         i = int(_bucket_of(t.slice(0, 1), key_cols, num_buckets)[0])
@@ -83,24 +89,39 @@ def write_bucketed(ds, key_cols: Sequence[str], num_buckets: int, path: str) -> 
         tmp = dest + ".tmp"
         papq.write_table(t, tmp)
         os.replace(tmp, dest)
-        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
-
-    schema = ds.schema()  # before the exchange consumes the Dataset
-    if schema is None:
-        # fully-empty input (a quiet delta day): no row ever reveals the
-        # value types, so pin at least the KEY columns (null-typed) so a
-        # later join against this rows=0 layout can still name them
-        arrow_schema = pa.schema([pa.field(c, pa.null()) for c in key_cols])
-    else:
-        arrow_schema = pa.schema(
-            [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+        # schema rides back from the ARROW block itself: the Ray Schema
+        # wrapper cannot render pandas extension dtypes (Int64, object)
+        # as Arrow types, while the exchanged block always carries a
+        # real pa.Schema (same trick as sorted_layout.write_sorted)
+        return pa.table(
+            {
+                "rows": pa.array([t.num_rows], pa.int64()),
+                "schema_hex": pa.array(
+                    [t.schema.serialize().to_pybytes().hex()], pa.string()
+                ),
+            }
         )
+
     parts = hash_aggregate(
         ds, key_cols, write_bucket, num_partitions=num_buckets, arrow=True
     ).to_pandas()
     # an all-empty input (a quiet delta day) yields schemaless empty
     # merge outputs with no 'rows' column — that is rows=0, not a crash
     n_rows = int(parts["rows"].sum()) if "rows" in parts.columns else 0
+    hexes = (
+        parts["schema_hex"].dropna().unique().tolist()
+        if "schema_hex" in parts.columns
+        else []
+    )
+    if hexes:
+        arrow_schema = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(hexes[0]))
+        )
+    else:
+        # fully-empty input (a quiet delta day): no row ever reveals the
+        # value types, so pin at least the KEY columns (null-typed) so a
+        # later join against this rows=0 layout can still name them
+        arrow_schema = pa.schema([pa.field(c, pa.null()) for c in key_cols])
     manifest = {
         "key_cols": key_cols,
         "num_buckets": int(num_buckets),
@@ -345,3 +366,133 @@ def append_bucketed(ds, path: str) -> dict:
         json.dump(m, f)
     os.replace(tmp, os.path.join(path, _MANIFEST))
     return m
+
+
+def bucketed_asof_join(
+    path_a: str,
+    path_b: str,
+    left_on: str,
+    right_on: str,
+    direction: str = "backward",
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+):
+    """Shuffle-free per-entity ASOF join of two co-bucketed layouts ->
+    ray.data.Dataset.
+
+    For each left row, the latest right row of the SAME entity key with
+    ``right_on <= left_on`` (``backward``, exact matches allowed —
+    DuckDB keyed ``ASOF JOIN`` semantics, inner); ``forward`` /
+    ``nearest`` follow pandas merge_asof.  The entity key is each
+    layout's bucket key (column names may differ; positional match),
+    so every (left row, candidate right row) pair meets in exactly one
+    bucket by construction — the live
+    :func:`pynomaly_ray.functions.exchange.asof_join` pays one keyed
+    exchange PER RUN for the same semantics; a pair of tables that stay
+    bucketed on the entity key (events x reference state by user, at a
+    100-TB corpus) pays it once at write time and never again.  One
+    Ray task per bucket, zero shuffle, no driver data.
+
+    Inner-match detection uses a row sentinel (never value nullness),
+    so right dtypes survive and ``left_on == right_on`` names work.
+    Output: all left columns + right columns minus the right bucket
+    key (it equals the left's), collisions suffixed ``_right``.  NULL
+    never matches: rows with a null entity key or a null ``*_on`` time
+    are dropped (merge_asof refuses unsorted NaN keys, so the drop is
+    explicit here).  Tie caution as exchange.asof_join: among several
+    right rows at the same time the winner is engine-defined — project
+    tie-invariant right columns when results must be comparable.
+    """
+    import numpy as np
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
+    ma, mb = load_manifest(path_a), load_manifest(path_b)
+    if ma["num_buckets"] != mb["num_buckets"]:
+        raise ValueError(
+            f"bucket count mismatch: {ma['num_buckets']} vs "
+            f"{mb['num_buckets']} — layouts are not co-partitioned"
+        )
+    if len(ma["key_cols"]) != len(mb["key_cols"]):
+        raise ValueError("key width mismatch between bucketed layouts")
+    p = ma["num_buckets"]
+    sa, sb = _bucket_schema(ma), _bucket_schema(mb)
+    ka, kb = list(ma["key_cols"]), list(mb["key_cols"])
+
+    def asof_bucket(t: pa.Table) -> pa.Table:
+        outs = []
+        for i in t["bucket"].to_pylist():
+            lt = _read_bucket(path_a, i, sa)
+            rt = _read_bucket(path_b, i, sb)
+            lcols = lt.schema.names
+            rcols = [c for c in rt.schema.names if c not in kb]
+            out_names = lcols + [
+                c if c not in lcols else f"{c}_right" for c in rcols
+            ]
+
+            def _empty() -> pa.Table:
+                fields = [lt.schema.field(c) for c in lcols] + [
+                    pa.field(n, rt.schema.field(o).type)
+                    for n, o in zip(out_names[len(lcols):], rcols)
+                ]
+                return pa.schema(fields).empty_table()
+
+            def _finish(m: pd.DataFrame) -> pa.Table:
+                if merge_fn is not None:
+                    m = merge_fn(m)
+                return pa.Table.from_pandas(
+                    m, preserve_index=False
+                ).replace_schema_metadata(None)
+
+            ldf = lt.to_pandas().dropna(subset=ka + [left_on])
+            rdf = rt.to_pandas().dropna(subset=kb + [right_on])
+            # a bucket whose block carried nulls widens int64 -> float64
+            # in pandas while a null-free bucket stays int64; merge_asof
+            # refuses mismatched key dtypes, so align each key PAIR to
+            # float64 when exactly one side widened (nulls are already
+            # dropped, so the cast is value-preserving)
+            for lc, rc in list(zip(ka, kb)) + [(left_on, right_on)]:
+                ld, rdt = ldf[lc].dtype, rdf[rc].dtype
+                if ld != rdt and ld.kind in "if" and rdt.kind in "if":
+                    ldf[lc] = ldf[lc].astype("float64")
+                    rdf[rc] = rdf[rc].astype("float64")
+            if not len(ldf) or not len(rdf):
+                # typed empty when uncollapsed (from_pandas would turn
+                # empty object columns into null-typed ones); an empty
+                # frame must still ride through merge_fn when set so
+                # every bucket's output shares the collapsed schema
+                outs.append(
+                    _empty() if merge_fn is None
+                    else _finish(_empty().to_pandas())
+                )
+                continue
+            ldf = ldf.sort_values(left_on, kind="mergesort")
+            rdf = rdf.sort_values(right_on, kind="mergesort")
+            probe = rdf[kb + [right_on]].copy()
+            probe["__asof_row__"] = np.arange(len(rdf), dtype=np.int64)
+            merged = pd.merge_asof(
+                ldf,
+                probe,
+                left_on=left_on,
+                right_on=right_on,
+                left_by=ka,
+                right_by=kb,
+                direction=direction,
+                allow_exact_matches=True,
+                suffixes=("", "__probe__"),
+            )
+            hit = merged["__asof_row__"].notna().to_numpy()
+            if not hit.any():
+                outs.append(
+                    _empty() if merge_fn is None
+                    else _finish(_empty().to_pandas())
+                )
+                continue
+            matched_left = merged.loc[hit, lcols].reset_index(drop=True)
+            ridx = merged.loc[hit, "__asof_row__"].astype(np.int64).to_numpy()
+            matched_right = rdf.iloc[ridx][rcols].reset_index(drop=True)
+            matched_right.columns = out_names[len(lcols):]
+            outs.append(_finish(pd.concat([matched_left, matched_right], axis=1)))
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    ids = rd.from_items([{"bucket": i} for i in range(p)])
+    return ids.map_batches(asof_bucket, batch_format="pyarrow", batch_size=1)

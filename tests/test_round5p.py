@@ -212,3 +212,148 @@ def test_sorted_asof_refuses_bad_inputs(ray_session, tmp_path):
         asof_join_plan(lp, rp)
     with pytest.raises(ValueError, match="unknown asof direction"):
         asof_join_plan(lp, lp, "sideways")
+
+
+# ---------------------------------------------------------------------------
+# bucketed_asof_join (wave 40)
+# ---------------------------------------------------------------------------
+def _smb_layouts(tmp_path, left, right, buckets=8):
+    from pynomaly_ray.sources.bucketed import write_bucketed
+
+    lp, rp = str(tmp_path / "bl"), str(tmp_path / "br")
+    write_bucketed(_mkds(left), ["uid"], buckets, lp)
+    write_bucketed(_mkds(right), ["cid"], buckets, rp)
+    return lp, rp
+
+
+def _smb_expected(left, right, direction):
+    ls = left.dropna(subset=["uid", "t"]).sort_values("t", kind="mergesort")
+    rs = right.dropna(subset=["cid", "rt"]).sort_values("rt", kind="mergesort")
+    exp = pd.merge_asof(
+        ls,
+        rs[["cid", "rt"]],
+        left_on="t",
+        right_on="rt",
+        left_by="uid",
+        right_by="cid",
+        direction=direction,
+    )
+    return (
+        exp[exp["rt"].notna()]
+        .sort_values("ev")
+        .reset_index(drop=True)[["uid", "t", "ev", "rt"]]
+        .astype({"rt": "int64"})
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_bucketed_asof_join_matches_pandas(ray_session, tmp_path, direction):
+    from pynomaly_ray.sources.bucketed import bucketed_asof_join
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 40, 2500),
+            "t": rng.integers(0, 10_000, 2500),
+            "ev": np.arange(2500),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "cid": rng.integers(0, 55, 700),
+            "rt": rng.integers(0, 10_000, 700),
+            "px": rng.normal(size=700),
+        }
+    )
+    lp, rp = _smb_layouts(tmp_path, left, right)
+    got = (
+        bucketed_asof_join(lp, rp, "t", "rt", direction=direction)
+        .to_pandas()
+        .sort_values("ev")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["uid", "t", "ev", "rt"]].astype({"rt": "int64"}),
+        _smb_expected(left, right, direction),
+    )
+
+
+def test_bucketed_asof_null_keys_dropped(ray_session, tmp_path):
+    from pynomaly_ray.sources.bucketed import bucketed_asof_join
+
+    left = pd.DataFrame(
+        {
+            "uid": pd.array([1, None, 1, 2], dtype="Int64"),
+            "t": pd.array([5, 5, None, 9], dtype="Int64"),
+            "ev": range(4),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "cid": pd.array([1, 2, None], dtype="Int64"),
+            "rt": pd.array([3, None, 1], dtype="Int64"),
+            "px": [1.0, 2.0, 3.0],
+        }
+    )
+    lp, rp = _smb_layouts(tmp_path, left, right, buckets=4)
+    got = (
+        bucketed_asof_join(lp, rp, "t", "rt")
+        .to_pandas()
+        .sort_values("ev")
+        .reset_index(drop=True)
+    )
+    # only ev=0 survives: uid=1 t=5 matches cid=1 rt=3.  ev=1 null uid,
+    # ev=2 null t, ev=3 uid=2 whose only right row has null rt.
+    assert list(got["ev"]) == [0]
+    assert list(got["rt"]) == [3]
+
+
+def test_bucketed_asof_merge_fn_collapses_in_bucket(ray_session, tmp_path):
+    from pynomaly_ray.sources.bucketed import bucketed_asof_join
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 20, 1500),
+            "t": rng.integers(0, 5_000, 1500),
+            "ev": np.arange(1500),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "cid": rng.integers(0, 20, 300),
+            "rt": rng.integers(0, 5_000, 300),
+            "px": rng.normal(size=300),
+        }
+    )
+    lp, rp = _smb_layouts(tmp_path, left, right, buckets=16)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [len(df)], "lag": [(df["t"] - df["rt"]).sum()]}
+        )
+
+    got = bucketed_asof_join(lp, rp, "t", "rt", merge_fn=per_bucket).to_pandas()
+    exp = _smb_expected(left, right, "backward")
+    # 16 buckets over 20 uids: some buckets are empty — their collapsed
+    # empty frames must share the schema (the regression this pins)
+    assert len(got) == 16
+    assert got["n"].sum() == len(exp)
+    assert got["lag"].sum() == (exp["t"] - exp["rt"]).sum()
+
+
+def test_bucketed_asof_refuses_mismatched_layouts(ray_session, tmp_path):
+    from pynomaly_ray.sources.bucketed import (
+        bucketed_asof_join,
+        write_bucketed,
+    )
+
+    left = pd.DataFrame({"uid": [1, 2], "t": [1, 2], "ev": [0, 1]})
+    right = pd.DataFrame({"cid": [1], "rt": [1], "px": [0.0]})
+    lp, rp8 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(_mkds(left, 1), ["uid"], 4, lp)
+    write_bucketed(_mkds(right, 1), ["cid"], 8, rp8)
+    with pytest.raises(ValueError, match="bucket count mismatch"):
+        bucketed_asof_join(lp, rp8, "t", "rt")
+    with pytest.raises(ValueError, match="unknown asof direction"):
+        bucketed_asof_join(lp, lp, "t", "t", direction="sideways")
