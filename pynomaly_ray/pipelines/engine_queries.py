@@ -1963,6 +1963,7 @@ from pynomaly_ray.pipelines import queries_wave37  # noqa: E402,F401
 from pynomaly_ray.pipelines import queries_wave38  # noqa: E402,F401
 from pynomaly_ray.pipelines import queries_wave39  # noqa: E402,F401
 from pynomaly_ray.pipelines import queries_wave40  # noqa: E402,F401
+from pynomaly_ray.pipelines import queries_wave41  # noqa: E402,F401
 
 ENGINE_QUERIES["pca_project"] = queries_wave17.q_pca_project
 ENGINE_QUERIES["kcore_nodes"] = queries_wave19.q_kcore_nodes

@@ -14,6 +14,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 # Minimal per-language stopword/character profiles for the n-gram
@@ -546,3 +547,152 @@ def source_vocab_overlap(docs_ds, num_partitions: int | None = None):
             "jaccard_e6": inter * 1_000_000 // (na + nb - inter),
         }
     )
+
+
+def bm25_topk(
+    docs_ds,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_partitions=None,
+):
+    """Distributed BM25 retrieval: the top-``k`` documents for a bag of
+    ``query_terms`` -> (doc_id, score) pandas frame, score descending.
+
+    The ranked-retrieval composition the inverted-index / TF-IDF
+    kernels point at (Robertson-Sparck Jones BM25, the Okapi default
+    k1=1.2 / b=0.75; idf = ln(1 + (N - df + .5)/(df + .5)), the
+    non-negative Lucene form).  Three stages, engineered so nothing
+    driver-side grows with the corpus:
+
+    1. one tokenize pass (the shared NUL-safe whitespace kernel) emits
+       per block: a single (n_docs, sum_len) partial — N and avgdl
+       fold from one row per block — and (doc_id, tf, len) rows ONLY
+       for query terms (the tiny term set is a per-task constant, so
+       this is the posting-list projection, not the full index);
+    2. df per term folds from the projected rows via one keyed
+       exchange (|Q| groups); the projected rows are materialized once
+       — they are the only re-read state, bounded by |Q| x N_matching;
+    3. scoring is a vectorized map over the projection with the |Q|
+       df values broadcast in the closure, summed per doc by one
+       doc_id-keyed exchange, then global top-k without a global sort.
+
+    Scores are IEEE doubles computed with the same expression tree a
+    SQL twin would use, so a 1e-6-scaled integer surface of the result
+    is oracle-comparable (see queries_wave41).
+    """
+    from pynomaly_ray.functions.exchange import hash_aggregate, topk
+
+    terms = sorted(set(query_terms))
+
+    def emit(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        toks = texts.str.findall(WS_TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pa.array([w for lst in toks for w in lst], pa.string())
+        pairs = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, lens)),
+                "len": pa.array(np.repeat(lens, lens)),
+                "token": flat,
+            }
+        )
+        mask = pc.is_in(pairs["token"], value_set=pa.array(terms, pa.string()))
+        hits = pairs.filter(mask)
+        g = hits.group_by(["doc_id", "len", "token"]).aggregate(
+            [("token", "count")]
+        )
+        # kind 0: one per-block scalar partial; kind 1: posting rows
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[np.zeros(1, np.int64), np.ones(g.num_rows, np.int64)]
+                ),
+                "doc_id": pa.array(
+                    np.r_[np.int64(len(ids)), g["doc_id"].to_numpy()]
+                ),
+                "len": pa.array(
+                    np.r_[lens.sum(), g["len"].to_numpy()]
+                ),
+                "token": pa.concat_arrays(
+                    [pa.array([""], pa.string()), g["token"].combine_chunks()]
+                ),
+                "tf": pa.array(
+                    np.r_[np.int64(0),
+                          g["token_count"].to_numpy().astype(np.int64)]
+                ),
+            }
+        )
+
+    rows = docs_ds.map_batches(emit, batch_format="pyarrow").materialize()
+
+    import ray as _ray
+
+    @_ray.remote
+    def _split(t: pa.Table, kind: int) -> pa.Table:
+        return t.filter(pc.equal(t["kind"], kind))
+
+    refs = rows.to_arrow_refs()
+    partials = pa.concat_tables(
+        _ray.get([_split.remote(r, 0) for r in refs])
+    )
+    n_docs = int(partials["doc_id"].to_numpy().sum())
+    sum_len = int(partials["len"].to_numpy().sum())
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "score": pd.Series([], dtype=np.float64)}
+        )
+    avgdl = sum_len / n_docs  # double division of exact ints, SQL twin
+
+    import ray.data as rd
+
+    postings = rd.from_arrow_refs([_split.remote(r, 1) for r in refs])
+
+    dfs = hash_aggregate(
+        postings,
+        ["token"],
+        lambda d: d.groupby("token", sort=False)
+        .agg(df=("doc_id", "nunique"))
+        .reset_index(),
+        num_partitions=num_partitions,
+    ).to_pandas()
+    # no posting row anywhere (terms absent from the corpus): the
+    # keyed exchange returns a columnless empty frame
+    df_of = (
+        dict(zip(dfs["token"], dfs["df"].astype(np.int64)))
+        if "token" in dfs.columns
+        else {}
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "token" not in t.schema.names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        tf = t["tf"].to_numpy().astype(np.float64)
+        ln = t["len"].to_numpy().astype(np.float64)
+        dfv = np.array(
+            [df_of.get(x, 0) for x in t["token"].to_pylist()], np.float64
+        )
+        idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        w = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * ln / avgdl))
+        return pa.table(
+            {"doc_id": t["doc_id"], "score": pa.array(w, pa.float64())}
+        )
+
+    per_doc = hash_aggregate(
+        postings.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"],
+        lambda d: d.groupby("doc_id", sort=False)
+        .agg(score=("score", "sum"))
+        .reset_index(),
+        num_partitions=num_partitions,
+    )
+    out = topk(per_doc, ["score", "doc_id"], k, [True, False])
+    return out.reset_index(drop=True)[["doc_id", "score"]]

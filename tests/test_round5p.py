@@ -357,3 +357,85 @@ def test_bucketed_asof_refuses_mismatched_layouts(ray_session, tmp_path):
         bucketed_asof_join(lp, rp8, "t", "rt")
     with pytest.raises(ValueError, match="unknown asof direction"):
         bucketed_asof_join(lp, lp, "t", "t", direction="sideways")
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk (wave 41)
+# ---------------------------------------------------------------------------
+def _bm25_local(docs, terms, k1=1.2, b=0.75):
+    """Reference BM25 in plain python over a {doc_id: text} dict."""
+    import math
+
+    toks = {d: (t or "").split() for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scores = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(v) / avgdl)
+            )
+        if s > 0:
+            scores[d] = s
+    return scores
+
+
+def test_bm25_topk_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.text import bm25_topk
+
+    rng = np.random.default_rng(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+        for i in range(200)
+    }
+    docs[200] = ""  # empty doc: counts in N and avgdl, never matches
+    docs[201] = None  # NULL text likewise
+    df = pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    terms = ["alpha", "gamma", "nosuchterm"]
+    got = bm25_topk(ds, terms, k=10)
+    exp = _bm25_local(docs, terms)
+    exp_top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["doc_id"]) == [d for d, _ in exp_top]
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), [s for _, s in exp_top], rtol=1e-12
+    )
+
+
+def test_bm25_topk_no_matches_is_typed_empty(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.text import bm25_topk
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c d"]})
+    )
+    got = bm25_topk(ds, ["zzz"], k=5)
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id", "score"]
+
+
+def test_bm25_topk_duplicate_terms_counted_once(ray_session):
+    import ray.data as rd
+
+    from pynomaly_ray.stages.text import bm25_topk
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["x x y", "x z", "z z z"]}
+        )
+    ).repartition(2)
+    once = bm25_topk(ds, ["x"], k=3)
+    twice = bm25_topk(ds, ["x", "x"], k=3)
+    pd.testing.assert_frame_equal(once, twice)
