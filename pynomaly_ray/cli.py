@@ -674,6 +674,40 @@ def cmd_layout(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact an appended layout back to one generation — the
+    small-file maintenance op: sorted layouts re-sort into tight
+    non-overlapping zones (file order == total order again), bucketed
+    layouts merge each bucket's generation files into one.  The layout
+    kind is detected from its commit marker."""
+    import os
+
+    _ensure_ray(args.num_cpus)
+    if os.path.exists(os.path.join(args.path, "_sorted.json")):
+        from pynomaly_ray.sources.sorted_layout import compact_sorted
+
+        m = compact_sorted(args.path, args.partitions)
+        out = {"mode": "sorted", "files": len(m["zones"])}
+    elif os.path.exists(os.path.join(args.path, "_bucketed.json")):
+        from pynomaly_ray.sources.bucketed import compact_bucketed
+
+        m = compact_bucketed(args.path)
+        out = {"mode": "bucketed", "files": int(m["num_buckets"])}
+    else:
+        print(
+            json.dumps(
+                {
+                    "error": f"{args.path} has no committed sorted or "
+                    "bucketed layout manifest"
+                }
+            )
+        )
+        return 2
+    out.update({"rows": int(m.get("rows", 0)), "path": args.path})
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_matview(args) -> int:
     """Operate an incrementally-maintained aggregate view
     (state/matview.py): create from a table, fold increments in
@@ -980,6 +1014,21 @@ def main(argv=None) -> int:
     ly.add_argument("--columns", default=None, help="prune to these columns")
     ly.add_argument("--num-cpus", type=int, default=None)
     ly.set_defaults(fn=cmd_layout)
+
+    cp = sub.add_parser(
+        "compact",
+        help="merge an appended sorted/bucketed layout back into one "
+        "generation (small-file maintenance)",
+    )
+    cp.add_argument("--path", required=True, help="layout directory")
+    cp.add_argument(
+        "--partitions",
+        type=int,
+        default=None,
+        help="sorted mode: output file count (default: auto)",
+    )
+    cp.add_argument("--num-cpus", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     mv = sub.add_parser(
         "matview",

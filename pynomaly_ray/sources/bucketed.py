@@ -496,3 +496,62 @@ def bucketed_asof_join(
 
     ids = rd.from_items([{"bucket": i} for i in range(p)])
     return ids.map_batches(asof_bucket, batch_format="pyarrow", batch_size=1)
+
+
+def compact_bucketed(path: str) -> dict:
+    """Merge each bucket's generation files back into a single
+    ``data.parquet`` — the small-file compaction an append-heavy
+    bucketed layout needs (after hundreds of
+    :func:`append_bucketed` increments every bucket read opens
+    hundreds of tiny files).
+
+    Bucket membership never changes (the layout's hash is stable), so
+    compaction is embarrassingly parallel: one Ray task per bucket,
+    no exchange.  Crash safety mirrors :func:`compact_sorted`: every
+    bucket is materialized into the object store BEFORE the commit
+    marker is retracted and the bucket dirs are cleared, and the
+    manifest (gen reset to 0) is re-written LAST — a crash mid-way
+    leaves an uncommitted layout that refuses to serve rather than
+    one that double-counts.  At a 100-TB layout prefer staging the
+    compacted generation into a fresh directory and switching readers
+    over; this in-place form fits layouts whose content fits the
+    cluster's object store (spill included).
+    """
+    import ray
+
+    m = load_manifest(path)
+    p = int(m["num_buckets"])
+    schema = _bucket_schema(m)
+
+    @ray.remote
+    def _read(i: int) -> pa.Table:
+        return _read_bucket(path, i, schema)
+
+    refs = [_read.remote(i) for i in range(p)]
+    ray.wait(refs, num_returns=p)  # fully in the object store first
+
+    os.remove(os.path.join(path, _MANIFEST))  # retract: refuse reads
+
+    @ray.remote
+    def _write(i: int, t: pa.Table) -> int:
+        d = os.path.join(path, f"bucket={i}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(d, f))
+        if t.num_rows:
+            dest = os.path.join(d, "data.parquet")
+            tmp = dest + ".tmp"
+            papq.write_table(t.replace_schema_metadata(None), tmp)
+            os.replace(tmp, dest)
+        return t.num_rows
+
+    n_rows = int(
+        sum(ray.get([_write.remote(i, r) for i, r in enumerate(refs)]))
+    )
+    m["rows"] = n_rows
+    m["gen"] = 0
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))  # commit
+    return m

@@ -439,3 +439,108 @@ def test_bm25_topk_duplicate_terms_counted_once(ray_session):
     once = bm25_topk(ds, ["x"], k=3)
     twice = bm25_topk(ds, ["x", "x"], k=3)
     pd.testing.assert_frame_equal(once, twice)
+
+
+# ---------------------------------------------------------------------------
+# compact_bucketed (wave 42)
+# ---------------------------------------------------------------------------
+def test_compact_bucketed_preserves_content(ray_session, tmp_path):
+    import os
+
+    from pynomaly_ray.sources.bucketed import (
+        append_bucketed,
+        bucketed_aggregate,
+        compact_bucketed,
+        load_manifest,
+        write_bucketed,
+    )
+
+    rng = np.random.default_rng(42)
+
+    def mk(n):
+        return pd.DataFrame(
+            {
+                "uid": rng.integers(0, 30, n),
+                "v": rng.integers(-50, 50, n),
+            }
+        )
+
+    base, d1, d2 = mk(1000), mk(300), mk(200)
+    path = str(tmp_path / "layout")
+    write_bucketed(_mkds(base), ["uid"], 8, path)
+    append_bucketed(_mkds(d1), path)
+    append_bucketed(_mkds(d2), path)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("uid", sort=False)
+            .agg(n=("v", "size"), s=("v", "sum"))
+            .reset_index()
+        )
+
+    before = (
+        bucketed_aggregate(path, per_bucket)
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    m = compact_bucketed(path)
+    assert m["gen"] == 0
+    assert m["rows"] == 1500
+    # exactly one file per non-empty bucket, none named data-g*
+    for i in range(8):
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, f"bucket={i}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) <= 1
+        assert all(not f.startswith("data-g") for f in files)
+    after = (
+        bucketed_aggregate(path, per_bucket)
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)
+    # appends keep working after a compaction (gen restarts)
+    append_bucketed(_mkds(mk(100)), path)
+    assert load_manifest(path)["rows"] == 1600
+
+
+def test_cli_compact_both_layout_kinds(ray_session, tmp_path, capsys):
+    import json
+    import os
+
+    from pynomaly_ray.cli import main
+    from pynomaly_ray.sources.bucketed import append_bucketed
+    from pynomaly_ray.sources.sorted_layout import append_sorted
+
+    src = str(tmp_path / "src.parquet")
+    pd.DataFrame(
+        {"uid": np.arange(200) % 9, "t": np.arange(200)}
+    ).to_parquet(src)
+
+    bp = str(tmp_path / "b")
+    assert main(
+        ["layout", "--input", src, "--out", bp, "--mode", "bucketed",
+         "--keys", "uid", "--partitions", "4"]
+    ) == 0
+    append_bucketed(_mkds(pd.DataFrame({"uid": [1, 2], "t": [900, 901]}), 1), bp)
+    capsys.readouterr()
+    assert main(["compact", "--path", bp]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec == {"mode": "bucketed", "files": 4, "rows": 202, "path": bp}
+
+    sp = str(tmp_path / "s")
+    assert main(
+        ["layout", "--input", src, "--out", sp, "--mode", "sorted",
+         "--keys", "t", "--partitions", "3"]
+    ) == 0
+    append_sorted(_mkds(pd.DataFrame({"uid": [0], "t": [1000]}), 1), sp, 1)
+    capsys.readouterr()
+    assert main(["compact", "--path", sp, "--partitions", "2"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["mode"] == "sorted" and rec["rows"] == 201
+
+    assert main(["compact", "--path", str(tmp_path / "missing")]) == 2
