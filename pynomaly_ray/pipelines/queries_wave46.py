@@ -300,7 +300,9 @@ def q_knn_accuracy(sf_dir: str):
         )
         return pa.Table.from_pandas(part, preserve_index=False)
 
-    parts = ds.map_batches(nn_partial, batch_format="pyarrow", batch_size=8192)
+    # small batches so the quadratic scoring fans out across the pool
+    # instead of serializing in one oversized task
+    parts = ds.map_batches(nn_partial, batch_format="pyarrow", batch_size=512)
     out = hash_aggregate(
         parts,
         ["label"],
