@@ -49,12 +49,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from pynomaly_ray.functions.exchange import (
     collect_sorted,
     hash_aggregate,
-    topk,
 )
 from pynomaly_ray.functions.hashing import hash_strings, nul_safe_key
 from pynomaly_ray.pipelines.queries import (
@@ -361,8 +359,11 @@ ORDER BY label
 
 def _bigram_pairs(sf_dir: str):
     """(doc_id, bg_hash) distinct pairs — the coverage surface, built
-    once and materialized (tens of rows per doc, ~800x smaller than the
-    text it summarizes)."""
+    once, bucketed BY DOC, and materialized (tens of rows per doc,
+    ~800x smaller than the text it summarizes).  The one-time doc
+    bucketing makes every doc's pairs block-complete, so each greedy
+    round below is a MAP-ONLY pass (per-block exact gains + local
+    top-1) instead of a fresh exchange per round."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -388,7 +389,11 @@ def _bigram_pairs(sf_dir: str):
         ).drop_duplicates()  # a doc sits in one row -> global per-doc dedup
         return pa.Table.from_pandas(d, preserve_index=False)
 
-    return ds.map_batches(pairs, batch_format="pyarrow").materialize()
+    return hash_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["doc_id"],
+        lambda df: df,  # identity: co-locate each doc's pairs in one block
+    ).materialize()
 
 
 def q_coverage_select(sf_dir: str):
@@ -401,16 +406,18 @@ def q_coverage_select(sf_dir: str):
         cov = covered
         sel = np.asarray(sorted(selected), dtype=np.int64)
 
-        def gain(t: pa.Table, cov=cov, sel=sel) -> pa.Table:
+        def local_best(t: pa.Table, cov=cov, sel=sel) -> pa.Table:
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "gain": pa.array([], pa.int64()),
+                    "bgs": pa.array([], pa.list_(pa.int64())),
+                }
+            )
             df = t.to_pandas()
             df = df[~df["doc_id"].isin(sel)]
             if df.empty:
-                return pa.table(
-                    {
-                        "doc_id": pa.array([], pa.int64()),
-                        "gain": pa.array([], pa.int64()),
-                    }
-                )
+                return empty
             fresh = ~np.isin(df["bg"].to_numpy(np.int64), cov)
             g = (
                 pd.DataFrame(
@@ -421,34 +428,46 @@ def q_coverage_select(sf_dir: str):
                 .astype(np.int64)
                 .reset_index(name="gain")
             )
-            return pa.Table.from_pandas(g, preserve_index=False)
+            # each doc is block-complete (bucketed surface, whole-block
+            # batches), so the block's best IS that doc's global gain;
+            # shipping the candidate's own hashes (tens of ints) spares
+            # a second fetch pass when it wins globally
+            g = g.sort_values(
+                ["gain", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(1)
+            best = int(g["doc_id"].iloc[0])
+            bgs = df.loc[
+                df["doc_id"].to_numpy(np.int64) == best, "bg"
+            ].to_numpy(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array([best], pa.int64()),
+                    "gain": pa.array(
+                        [int(g["gain"].iloc[0])], pa.int64()
+                    ),
+                    "bgs": pa.array([bgs.tolist()], pa.list_(pa.int64())),
+                }
+            )
 
-        # per-doc pairs are globally distinct, so block-level fresh
-        # counts are ADDITIVE partials — one small keyed sum makes the
-        # gain exact regardless of how Ray slices blocks, then the
-        # global (gain DESC, doc_id ASC) argmax is a k=1 top-k
-        summed = hash_aggregate(
-            pairs.map_batches(gain, batch_format="pyarrow"),
-            ["doc_id"],
-            lambda df: df.groupby("doc_id", sort=False)["gain"]
-            .sum()
-            .astype(np.int64)
-            .reset_index(),
-        )
-        g = topk(summed, ["gain", "doc_id"], 1, descending=[True, False])
-        if len(g) == 0:
+        # map-only round: per-block exact top-1 partials, tiny driver merge
+        cand = pairs.map_batches(
+            local_best, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        if cand.empty or "doc_id" not in cand.columns:
             break
-        win_doc = int(g["doc_id"].iloc[0])
-        win_gain = int(g["gain"].iloc[0])
+        cand = cand[cand["gain"].notna()]
+        if cand.empty:
+            break
+        cand = cand.sort_values(
+            ["gain", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        win_doc = int(cand["doc_id"].iloc[0])
+        win_gain = int(cand["gain"].iloc[0])
         out_rows.append((step, win_doc, win_gain))
         selected.append(win_doc)
-        won = pairs.map_batches(
-            lambda t, w=win_doc: t.filter(
-                pc.equal(t["doc_id"], pa.scalar(w, pa.int64()))
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
-        covered = np.union1d(covered, won["bg"].to_numpy(np.int64))
+        covered = np.union1d(
+            covered, np.asarray(cand["bgs"].iloc[0], dtype=np.int64)
+        )
 
     return pd.DataFrame(
         out_rows, columns=["step", "doc_id", "gain"]
