@@ -168,9 +168,7 @@ def q_basket_triples(sf_dir: str):
     def triples(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
-                "p1": pd.Series(dtype=np.int64),
-                "p2": pd.Series(dtype=np.int64),
-                "p3": pd.Series(dtype=np.int64),
+                "tk": pd.Series(dtype=np.int64),
                 "cnt": pd.Series(dtype=np.int64),
             }
         )
@@ -188,38 +186,44 @@ def q_basket_triples(sf_dir: str):
         tri = tri[tri["l_partkey_2"] < tri["l_partkey_3"]]
         if tri.empty:
             return empty
-        g = (
-            tri.groupby(
-                ["l_partkey_1", "l_partkey_2", "l_partkey_3"], sort=False
-            )
-            .size()
-            .reset_index(name="cnt")
+        # packed canonical triple key (partkeys < 2^21): one int64
+        # groupby/exchange key; lexicographic == (p1, p2, p3) order
+        tk = (
+            (tri["l_partkey_1"].to_numpy(np.int64) << np.int64(42))
+            | (tri["l_partkey_2"].to_numpy(np.int64) << np.int64(21))
+            | tri["l_partkey_3"].to_numpy(np.int64)
         )
-        g.columns = ["p1", "p2", "p3", "cnt"]
-        return g.astype(np.int64)
+        keys, cnts = np.unique(tk, return_counts=True)
+        return pd.DataFrame({"tk": keys, "cnt": cnts.astype(np.int64)})
 
+    # the order exchange's reducer expands cubically from a compact
+    # pair surface — pin the fan-out to the pool width so the lattice
+    # growth parallelizes instead of collapsing into one size-adaptive
+    # bucket (same prescription as coactive_pairs)
     per_triple = hash_aggregate(
         ds.map_batches(pre, batch_format="pyarrow"),
         ["l_orderkey"],
         triples,
+        num_partitions=32,
     )
     # triples from different order-buckets can coincide: one more tiny
     # keyed sum before the global top-k
     summed = hash_aggregate(
         per_triple,
-        ["p1", "p2", "p3"],
-        lambda df: df.groupby(["p1", "p2", "p3"], sort=False)["cnt"]
-        .sum()
-        .reset_index(),
+        ["tk"],
+        lambda df: df.groupby("tk", sort=False)["cnt"].sum().reset_index(),
     )
-    out = topk(
-        summed,
-        ["cnt", "p1", "p2", "p3"],
-        _TRIPLE_K,
-        descending=[True, False, False, False],
+    out = topk(summed, ["cnt", "tk"], _TRIPLE_K, descending=[True, False])
+    tk = out["tk"].to_numpy(np.int64)
+    mask = np.int64((1 << 21) - 1)
+    out = pd.DataFrame(
+        {
+            "p1": tk >> np.int64(42),
+            "p2": (tk >> np.int64(21)) & mask,
+            "p3": tk & mask,
+            "cnt": out["cnt"].to_numpy(np.int64),
+        }
     )
-    for c in ("p1", "p2", "p3", "cnt"):
-        out[c] = out[c].astype(np.int64)
     return out[["p1", "p2", "p3", "cnt"]]
 
 
