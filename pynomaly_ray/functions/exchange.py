@@ -259,62 +259,13 @@ def hash_join(
     left_refs, lbytes = _materialized(ds_left)
     right_refs, rbytes = _materialized(ds_right)
     p = num_partitions or auto_num_partitions(lbytes + rbytes)
-    ls = [
-        _split_block.options(num_returns=p if p > 1 else 1).remote(r, keys, p)
-        for r in left_refs
-    ]
-    rs = [
-        _split_block.options(num_returns=p if p > 1 else 1).remote(r, keys, p)
-        for r in right_refs
-    ]
-    if p == 1:
-        ls, rs = [[r] for r in ls], [[r] for r in rs]
-    else:
-        ls, rs = [list(r) for r in ls], [list(r) for r in rs]
-
-    @ray.remote
-    def _join_bucket(n_left: int, *pieces: pa.Table) -> pa.Table:
-        # empty piece tables still carry their schema, so the merge below
-        # yields correctly-typed (possibly zero-row) output per bucket
-        ldf = pa.concat_tables(
-            pieces[:n_left], promote_options="permissive"
-        ).to_pandas()
-        rdf = pa.concat_tables(
-            pieces[n_left:], promote_options="permissive"
-        ).to_pandas()
-        # a side whose EVERY block was 0-row-schemaless (fully-pruned
-        # pushdown read; Ray skips map fns on empty blocks) arrives with
-        # no columns at all.  The join result is well-defined (0 rows)
-        # whenever the schemaless side is NOT null-extended: inner with
-        # either side empty, left with an empty LEFT, right with an
-        # empty RIGHT.  Only when the typed side's rows must survive
-        # padded with the schemaless side's columns is there genuinely
-        # no schema to synthesize.
-        l_bare = not len(ldf) and any(k not in ldf.columns for k in keys)
-        r_bare = not len(rdf) and any(k not in rdf.columns for k in keys)
-        if l_bare or r_bare:
-            preserved_is_bare = (
-                how == "inner"
-                or (how == "left" and l_bare)
-                or (how == "right" and r_bare)
-                or (l_bare and r_bare)
-            )
-            if preserved_is_bare:
-                return pa.table({})
-            raise ValueError(
-                f"hash_join(how={how!r}): the null-extended side has no "
-                "schema (all blocks empty and column-less); filter after "
-                "a map stage or guard the empty input upstream"
-            )
-        out = ldf.merge(rdf, on=keys, how=how)
-        if merge_fn is not None:
-            out = merge_fn(out)
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
-            None
-        )
-
+    ls = _partitioned_refs(left_refs, keys, p)
+    rs = _partitioned_refs(right_refs, keys, p)
     merged = [
         _join_bucket.remote(
+            keys,
+            how,
+            merge_fn,
             len(ls),
             *[ls[i][b] for i in range(len(ls))],
             *[rs[i][b] for i in range(len(rs))],
@@ -322,6 +273,115 @@ def hash_join(
         for b in range(p)
     ]
     return ray.data.from_arrow_refs(merged)
+
+
+@ray.remote
+def _join_bucket(keys, how, merge_fn, n_left: int, *pieces: pa.Table) -> pa.Table:
+    """One bucket's vectorized pd.merge (shared by hash_join and
+    PartitionedTable.join — identical semantics by construction)."""
+    # empty piece tables still carry their schema, so the merge below
+    # yields correctly-typed (possibly zero-row) output per bucket;
+    # a side with NO blocks at all (empty materialized dataset) is the
+    # same case as all-blocks-schemaless below
+    lp, rp = pieces[:n_left], pieces[n_left:]
+    ldf = (
+        pa.concat_tables(lp, promote_options="permissive").to_pandas()
+        if lp
+        else pd.DataFrame()
+    )
+    rdf = (
+        pa.concat_tables(rp, promote_options="permissive").to_pandas()
+        if rp
+        else pd.DataFrame()
+    )
+    # a side whose EVERY block was 0-row-schemaless (fully-pruned
+    # pushdown read; Ray skips map fns on empty blocks) arrives with
+    # no columns at all.  The join result is well-defined (0 rows)
+    # whenever the schemaless side is NOT null-extended: inner with
+    # either side empty, left with an empty LEFT, right with an
+    # empty RIGHT.  Only when the typed side's rows must survive
+    # padded with the schemaless side's columns is there genuinely
+    # no schema to synthesize.
+    l_bare = not len(ldf) and any(k not in ldf.columns for k in keys)
+    r_bare = not len(rdf) and any(k not in rdf.columns for k in keys)
+    if l_bare or r_bare:
+        preserved_is_bare = (
+            how == "inner"
+            or (how == "left" and l_bare)
+            or (how == "right" and r_bare)
+            or (l_bare and r_bare)
+        )
+        if preserved_is_bare:
+            return pa.table({})
+        raise ValueError(
+            f"hash_join(how={how!r}): the null-extended side has no "
+            "schema (all blocks empty and column-less); filter after "
+            "a map stage or guard the empty input upstream"
+        )
+    out = ldf.merge(rdf, on=keys, how=how)
+    if merge_fn is not None:
+        out = merge_fn(out)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+        None
+    )
+
+
+class PartitionedTable:
+    """A Dataset hash-partitioned ONCE, probed many times.
+
+    Iterative algorithms (PageRank, BFS, SSSP, HITS, label propagation)
+    join a LARGE STATIC side — the edge list — against a small evolving
+    side every round.  Plain :func:`hash_join` re-splits both sides per
+    call, so K rounds pay K full exchanges of the static table.  This
+    wrapper pays the static side's split exactly once at construction
+    and re-uses the bucket refs for every probe: per round only the
+    evolving side (frontier / rank vector) moves.  At 100 TB the static
+    exchange IS the cost of these algorithms — this is the difference
+    between O(E) and O(K*E) bytes moved.
+
+    The probe is split with the same key hash and fan-out, so bucket
+    co-location (and therefore join exactness) is identical to
+    :func:`hash_join` — the per-bucket task is literally the same
+    remote function.  The build side is the LEFT side of every join.
+
+    Fan-out is sized on the BUILD side's bytes (override with
+    ``num_partitions``); probes are expected to be no larger than the
+    build side — for a bigger probe, build on the probe instead.
+    """
+
+    def __init__(self, ds, key_cols: Sequence[str], num_partitions: int | None = None):
+        refs, nbytes = _materialized(ds)
+        self.key_cols = list(key_cols)
+        self.num_partitions = num_partitions or auto_num_partitions(nbytes)
+        self._pieces = _partitioned_refs(refs, self.key_cols, self.num_partitions)
+
+    def join(
+        self,
+        probe_ds,
+        merge_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+        how: str = "inner",
+    ):
+        """Join the (static, left) build side with ``probe_ds`` (right).
+
+        Same semantics as ``hash_join(build, probe, key_cols,
+        merge_fn=..., how=...)`` — the probe side pays the only new
+        exchange.
+        """
+        probe_refs, _ = _materialized(probe_ds)
+        ps = _partitioned_refs(probe_refs, self.key_cols, self.num_partitions)
+        n_left = len(self._pieces)
+        merged = [
+            _join_bucket.remote(
+                self.key_cols,
+                how,
+                merge_fn,
+                n_left,
+                *[self._pieces[i][b] for i in range(n_left)],
+                *[ps[i][b] for i in range(len(ps))],
+            )
+            for b in range(self.num_partitions)
+        ]
+        return ray.data.from_arrow_refs(merged)
 
 
 def hash_anti_join(

@@ -33,6 +33,7 @@ import pandas as pd
 import pyarrow as pa
 
 from pynomaly_ray.functions.exchange import (
+    PartitionedTable,
     anti_membership,
     collect_sorted,
     hash_aggregate,
@@ -94,7 +95,10 @@ def q_pagerank(sf_dir: str):
         .reset_index(name="d")
         .astype(np.int64),
     )
-    edges_deg = hash_join(edges, deg, ["u"]).materialize()
+    # build-once partitioned edge surface: every iteration probes this
+    # with the (small) rank vector instead of re-exchanging O(E) edges —
+    # at scale the static exchange is paid once, not once per iteration
+    edges_pt = PartitionedTable(hash_join(edges, deg, ["u"]), ["u"])
 
     # node roll: distinct endpoints (drives N and the per-iteration
     # LEFT join so in-degree-0 nodes keep their teleport base)
@@ -132,6 +136,8 @@ def q_pagerank(sf_dir: str):
         )
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow")
+    # the node roll is also static across iterations: partition once
+    nodes_pt = PartitionedTable(nodes, ["node"])
 
     for _ in range(_PR_ITERS):
 
@@ -149,10 +155,8 @@ def q_pagerank(sf_dir: str):
                 .reset_index()
             )
 
-        sums = hash_join(
-            edges_deg,
+        sums = edges_pt.join(
             ranks.map_batches(as_u, batch_format="pyarrow"),
-            ["u"],
             merge_fn=contrib_merge,
         )
 
@@ -168,8 +172,7 @@ def q_pagerank(sf_dir: str):
                 }
             )
 
-        ranks = hash_join(
-            nodes,
+        ranks = nodes_pt.join(
             hash_aggregate(
                 sums.map_batches(as_node, batch_format="pyarrow"),
                 ["node"],
@@ -177,7 +180,6 @@ def q_pagerank(sf_dir: str):
                 .sum()
                 .reset_index(),
             ),
-            ["node"],
             how="left",
             merge_fn=next_rank,
         ).materialize()

@@ -2,12 +2,13 @@
 co-occurrence.
 
 - ``bfs_hops`` — multi-source BFS over the derived order graph
-  (undirected), bounded at 4 hops: per round, the frontier joins onto
-  the edge set in BOTH directions (two hash joins on co-located
-  buckets), newly-reached nodes are carved out with
-  :func:`anti_membership` against the visited roll, and the round
-  stamp becomes their hop distance.  Frontier size — not corpus size —
-  bounds each round's exchange.  The oracle is a DuckDB RECURSIVE CTE
+  (undirected), bounded at 4 hops: the symmetrized adjacency (both
+  orientations of every edge) is hash-partitioned ONCE into a
+  :class:`PartitionedTable`; per round the frontier probes it (one
+  join, frontier-sized exchange only), newly-reached nodes are carved
+  out with :func:`anti_membership` against the visited roll, and the
+  round stamp becomes their hop distance.  Frontier size — not corpus
+  size — bounds each round's exchange.  The oracle is a DuckDB RECURSIVE CTE
   with UNION (set semantics: the working table stays at most one row
   per (node, depth), so path multiplicity never explodes) reduced by
   MIN(depth).
@@ -25,10 +26,10 @@ import pandas as pd
 import pyarrow as pa
 
 from pynomaly_ray.functions.exchange import (
+    PartitionedTable,
     anti_membership,
     collect_sorted,
     hash_aggregate,
-    hash_join,
 )
 from pynomaly_ray.pipelines.queries import ORACLE_QUERIES, _pq
 from pynomaly_ray.pipelines.queries_wave19 import derived_edges
@@ -68,37 +69,40 @@ def q_bfs_hops(sf_dir: str):
 
         return ds.map_batches(f, batch_format="pyarrow")
 
+    # undirected adjacency as ONE build-once partitioned surface: each
+    # (u,v) edge contributes both orientations (src->dst), partitioned
+    # on src exactly once — every BFS round probes it with the frontier
+    # instead of re-exchanging O(E) edges twice per round
+    def symmetrize(t: pa.Table) -> pa.Table:
+        uu = t["u"].to_numpy(zero_copy_only=False)
+        vv = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([uu, vv])),
+                "dst": pa.array(np.concatenate([vv, uu])),
+            }
+        )
+
+    adj_pt = PartitionedTable(
+        edges.map_batches(symmetrize, batch_format="pyarrow"), ["src"]
+    )
+
     reached = [stamp(frontier, 0).materialize()]
     visited = frontier
     for hop in range(1, _BFS_HOPS + 1):
         if frontier.count() == 0:
             break
 
-        def as_u(t: pa.Table) -> pa.Table:
-            return pa.table({"u": t["node"]})
+        def as_src(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t["node"]})
 
-        def as_v(t: pa.Table) -> pa.Table:
-            return pa.table({"v": t["node"]})
-
-        # undirected: neighbors along both orientations
-        fwd = hash_join(
-            edges,
-            frontier.map_batches(as_u, batch_format="pyarrow"),
-            ["u"],
-            merge_fn=lambda df: pd.DataFrame(
-                {"node": df["v"].drop_duplicates().to_numpy(np.int64)}
-            ),
-        )
-        bwd = hash_join(
-            edges,
-            frontier.map_batches(as_v, batch_format="pyarrow"),
-            ["v"],
-            merge_fn=lambda df: pd.DataFrame(
-                {"node": df["u"].drop_duplicates().to_numpy(np.int64)}
-            ),
-        )
         neigh = hash_aggregate(
-            fwd.union(bwd),
+            adj_pt.join(
+                frontier.map_batches(as_src, batch_format="pyarrow"),
+                merge_fn=lambda df: pd.DataFrame(
+                    {"node": df["dst"].drop_duplicates().to_numpy(np.int64)}
+                ),
+            ),
             ["node"],
             lambda df: df.drop_duplicates(["node"]),
         )

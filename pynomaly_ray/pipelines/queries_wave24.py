@@ -138,18 +138,35 @@ def q_hits_scores(sf_dir: str):
     # auth[v] = sum_{u->v} hub1[u]   (A^T @ hub)
     auth1 = _matvec(edges, hub1, "hub", "u", "v", "auth").materialize()
 
-    def fill(col: str):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            df[col] = df[col].fillna(0).astype(np.int64)
-            return df[["node", col]]
+    # one exchange instead of three node-sized joins: the node roll
+    # (as all-zero rows), hub partials and auth partials union into a
+    # single keyed aggregate — hub1/auth1 carry at most one row per
+    # node, so per-node SUM with 0-fill is exactly COALESCE(x, 0)
+    def align(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "node": t["node"],
+                "hub": t["hub"] if "hub" in t.schema.names else z,
+                "auth": t["auth"] if "auth" in t.schema.names else z,
+            }
+        )
 
-        return f
+    def sum_fill(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("node", sort=False)[["hub", "auth"]]
+            .sum()
+            .reset_index()
+        )
+        return g.astype(np.int64)
 
-    hubs = hash_join(nodes, hub1, ["node"], how="left", merge_fn=fill("hub"))
-    auths = hash_join(
-        nodes, auth1, ["node"], how="left", merge_fn=fill("auth")
+    out = hash_aggregate(
+        nodes.map_batches(align, batch_format="pyarrow")
+        .union(hub1.map_batches(align, batch_format="pyarrow"))
+        .union(auth1.map_batches(align, batch_format="pyarrow")),
+        ["node"],
+        sum_fill,
     )
-    out = hash_join(hubs, auths, ["node"])
     df = collect_sorted(out, ["node"])
     for c in ("node", "hub", "auth"):
         df[c] = df[c].astype(np.int64)

@@ -48,9 +48,9 @@ import pandas as pd
 import pyarrow as pa
 
 from pynomaly_ray.functions.exchange import (
+    PartitionedTable,
     collect_sorted,
     hash_aggregate,
-    hash_join,
     topk,
 )
 from pynomaly_ray.pipelines.queries import ORACLE_QUERIES, _from_pandas, _pq
@@ -236,7 +236,9 @@ def q_sssp_distances(sf_dir: str):
             }
         )
 
+    # weighted edges are static across relaxation rounds: partition once
     ew = edges.map_batches(weighted, batch_format="pyarrow").materialize()
+    ew_pt = PartitionedTable(ew, ["u"])
 
     def seeds_of(t: pa.Table) -> pa.Table:
         uu = t["u"].to_numpy(zero_copy_only=False)
@@ -273,10 +275,8 @@ def q_sssp_distances(sf_dir: str):
         return out
 
     for _ in range(_SSSP_ROUNDS):
-        cand = hash_join(
-            ew,
+        cand = ew_pt.join(
             best.map_batches(as_u, batch_format="pyarrow"),
-            ["u"],
             merge_fn=relax,
         )
         best = hash_aggregate(
