@@ -21,7 +21,11 @@ def test_hourly_autocorr_handchecked(ray_session, tmp_path):
     df = pd.DataFrame(
         {
             "event_id": np.arange(5, dtype=np.int64),
-            "ts": [base + pd.Timedelta(hours=h, minutes=5) for h in hours],
+            # the real events schema is timestamp[us]; pandas defaults
+            # to [ns] which would shift the integer hour arithmetic
+            "ts": pd.Series(
+                [base + pd.Timedelta(hours=h, minutes=5) for h in hours]
+            ).astype("datetime64[us]"),
             "user_id": np.ones(5, dtype=np.int64),
             "event_type": types,
             "value": np.ones(5),
