@@ -886,3 +886,28 @@ def sorted_asof_join(
         return rd.from_arrow(_merge_one(lt, _right_empty()))
     tasks = rd.from_items(plan)
     return tasks.map_batches(_join_task, batch_format="pyarrow", batch_size=1)
+
+
+def layout_stats(path: str) -> dict:
+    """Metadata-only table statistics from the zone manifest: COUNT(*),
+    key MIN/MAX, key null count and file count — the Iceberg/Delta
+    "stats-only query" fast path.  No data file is opened: at 100 TB a
+    row count or key range answers in manifest-read time instead of a
+    full scan.  Bounds compare on their serialized form (the same
+    order-preserving encoding zone_plan prunes with) and deserialize
+    once at the end.  Refuses (via load_manifest) on an uncommitted
+    layout, like every other reader of this format.
+    """
+    m = load_manifest(path)
+    kind = m["kind"]
+    typed = [z for z in m["zones"] if z["lo"] is not None]
+    lo = min(z["lo"] for z in typed) if typed else None
+    hi = max(z["hi"] for z in typed) if typed else None
+    return {
+        "key": m["key"],
+        "rows": int(m["rows"]),
+        "files": len(m["zones"]),
+        "key_nulls": int(sum(int(z.get("nulls", 0)) for z in m["zones"])),
+        "key_min": _deser_scalar(lo, kind).as_py() if lo is not None else None,
+        "key_max": _deser_scalar(hi, kind).as_py() if hi is not None else None,
+    }
