@@ -14,7 +14,10 @@ Only mergeable aggregate functions are accepted (``sum``, ``count``,
 ``min``, ``max``, ``hll`` — approximate COUNT(DISTINCT) as
 max-mergeable HyperLogLog register blobs, estimated at read time via
 :func:`hll_estimates` — and ``kll``: mergeable KLL quantile sketches,
-queried at read time via :func:`kll_quantiles`); an average is maintained as (sum, count) and
+queried at read time via :func:`kll_quantiles`, and ``mg``: Misra-Gries heavy-hitter counter
+blobs — one-sided-undercount mergeable summaries, EXACT whenever the
+counter budget covers the column's distinct cardinality, read via
+:func:`mg_top`); an average is maintained as (sum, count) and
 divided at read time — the same decomposition the engine's map-side
 partials use everywhere else.
 
@@ -49,9 +52,10 @@ import ray
 import ray.data as rd
 
 _MANIFEST = "_matview.json"
-_MERGEABLE = {"sum", "count", "min", "max", "hll", "kll"}
+_MERGEABLE = {"sum", "count", "min", "max", "hll", "kll", "mg"}
 _HLL_P = 12  # 4096 registers (~0.8% rel. error), 4 KiB per (key, column)
 _KLL_K = 256  # KLL buffer width: O(1/k) rank error, O(k log n) state
+_MG_K = 64  # Misra-Gries counter budget: undercount <= levels*N/(k+1)
 
 
 def _validate_spec(agg_spec: dict) -> None:
@@ -104,6 +108,88 @@ def _kll_agg(series: pd.Series) -> bytes:
     return _kll_to_bytes(sk)
 
 
+
+
+def _mg_to_bytes(tokens, counts) -> bytes:
+    """(tokens, counts) -> one self-describing blob: int64 n, int64
+    counts, int32 utf-8 lengths, concatenated utf-8 bytes."""
+    toks = [str(t).encode("utf-8") for t in tokens]
+    n = np.int64(len(toks)).tobytes()
+    c = np.asarray(counts, dtype=np.int64).tobytes()
+    lens = np.array([len(t) for t in toks], dtype=np.int32).tobytes()
+    return n + c + lens + b"".join(toks)
+
+
+def _mg_from_bytes(b: bytes):
+    n = int(np.frombuffer(b[:8], dtype=np.int64)[0])
+    off = 8
+    counts = np.frombuffer(b[off : off + 8 * n], dtype=np.int64)
+    off += 8 * n
+    lens = np.frombuffer(b[off : off + 4 * n], dtype=np.int32)
+    off += 4 * n
+    toks = np.empty(n, dtype=object)
+    for i, ln in enumerate(lens):
+        toks[i] = b[off : off + ln].decode("utf-8")
+        off += ln
+    return toks, counts
+
+
+def _mg_partial_blob(s: pd.Series) -> bytes:
+    """Exact value counts of one (key)-group, MG-pruned to _MG_K.
+    Counting goes through Arrow's hash table (NUL-safe; pandas
+    value_counts aliases strings at embedded NULs)."""
+    import pyarrow.compute as pc
+
+    from pynomaly_ray.functions.sketches import mg_prune
+
+    arr = pa.array(s.astype(str).to_numpy(object), type=pa.string())
+    vc = pc.value_counts(arr)
+    toks = np.asarray(vc.field("values").to_pylist(), dtype=object)
+    cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+    t, c = mg_prune(toks, cnts, _MG_K)
+    return _mg_to_bytes(t, c)
+
+
+def _mg_agg(series: pd.Series) -> bytes:
+    """Fold MG blobs: sum counters per token (Arrow groupby — NUL-safe),
+    prune once to _MG_K.  Each fold level adds <= level-mass/(k+1)
+    one-sided undercount (Agarwal et al., mergeable summaries); with
+    k >= the column's distinct cardinality no prune ever fires and the
+    view is EXACT."""
+    from pynomaly_ray.functions.sketches import mg_prune
+
+    toks_all, cnts_all = [], []
+    for b in series:
+        t, c = _mg_from_bytes(bytes(b))
+        toks_all.append(t)
+        cnts_all.append(c)
+    toks = np.concatenate(toks_all) if toks_all else np.empty(0, object)
+    cnts = (
+        np.concatenate(cnts_all)
+        if cnts_all
+        else np.empty(0, dtype=np.int64)
+    )
+    if len(toks) == 0:
+        return _mg_to_bytes(toks, cnts)
+    g = (
+        pa.TableGroupBy(
+            pa.table(
+                {
+                    "t": pa.array(toks, type=pa.string()),
+                    "c": pa.array(cnts, type=pa.int64()),
+                }
+            ),
+            "t",
+        )
+        .aggregate([("c", "sum")])
+        .to_pandas()
+    )
+    t, c = mg_prune(
+        g["t"].to_numpy(object), g["c_sum"].to_numpy(np.int64), _MG_K
+    )
+    return _mg_to_bytes(t, c)
+
+
 def _fold_how(agg_spec: dict) -> dict:
     """groupby-agg spec for folding PARTIALS (count is already a sum;
     hll registers fold by element-wise max; kll sketches by
@@ -116,6 +202,8 @@ def _fold_how(agg_spec: dict) -> dict:
             out[col] = _hll_agg
         elif fn == "kll":
             out[col] = _kll_agg
+        elif fn == "mg":
+            out[col] = _mg_agg
         else:
             out[col] = fn
     return out
@@ -151,6 +239,8 @@ def _partial(agg_spec: dict, keys: list[str]):
                         )
                     ),
                 )
+            elif fn == "mg":
+                named[out_col] = (src, _mg_partial_blob)
             else:
                 named[out_col] = (src, fn)
         g = df.groupby(keys, sort=False).agg(**named).reset_index()
@@ -292,12 +382,15 @@ def retract_matview(path: str, delta_ds, run_id: str) -> dict:
         return m
     agg_spec = {k: tuple(v) for k, v in m["agg_spec"].items()}
     bad = [
-        k for k, (_s, fn) in agg_spec.items() if fn in ("min", "max", "hll", "kll")
+        k
+        for k, (_s, fn) in agg_spec.items()
+        if fn in ("min", "max", "hll", "kll", "mg")
     ]
     if bad:
         raise ValueError(
             f"retraction needs sign-invertible aggregates; {bad} are "
-            "min/max/hll/kll (rebuild the view or re-create without them)"
+            "min/max/hll/kll/mg (rebuild the view or re-create without "
+            "them)"
         )
     count_cols = [k for k, (_s, fn) in agg_spec.items() if fn == "count"]
     if not count_cols:
@@ -394,3 +487,19 @@ def kll_quantiles(df: pd.DataFrame, col: str, q: float) -> np.ndarray:
     return np.array(
         [_kll_from_bytes(b).quantile(q) for b in df[col]]
     )
+
+
+def mg_top(df: pd.DataFrame, col: str, n: int) -> pd.DataFrame:
+    """Read-time top-``n`` per view row for an ``mg`` column: explodes
+    each blob to (item, cnt) rows ordered (cnt DESC, item ASC) — the
+    deterministic tie-break — keeping the view's other columns."""
+    rows = []
+    for _, r in df.iterrows():
+        toks, cnts = _mg_from_bytes(bytes(r[col]))
+        order = np.lexsort((toks.astype(str), -cnts))[:n]
+        for i in order:
+            rec = {k: r[k] for k in df.columns if k != col}
+            rec["item"] = toks[i]
+            rec["cnt"] = int(cnts[i])
+            rows.append(rec)
+    return pd.DataFrame(rows)
