@@ -625,6 +625,59 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """Crash-safe batch runner over the query registry: each query's
+    result lands under <out>/<name>/ with the parquet written FIRST and
+    ``_done.json`` renamed into place LAST (the commit marker), so a
+    killed batch resumes with --resume by skipping every committed
+    query and re-running (after clearing) any partial one — the
+    job-level twin of the per-operator manifests."""
+    import os
+
+    _ensure_ray(args.num_cpus)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.pipelines.engine_queries import ENGINE_QUERIES
+    from pynomaly_ray.pipelines.queries import ORACLE_QUERIES
+
+    registry = {name: fn for name, (fn, _sql) in ORACLE_QUERIES.items()}
+    registry.update(ENGINE_QUERIES)
+    names = [n.strip() for n in args.queries.split(",") if n.strip()]
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        print(json.dumps({"error": f"unknown queries: {unknown}"}))
+        return 2
+    ran, skipped = [], []
+    for name in names:
+        qdir = os.path.join(args.out, name)
+        marker = os.path.join(qdir, "_done.json")
+        if args.resume and os.path.exists(marker):
+            skipped.append(name)
+            continue
+        shutil.rmtree(qdir, ignore_errors=True)  # clear any partial try
+        os.makedirs(qdir, exist_ok=True)
+        res = registry[name](args.input)
+        if isinstance(res, pd.DataFrame):
+            tbl = pa.Table.from_pandas(res, preserve_index=False)
+            papq.write_table(tbl, os.path.join(qdir, "result.parquet"))
+            rows = int(tbl.num_rows)
+        elif isinstance(res, pa.Table):
+            papq.write_table(res, os.path.join(qdir, "result.parquet"))
+            rows = int(res.num_rows)
+        else:  # ray Dataset: distributed sink, no driver materialization
+            res.write_parquet(os.path.join(qdir, "result"))
+            rows = None
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "rows": rows}, f)
+        os.replace(tmp, marker)  # commit point
+        ran.append(name)
+    print(json.dumps({"ran": ran, "skipped": skipped, "out": args.out}))
+    return 0
+
+
 def cmd_layout(args) -> int:
     """Persist a table as one of the engine's clustered layouts —
     the offline `OPTIMIZE` surface: pay one exchange now so later
@@ -993,6 +1046,24 @@ def main(argv=None) -> int:
     )
     qr.add_argument("--num-cpus", type=int, default=None)
     qr.set_defaults(fn=cmd_query)
+
+    rn = sub.add_parser(
+        "run",
+        help="batch-run registry queries with crash-safe per-query "
+        "commit markers (--resume skips committed ones)",
+    )
+    rn.add_argument("--input", required=True, help="sf-style table dir")
+    rn.add_argument("--out", required=True, help="batch output root")
+    rn.add_argument(
+        "--queries", required=True, help="comma-separated registry names"
+    )
+    rn.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip queries whose _done.json marker exists",
+    )
+    rn.add_argument("--num-cpus", type=int, default=None)
+    rn.set_defaults(fn=cmd_run)
 
     ly = sub.add_parser(
         "layout",
