@@ -116,3 +116,15 @@ def test_ivf_query_dim_mismatch(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="dim"):
         ivf_probe_plan(path, np.zeros((1, 5)), nprobe=1)
+
+
+def test_ivf_recall_eval_query_bounds(ray_session):
+    from pynomaly_ray.pipelines.queries_wave72 import q_ivf_recall_eval
+
+    out = q_ivf_recall_eval("/root/testdata/sf0.001")
+    assert list(out.columns) == ["query_id", "hits_at_10"]
+    assert len(out) == 8
+    assert out["hits_at_10"].between(0, 10).all()
+    # the probed cluster contains the query point itself, whose cosine
+    # with itself is exactly 1.0 — so every query scores at least 1 hit
+    assert (out["hits_at_10"] >= 1).all()
