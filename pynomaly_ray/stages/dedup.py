@@ -836,6 +836,176 @@ def exact_duplicates_by_content(docs_ds):
     return hash_aggregate(partials, ["content_hash"], merge)
 
 
+def _committed_hash_dirs(state_dir: str, run_id: str) -> list[str]:
+    """Hash-table dirs of COMMITTED prior exact-dedup runs, in run
+    order (sorted dir name = arrival order, the first-crawl-wins tie
+    rank).  Same crash contract as the MinHash band state: an
+    uncommitted run's hashes must not suppress re-emission."""
+    import os
+
+    root = os.path.join(state_dir, "hashes")
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d != run_id
+        and os.path.isdir(os.path.join(root, d))
+        and os.path.exists(os.path.join(root, ".commit-" + d))
+    ]
+
+
+def commit_exact_state(state_dir: str, run_id: str) -> None:
+    """Mark ``run_id``'s hash table committed — call AFTER its pair
+    output is durably persisted (see :func:`commit_minhash_state`)."""
+    import os
+
+    with open(
+        os.path.join(state_dir, "hashes", ".commit-" + run_id), "w"
+    ) as f:
+        f.write("committed\n")
+
+
+def exact_duplicates_incremental(
+    docs_ds,
+    state_dir: str,
+    run_id: str,
+    *,
+    commit: bool = True,
+) -> pd.DataFrame:
+    """Cross-run incremental EXACT dedup — first-crawl-wins semantics.
+
+    The exact-hash twin of :func:`minhash_lsh_duplicates_incremental`:
+    each run persists (doc_id, content_hash) for the docs it first saw
+    under ``state_dir/hashes/<run_id>/`` (committed by a marker once
+    the run's pairs are delivered).  A later run over the accumulated
+    corpus anti-joins doc_ids against committed state, so the content
+    hash is computed ONCE per doc across the corpus lifetime, then
+    emits (doc_keep, doc_dup) only for NEW docs whose content was
+    already seen (by a prior run, or by a smaller-id doc in this run).
+
+    The keeper of a content group is the FIRST-SEEN doc — min (run
+    rank, doc_id), run rank = sorted state-dir order — so the keeper
+    never changes once assigned and the union of all runs' pair
+    outputs drops exactly all-but-the-first copy of every content,
+    byte-identical to what replaying the crawl through the one-shot
+    pipeline run-by-run would keep.  Retrying a crashed ``run_id`` is
+    idempotent (its dir is cleared and rewritten; uncommitted dirs are
+    never trusted).
+
+    Scale shape: the group key is the int64 content hash (uniform —
+    no skew), text never leaves the hashing batch, the reducer is
+    vectorized and emits O(duplicates) rows (a million-copy page is
+    one group and one linear pass, never a quadratic pair set), and
+    state grows one row per NEW doc per run.  Collisions inherit the
+    one-shot contract (~n^2/2^65, documented at
+    :func:`exact_duplicates_by_content`).
+
+    Rows with null doc_id are excluded up front on every run, as in
+    the MinHash incremental contract.
+    """
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from pynomaly_ray.functions.exchange import anti_membership, hash_aggregate
+    from pynomaly_ray.functions.hashing import hash_strings
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    docs_ds = docs_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["doc_id"])), batch_format="pyarrow"
+    )
+    prior_dirs = _committed_hash_dirs(state_dir, run_id)
+    new_rank = len(prior_dirs)
+
+    new_docs = docs_ds
+    prior_parts = []
+    for rank, d in enumerate(prior_dirs):
+        files = [
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        part = read_parquet_clean(files)
+        prior_parts.append(
+            part.map_batches(
+                lambda t, _r=rank: t.append_column(
+                    "rnk", pa.array(np.full(t.num_rows, _r, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    if prior_parts:
+        prior_all = prior_parts[0]
+        for p in prior_parts[1:]:
+            prior_all = prior_all.union(p)
+        prior_all = prior_all.materialize()  # consumed twice
+        prior_ids = prior_all.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+        )
+        new_docs = anti_membership(docs_ds, prior_ids, "doc_id")
+
+    def hash_new(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "content_hash": pa.array(
+                    hash_strings(t["text"]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    hash_dir = os.path.join(state_dir, "hashes", run_id)
+    shutil.rmtree(hash_dir, ignore_errors=True)  # idempotent retry
+    os.makedirs(os.path.dirname(hash_dir), exist_ok=True)
+    new_hashes = new_docs.map_batches(
+        hash_new, batch_format="pyarrow"
+    ).materialize()  # consumed twice: sink + grouping
+    new_hashes.write_parquet(hash_dir)
+
+    union = new_hashes.map_batches(
+        lambda t: t.append_column(
+            "rnk", pa.array(np.full(t.num_rows, new_rank, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    if prior_parts:
+        union = union.union(prior_all)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["content_hash", "rnk", "doc_id"], kind="mergesort"
+        )
+        keep = df.groupby("content_hash", sort=False)["doc_id"].transform(
+            "first"
+        )
+        m = (df["rnk"].to_numpy() == new_rank) & (
+            df["doc_id"].to_numpy() != keep.to_numpy()
+        )
+        # masking preserves the id dtype even when zero rows survive,
+        # so cross-bucket concat never sees a float64 empty
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {"doc_keep": keep.to_numpy()[m], "doc_dup": ids[m]}
+        )
+
+    pairs = hash_aggregate(union, ["content_hash"], emit).to_pandas()
+    if pairs.empty:
+        pairs = pd.DataFrame(
+            {
+                "doc_keep": pd.Series(dtype=np.int64),
+                "doc_dup": pd.Series(dtype=np.int64),
+            }
+        )
+    pairs = pairs.sort_values(["doc_keep", "doc_dup"]).reset_index(drop=True)
+    if commit:
+        commit_exact_state(state_dir, run_id)
+    return pairs
+
+
 def editdist_le1(ta, tb) -> np.ndarray:
     """Exact Levenshtein distance for pairs already known to be close:
     returns 0, 1, or 2 (meaning "> 1") per pair — the verify kernel of

@@ -1,0 +1,103 @@
+"""Wave-73 tests: cross-run incremental exact dedup state machine."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+
+def _docs(ray, rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _pairs(df):
+    return sorted(zip(df["doc_keep"].tolist(), df["doc_dup"].tolist()))
+
+
+def test_first_crawl_wins_across_three_runs(ray_session, tmp_path):
+    from pynomaly_ray.stages.dedup import exact_duplicates_incremental
+
+    state = str(tmp_path / "state")
+    # run 1: docs 10, 11 (distinct), 12 dup of 10
+    p1 = exact_duplicates_incremental(
+        _docs(ray_session, [(10, "aaa"), (11, "bbb"), (12, "aaa")]),
+        state,
+        "run1",
+    )
+    assert _pairs(p1) == [(10, 12)]
+    # run 2 (accumulated corpus): new docs 5 (dup of 10 — SMALLER id,
+    # but the keeper stays the first-seen doc 10) and 6 (new content)
+    corpus2 = [(10, "aaa"), (11, "bbb"), (12, "aaa"), (5, "aaa"), (6, "ccc")]
+    p2 = exact_duplicates_incremental(_docs(ray_session, corpus2), state, "run2")
+    assert _pairs(p2) == [(10, 5)]
+    # run 3: a dup of run-2's new content — keeper is run-2's doc 6
+    corpus3 = corpus2 + [(7, "ccc")]
+    p3 = exact_duplicates_incremental(_docs(ray_session, corpus3), state, "run3")
+    assert _pairs(p3) == [(6, 7)]
+    # union drops exactly all-but-first per content
+    dropped = {d for p in (p1, p2, p3) for d in p["doc_dup"]}
+    assert dropped == {12, 5, 7}
+
+
+def test_uncommitted_run_does_not_suppress(ray_session, tmp_path):
+    from pynomaly_ray.stages.dedup import exact_duplicates_incremental
+
+    state = str(tmp_path / "state")
+    rows = [(1, "x"), (2, "x")]
+    # crash before delivery: commit=False and the caller never commits
+    p = exact_duplicates_incremental(
+        _docs(ray_session, rows), state, "run1", commit=False
+    )
+    assert _pairs(p) == [(1, 2)]
+    assert os.path.isdir(os.path.join(state, "hashes", "run1"))
+    # retry of run1 re-hashes everything and re-emits the lost pairs
+    p_retry = exact_duplicates_incremental(
+        _docs(ray_session, rows), state, "run1"
+    )
+    assert _pairs(p_retry) == [(1, 2)]
+    # now committed: run2 sees the docs as prior and emits nothing new
+    p2 = exact_duplicates_incremental(_docs(ray_session, rows), state, "run2")
+    assert len(p2) == 0
+    assert list(p2.columns) == ["doc_keep", "doc_dup"]
+
+
+def test_null_doc_ids_excluded(ray_session, tmp_path):
+    from pynomaly_ray.stages.dedup import exact_duplicates_incremental
+
+    state = str(tmp_path / "state")
+    ds = ray_session.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, None, 2], pa.int64()),
+                "text": pa.array(["x", "x", "x"], pa.string()),
+            }
+        )
+    )
+    p = exact_duplicates_incremental(ds, state, "run1")
+    assert _pairs(p) == [(1, 2)]  # the unkeyed row is ignored
+
+
+def test_state_is_hashes_only_no_text(ray_session, tmp_path):
+    """State stores (doc_id, content_hash) — never the text bytes."""
+    import pyarrow.parquet as pq
+
+    from pynomaly_ray.stages.dedup import exact_duplicates_incremental
+
+    state = str(tmp_path / "state")
+    exact_duplicates_incremental(
+        _docs(ray_session, [(1, "secret text"), (2, "secret text")]),
+        state,
+        "run1",
+    )
+    d = os.path.join(state, "hashes", "run1")
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    t = pq.read_table(os.path.join(d, files[0]))
+    assert sorted(t.schema.names) == ["content_hash", "doc_id"]
