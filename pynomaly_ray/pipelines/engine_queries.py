@@ -1995,6 +1995,7 @@ from pynomaly_ray.pipelines import queries_wave70  # noqa: E402,F401
 from pynomaly_ray.pipelines import queries_wave71  # noqa: E402,F401
 from pynomaly_ray.pipelines import queries_wave72  # noqa: E402,F401
 from pynomaly_ray.pipelines import queries_wave73  # noqa: E402,F401
+from pynomaly_ray.pipelines import queries_wave74  # noqa: E402,F401
 
 ENGINE_QUERIES["pca_project"] = queries_wave17.q_pca_project
 ENGINE_QUERIES["kcore_nodes"] = queries_wave19.q_kcore_nodes

@@ -101,3 +101,36 @@ def test_state_is_hashes_only_no_text(ray_session, tmp_path):
     files = [f for f in os.listdir(d) if f.endswith(".parquet")]
     t = pq.read_table(os.path.join(d, files[0]))
     assert sorted(t.schema.names) == ["content_hash", "doc_id"]
+
+
+def test_decontaminate_exact_planted(ray_session, tmp_path, monkeypatch):
+    """Planted contamination: probe spans lifted from picked docs must
+    flag every doc carrying them verbatim, counting distinct probes."""
+    import pyarrow.parquet as pq
+
+    from pynomaly_ray.pipelines import queries_wave74 as w74
+
+    span_a = "A" * 30  # doc 0's span region
+    span_b = "B" * 30  # doc 2's span region
+    texts = [
+        "x" * 9 + span_a + " tail",          # doc 0: probe source A
+        "clean document with no overlap",    # doc 1: clean
+        "y" * 9 + span_b + " tail",          # doc 2: probe source B
+        "stolen " + span_a[:25] + " middle", # doc 3: contains probe A
+        span_a[:25] + " and " + span_b[:25], # doc 4: contains BOTH
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(5)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    monkeypatch.setattr(w74, "_NPROBES", 2)  # picks doc 0 and doc 2
+    out = w74.q_decontaminate_exact(str(sf))
+    got = dict(zip(out["doc_id"].tolist(), out["n_hits"].tolist()))
+    assert got == {0: 1, 2: 1, 3: 1, 4: 2}
