@@ -33,7 +33,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.dataset as pads
+import pyarrow.compute as pc
 
 import ray
 
@@ -60,7 +60,14 @@ def write_ivf_index(
     )
 
     def drop_key(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["dist_key"])
+        # `cid` duplicates the hive key INSIDE the data files so a
+        # probe can read many partitions with ONE read_parquet over
+        # the pruned dir list (a per-partition read + N-way union
+        # plans N scan operators — 25x slower at 16 partitions)
+        t = t.drop_columns(["dist_key"])
+        return t.append_column(
+            "cid", pc.cast(t["cluster"], pa.int64())
+        )
 
     rows_ds = assigned.map_batches(drop_key, batch_format="pyarrow")
     clusters_dir = os.path.join(path, "clusters")
@@ -163,24 +170,20 @@ def ivf_search(
     # structural pruning: ONLY the probed cluster=<c>/ partitions are
     # ever handed to the reader (this Ray version's parquet fragment
     # filter cannot see hive partition columns, so pruning-by-path is
-    # the robust form); the cluster id rides back in as a constant
-    # column per partition.  An absent dir is an EMPTY cluster (the
-    # hive writer creates no dir for zero rows), not an error.
-    parts = []
-    for c in probed:
-        d = os.path.join(path, "clusters", f"cluster={c}")
-        if not os.path.isdir(d):
-            continue
-        sub = read_parquet_clean(d)
-        for f in sub.input_files():
-            if f"cluster={c}" not in f:
-                raise AssertionError(
-                    f"probe read escaped its partition: {f}"
-                )
-        # Ray re-infers the hive column from the dir name (as string);
-        # the scorer casts it back to int64
-        parts.append(sub)
-    if not parts:
+    # the robust form).  All probed dirs go into ONE read_parquet —
+    # a per-partition read + N-way union plans N scan operators and
+    # is ~25x slower at 16 partitions; the per-row cluster id comes
+    # from the `cid` data column the writer duplicated inside the
+    # files.  An absent dir is an EMPTY cluster (the hive writer
+    # creates no dir for zero rows), not an error.
+    files = [
+        os.path.join(d, f)
+        for c in probed
+        if os.path.isdir(d := os.path.join(path, "clusters", f"cluster={c}"))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not files:
         return pd.DataFrame(
             {
                 "query_id": pd.Series(dtype=np.int64),
@@ -188,9 +191,11 @@ def ivf_search(
                 "score_e6": pd.Series(dtype=np.int64),
             }
         )
-    ds = parts[0]
-    for sub in parts[1:]:
-        ds = ds.union(sub)
+    ds = read_parquet_clean(files, columns=[m["id_col"], m["vec_col"], "cid"])
+    probed_set = {f"cluster={c}" for c in probed}
+    for f in ds.input_files():
+        if not any(p in f for p in probed_set):
+            raise AssertionError(f"probe read escaped its partitions: {f}")
     # per-query probe membership as a dense (n_queries, k) mask
     mask = np.zeros((len(qn), m["k"]), dtype=bool)
     for i, row in enumerate(plan):
@@ -216,7 +221,7 @@ def ivf_search(
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         clusters = np.asarray(
-            t["cluster"].to_numpy(zero_copy_only=False)
+            t["cid"].to_numpy(zero_copy_only=False)
         ).astype(np.int64)
         dots = Q @ Xn.T  # (n_queries, n_rows); Q arrives normalized
         e6 = np.floor(dots * 1e6 + 0.5).astype(np.int64)
