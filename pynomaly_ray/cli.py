@@ -761,6 +761,99 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build / search the persisted IVF vector index — the operational
+    face of ``sources/ivf_index``: pay k-means + one layout exchange at
+    build time so every later search reads nprobe/k of the corpus."""
+    import os
+
+    import numpy as np
+
+    _ensure_ray(args.num_cpus)
+    if args.action == "build":
+        if not args.input or not args.out:
+            print(json.dumps({"error": "build needs --input and --out"}))
+            return 2
+        from pynomaly_ray.sources.ivf_index import write_ivf_index
+        from pynomaly_ray.sources.parquet import read_parquet_clean
+
+        ds = read_parquet_clean(
+            args.input, columns=[args.id_col, args.vec_col]
+        )
+        m = write_ivf_index(
+            ds,
+            args.out,
+            k=args.k,
+            n_iter=args.iters,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+        print(json.dumps({"action": "build", "out": args.out, **m}))
+        return 0
+    # search
+    if not args.path or not args.query_ids or not args.queries_from:
+        print(
+            json.dumps(
+                {
+                    "error": "search needs --path, --query-ids and "
+                    "--queries-from"
+                }
+            )
+        )
+        return 2
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    from pynomaly_ray.sources.ivf_index import ivf_search, load_manifest
+
+    qids = [int(x) for x in args.query_ids.split(",")]
+    m = load_manifest(args.path)
+    qt = (
+        papq.ParquetDataset(
+            args.queries_from,
+            filters=pads.field(m["id_col"]).isin(qids),
+        )
+        .read(columns=[m["id_col"], m["vec_col"]])
+        .sort_by(m["id_col"])
+    )
+    if qt.num_rows != len(set(qids)):
+        print(
+            json.dumps(
+                {"error": f"found {qt.num_rows} of {len(set(qids))} ids"}
+            )
+        )
+        return 2
+    qv = np.asarray(
+        [qt[m["vec_col"]][i].as_py() for i in range(qt.num_rows)],
+        dtype=np.float64,
+    )
+    out = ivf_search(args.path, qv, nprobe=args.nprobe, topk=args.topk)
+    # query_id is positional over the sorted id list; map back to ids
+    sorted_ids = qt[m["id_col"]].to_pylist()
+    out["query_id"] = [sorted_ids[int(i)] for i in out["query_id"]]
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        import pyarrow as pa
+
+        papq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False),
+            os.path.join(args.out, "neighbors.parquet"),
+        )
+    print(
+        json.dumps(
+            {
+                "action": "search",
+                "queries": len(qv),
+                "nprobe": args.nprobe,
+                "topk": args.topk,
+                "rows": int(len(out)),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_matview(args) -> int:
     """Operate an incrementally-maintained aggregate view
     (state/matview.py): create from a table, fold increments in
@@ -1126,6 +1219,31 @@ def main(argv=None) -> int:
     mv.add_argument("--out", default=None, help="read only: dump parquet here")
     mv.add_argument("--num-cpus", type=int, default=None)
     mv.set_defaults(fn=cmd_matview)
+
+    ix = sub.add_parser(
+        "index",
+        help="build / search a persisted IVF vector index "
+        "(probe-pruned ANN over an embedding column)",
+    )
+    ix.add_argument("action", choices=["build", "search"])
+    ix.add_argument("--input", default=None, help="build: embeddings parquet")
+    ix.add_argument("--out", default=None, help="build: index dir; "
+                    "search: optional neighbors parquet dir")
+    ix.add_argument("--path", default=None, help="search: index dir")
+    ix.add_argument("--k", type=int, default=16, help="build: #clusters")
+    ix.add_argument("--iters", type=int, default=4, help="build: k-means iters")
+    ix.add_argument("--id-col", default="vec_id")
+    ix.add_argument("--vec-col", default="embedding")
+    ix.add_argument(
+        "--query-ids", default=None, help="search: comma-separated ids"
+    )
+    ix.add_argument(
+        "--queries-from", default=None, help="search: parquet holding the ids"
+    )
+    ix.add_argument("--nprobe", type=int, default=3)
+    ix.add_argument("--topk", type=int, default=5)
+    ix.add_argument("--num-cpus", type=int, default=None)
+    ix.set_defaults(fn=cmd_index)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -134,3 +134,71 @@ def test_decontaminate_exact_planted(ray_session, tmp_path, monkeypatch):
     out = w74.q_decontaminate_exact(str(sf))
     got = dict(zip(out["doc_id"].tolist(), out["n_hits"].tolist()))
     assert got == {0: 1, 2: 1, 3: 1, 4: 2}
+
+
+def test_cli_index_build_and_search(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from pynomaly_ray.cli import main
+
+    idx = str(tmp_path / "idx")
+    rc = main(
+        [
+            "index", "build",
+            "--input", "/root/testdata/sf0.001/embeddings.parquet",
+            "--out", idx, "--k", "8", "--iters", "3",
+        ]
+    )
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["k"] == 8 and rep["rows"] > 0
+
+    outdir = str(tmp_path / "nn")
+    rc = main(
+        [
+            "index", "search", "--path", idx,
+            "--query-ids", "0,5",
+            "--queries-from", "/root/testdata/sf0.001/embeddings.parquet",
+            "--nprobe", "2", "--topk", "3", "--out", outdir,
+        ]
+    )
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 6  # 2 queries x top-3
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(outdir + "/neighbors.parquet")
+    assert t.num_rows == 6
+    # each query's own vector is its cosine-1.0 top hit
+    df = t.to_pandas()
+    for qid in (0, 5):
+        top = df[df.query_id == qid].sort_values(
+            ["score_e6", "vec_id"], ascending=[False, True]
+        ).iloc[0]
+        assert top["vec_id"] == qid and top["score_e6"] == 1_000_000
+
+
+def test_cli_index_search_missing_id(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from pynomaly_ray.cli import main
+
+    idx = str(tmp_path / "idx")
+    main(
+        [
+            "index", "build",
+            "--input", "/root/testdata/sf0.001/embeddings.parquet",
+            "--out", idx, "--k", "4",
+        ]
+    )
+    capsys.readouterr()
+    rc = main(
+        [
+            "index", "search", "--path", idx,
+            "--query-ids", "0,999999999",
+            "--queries-from", "/root/testdata/sf0.001/embeddings.parquet",
+        ]
+    )
+    assert rc == 2
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in rep
