@@ -855,6 +855,100 @@ def _committed_hash_dirs(state_dir: str, run_id: str) -> list[str]:
     ]
 
 
+def _dir_rank(d: str, fallback: int) -> int:
+    """First-seen rank of a state run dir: ``rank.txt`` (written with
+    the run), else the dir's sorted position (pre-rank state dirs)."""
+    import os
+
+    try:
+        with open(os.path.join(d, "rank.txt")) as f:
+            return int(f.read())
+    except (OSError, ValueError):
+        return fallback
+
+
+def compact_exact_state(state_dir: str) -> dict:
+    """Merge all COMMITTED per-run hash dirs into one compacted dir.
+
+    Same maintenance op and crash ordering as
+    :func:`compact_minhash_state` (temp-write -> rename -> commit
+    marker -> remove sources; a crash at any point either ignores the
+    attempt or leaves harmlessly-duplicated rows that the next
+    compaction folds).  One exact-dedup-specific invariant: the merged
+    table PERSISTS each row's original first-seen rank as an ``rnk``
+    column — rank comes from dir order / rank.txt, which compaction
+    destroys, and without it a later run would re-elect keepers by
+    doc_id alone and could point new duplicates at docs that past runs
+    already dropped (a broken representative chain).  The compacted
+    dir's ``rank.txt`` records the max merged rank so the next run's
+    rank stays strictly above every persisted one.
+    """
+    import os
+    import shutil
+
+    from pynomaly_ray.sources.parquet import read_parquet_clean
+
+    root = os.path.join(state_dir, "hashes")
+    committed = (
+        [
+            d
+            for d in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, d))
+            and os.path.exists(os.path.join(root, ".commit-" + d))
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    if len(committed) <= 1:
+        return {
+            "compacted_runs": 0,
+            "target": committed[0] if committed else None,
+        }
+    taken = [
+        int(d.split("-", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("compact-") and d.split("-", 1)[1].isdigit()
+    ]
+    cname = f"compact-{(max(taken) + 1 if taken else 1):04d}"
+    ranks = [
+        _dir_rank(os.path.join(root, d), i) for i, d in enumerate(committed)
+    ]
+    parts = []
+    for rank, d in zip(ranks, committed):
+        files = [
+            os.path.join(root, d, f)
+            for f in sorted(os.listdir(os.path.join(root, d)))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        part = read_parquet_clean(files)
+
+        def tag(t: pa.Table, _r=rank) -> pa.Table:
+            if "rnk" in t.schema.names:
+                return t
+            return t.append_column(
+                "rnk", pa.array(np.full(t.num_rows, _r, dtype=np.int64))
+            )
+
+        parts.append(part.map_batches(tag, batch_format="pyarrow"))
+    if not parts:  # all committed dirs empty: nothing to fold
+        return {"compacted_runs": 0, "target": None}
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    tmp = os.path.join(root, ".tmp-" + cname)
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write_parquet(tmp)
+    with open(os.path.join(tmp, "rank.txt"), "w") as f:
+        f.write(str(max(ranks)))
+    os.rename(tmp, os.path.join(root, cname))
+    commit_exact_state(state_dir, cname)
+    for d in committed:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return {"compacted_runs": len(committed), "target": cname}
+
+
 def commit_exact_state(state_dir: str, run_id: str) -> None:
     """Mark ``run_id``'s hash table committed — call AFTER its pair
     output is durably persisted (see :func:`commit_minhash_state`)."""
@@ -917,11 +1011,16 @@ def exact_duplicates_incremental(
         lambda t: t.filter(pc.is_valid(t["doc_id"])), batch_format="pyarrow"
     )
     prior_dirs = _committed_hash_dirs(state_dir, run_id)
-    new_rank = len(prior_dirs)
+    # first-seen rank is PERSISTED per run (rank.txt; compacted dirs
+    # carry it per-row as an ``rnk`` column instead) — dir order alone
+    # would be destroyed by compaction, silently re-electing keepers
+    # and pointing future dups at docs already dropped by past runs
+    ranks = [_dir_rank(d, i) for i, d in enumerate(prior_dirs)]
+    new_rank = max(ranks) + 1 if ranks else 0
 
     new_docs = docs_ds
     prior_parts = []
-    for rank, d in enumerate(prior_dirs):
+    for rank, d in zip(ranks, prior_dirs):
         files = [
             os.path.join(d, f)
             for f in sorted(os.listdir(d))
@@ -930,14 +1029,15 @@ def exact_duplicates_incremental(
         if not files:
             continue
         part = read_parquet_clean(files)
-        prior_parts.append(
-            part.map_batches(
-                lambda t, _r=rank: t.append_column(
-                    "rnk", pa.array(np.full(t.num_rows, _r, dtype=np.int64))
-                ),
-                batch_format="pyarrow",
+
+        def tag(t: pa.Table, _r=rank) -> pa.Table:
+            if "rnk" in t.schema.names:  # compacted dir: per-row ranks
+                return t
+            return t.append_column(
+                "rnk", pa.array(np.full(t.num_rows, _r, dtype=np.int64))
             )
-        )
+
+        prior_parts.append(part.map_batches(tag, batch_format="pyarrow"))
     if prior_parts:
         prior_all = prior_parts[0]
         for p in prior_parts[1:]:
@@ -965,6 +1065,9 @@ def exact_duplicates_incremental(
         hash_new, batch_format="pyarrow"
     ).materialize()  # consumed twice: sink + grouping
     new_hashes.write_parquet(hash_dir)
+    os.makedirs(hash_dir, exist_ok=True)  # zero-new-doc runs write no files
+    with open(os.path.join(hash_dir, "rank.txt"), "w") as f:
+        f.write(str(new_rank))
 
     union = new_hashes.map_batches(
         lambda t: t.append_column(

@@ -202,3 +202,63 @@ def test_cli_index_search_missing_id(ray_session, tmp_path, capsys):
     assert rc == 2
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "error" in rep
+
+
+def test_compact_exact_state_preserves_keepers(ray_session, tmp_path):
+    """After compaction, later runs must still elect the FIRST-SEEN
+    keeper — not re-elect by doc_id and point new dups at docs that
+    past runs already dropped."""
+    from pynomaly_ray.stages.dedup import (
+        compact_exact_state,
+        exact_duplicates_incremental,
+    )
+
+    state = str(tmp_path / "state")
+    # run1: doc 10 introduces "aaa"; run2: doc 5 (smaller id!) dups it
+    c1 = [(10, "aaa"), (11, "bbb")]
+    c2 = c1 + [(5, "aaa")]
+    p1 = exact_duplicates_incremental(_docs(ray_session, c1), state, "run1")
+    assert _pairs(p1) == []
+    p2 = exact_duplicates_incremental(_docs(ray_session, c2), state, "run2")
+    assert _pairs(p2) == [(10, 5)]  # 5 dropped, 10 keeps
+
+    rep = compact_exact_state(state)
+    assert rep["compacted_runs"] == 2
+    # the two source dirs folded into one compacted dir
+    import os
+
+    root = os.path.join(state, "hashes")
+    dirs = [d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))]
+    assert dirs == [rep["target"]]
+
+    # run3: doc 99 dups "aaa".  Without per-row rank persistence the
+    # keeper would be min doc_id = 5 — which run2 already DROPPED.
+    c3 = c2 + [(99, "aaa")]
+    p3 = exact_duplicates_incremental(_docs(ray_session, c3), state, "run3")
+    assert _pairs(p3) == [(10, 99)]
+
+
+def test_compact_exact_state_idempotent_and_rerunnable(ray_session, tmp_path):
+    from pynomaly_ray.stages.dedup import (
+        compact_exact_state,
+        exact_duplicates_incremental,
+    )
+
+    state = str(tmp_path / "state")
+    exact_duplicates_incremental(
+        _docs(ray_session, [(1, "a")]), state, "run1"
+    )
+    # single committed run: nothing to fold
+    assert compact_exact_state(state)["compacted_runs"] == 0
+    exact_duplicates_incremental(
+        _docs(ray_session, [(1, "a"), (2, "b")]), state, "run2"
+    )
+    r = compact_exact_state(state)
+    assert r["compacted_runs"] == 2
+    # compacting a compacted state is a no-op
+    assert compact_exact_state(state)["compacted_runs"] == 0
+    # and new increments keep working on top of it
+    p3 = exact_duplicates_incremental(
+        _docs(ray_session, [(1, "a"), (2, "b"), (3, "a")]), state, "run3"
+    )
+    assert _pairs(p3) == [(1, 3)]
